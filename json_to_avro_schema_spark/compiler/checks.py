@@ -1,0 +1,327 @@
+"""Keyword → ``pyspark.sql.Column`` predicate generators (SURVEY.md §2.2).
+
+Every JSON-Schema keyword the reference's AST captures
+(/root/reference/src/main/scala/JsonSchema.scala:9-46) becomes a check
+generator here.  Semantics follow draft-6: a keyword constrains the value only
+when the value is present (non-null) and of the keyword's applicable type —
+so every value-level predicate is *null-gated*: ``expr.isNull() | pred``.
+Requiredness (``required``) is compiled separately as ``isNotNull`` checks,
+mirroring the reference's optionality rewrite (Transpiler.scala:203-211:
+not-required ⇒ union[null, T] ⇒ null passes).
+
+All predicates are built from JVM-side ``pyspark.sql.functions`` (higher-order
+functions for arrays/maps) so they stay inside whole-stage codegen — zero
+Python UDFs on this path.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import SpecCompileError
+from ..spec.model import UNSET, ConstraintSpec, JSchema
+from .types import carrier_type, is_null_arm, union_arms
+
+DOUBLE_EPS = 1e-9
+
+# named ``format`` registry → regex (semantic formats per draft-6 §8.3)
+FORMAT_REGEX = {
+    "date-time": r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:?\d{2})?$",
+    "date": r"^\d{4}-\d{2}-\d{2}$",
+    "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?$",
+    "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
+    "hostname": r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$",
+    "ipv4": r"^((25[0-5]|2[0-4]\d|[01]?\d?\d)\.){3}(25[0-5]|2[0-4]\d|[01]?\d?\d)$",
+    "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+}
+
+
+def gate(expr: Column, pred: Column) -> Column:
+    """Null-gate: an absent value passes every value-level constraint."""
+    return expr.isNull() | pred
+
+
+def node_predicate(s: JSchema, expr: Column, path: str = "$") -> Column:
+    """Full null-gated conformance predicate for a (ref-free) spec node."""
+    return gate(expr, value_predicate(s, expr, path))
+
+
+def value_predicate(s: JSchema, expr: Column, path: str = "$") -> Column:
+    """Conformance predicate assuming ``expr`` is non-null."""
+    if s is True:
+        return F.lit(True)
+    if s is False:
+        return F.lit(False)
+    assert isinstance(s, ConstraintSpec)
+    preds = all_keyword_predicates(s, expr, path)
+    return _conj(preds)
+
+
+def _conj(preds: List[Column]) -> Column:
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def _as_bool(c: Column) -> Column:
+    return F.coalesce(c, F.lit(False))
+
+
+def all_keyword_predicates(
+    s: ConstraintSpec, expr: Column, path: str
+) -> List[Column]:
+    """One predicate per applicable keyword; conjunction = node conformance."""
+    dtype = carrier_type(s, path)
+    preds: List[Column] = []
+
+    # --- union shapes (type unions / oneOf) -------------------------------
+    arms = union_arms(s)
+    if arms is not None:
+        preds.append(_union_predicate(s, arms, expr, dtype, path))
+        # numeric/string/etc keywords alongside oneOf apply to the value too,
+        # but only for scalar-collapsed carriers; fall through for those.
+        if not isinstance(dtype, T.StructType):
+            preds.extend(_scalar_keyword_predicates(s, expr, dtype))
+        return preds
+
+    # --- type: null → value must be absent --------------------------------
+    if s.types == ("null",):
+        preds.append(F.lit(False))  # gated: only null passes
+        return preds
+
+    preds.extend(_scalar_keyword_predicates(s, expr, dtype))
+    preds.extend(_container_keyword_predicates(s, expr, dtype, path))
+    preds.extend(_combinator_predicates(s, expr, path))
+    return preds
+
+
+# ------------------------------------------------------------- scalar kws
+
+def _scalar_keyword_predicates(
+    s: ConstraintSpec, expr: Column, dtype: T.DataType
+) -> List[Column]:
+    preds: List[Column] = []
+
+    if s.const is not UNSET:
+        preds.append(_const_predicate(s.const, expr))
+
+    if s.enum:
+        preds.append(expr.isin(*[v for v in s.enum]))
+
+    numeric = isinstance(dtype, (T.LongType, T.DoubleType, T.IntegerType))
+    if numeric:
+        if s.minimum is not None:
+            preds.append(expr >= F.lit(s.minimum))
+        if s.maximum is not None:
+            preds.append(expr <= F.lit(s.maximum))
+        if s.exclusive_minimum is not None:
+            preds.append(expr > F.lit(s.exclusive_minimum))
+        if s.exclusive_maximum is not None:
+            preds.append(expr < F.lit(s.exclusive_maximum))
+        if s.multiple_of is not None:
+            m = s.multiple_of
+            if isinstance(dtype, T.LongType) and float(m).is_integer():
+                preds.append(F.pmod(expr, F.lit(int(m))) == 0)
+            else:
+                # double semantics need epsilon care (SURVEY.md §7)
+                ratio = expr / F.lit(float(m))
+                preds.append(F.abs(ratio - F.round(ratio)) < F.lit(DOUBLE_EPS))
+
+    if isinstance(dtype, T.StringType):
+        if s.min_length > 0:
+            preds.append(F.length(expr) >= F.lit(s.min_length))
+        if s.max_length is not None:
+            preds.append(F.length(expr) <= F.lit(s.max_length))
+        if s.pattern is not None:
+            preds.append(expr.rlike(s.pattern))
+        if s.format is not None and s.format in FORMAT_REGEX:
+            preds.append(expr.rlike(FORMAT_REGEX[s.format]))
+
+    return preds
+
+
+def _const_predicate(const: Any, expr: Column) -> Column:
+    if const is None:
+        return F.lit(False)  # gated: only null passes
+    if isinstance(const, (bool, int, float, str)):
+        return expr == F.lit(const)
+    # complex const → structural comparison through canonical JSON
+    return F.to_json(expr) == F.lit(json.dumps(const, separators=(",", ":")))
+
+
+# ---------------------------------------------------------- container kws
+
+def _container_keyword_predicates(
+    s: ConstraintSpec, expr: Column, dtype: T.DataType, path: str
+) -> List[Column]:
+    preds: List[Column] = []
+
+    if isinstance(dtype, T.ArrayType):
+        if s.min_items > 0:
+            preds.append(F.size(expr) >= F.lit(s.min_items))
+        if s.max_items is not None:
+            preds.append(F.size(expr) <= F.lit(s.max_items))
+        if s.unique_items:
+            preds.append(F.size(expr) == F.size(F.array_distinct(expr)))
+        if s.items is not None and not isinstance(s.items, tuple):
+            items = s.items
+            preds.append(
+                F.forall(expr, lambda e: _as_bool(node_predicate(items, e, f"{path}[]")))
+            )
+        if isinstance(s.items, tuple):
+            raise SpecCompileError(
+                "Unimplemented: index by index array validation isn't supported "
+                f"yet at {path}"
+            )
+        if s.contains is not None:
+            contains = s.contains
+            preds.append(
+                F.exists(
+                    expr,
+                    lambda e: _as_bool(
+                        e.isNotNull() & value_predicate(contains, e, f"{path}[c]")
+                    ),
+                )
+            )
+        if s.x_monotonic:
+            elem_t = dtype.elementType
+            for fname in s.x_monotonic:
+                preds.append(monotonic_increasing(expr, fname, elem_t))
+
+    if isinstance(dtype, T.MapType):
+        keys = F.map_keys(expr)
+        if s.min_properties > 0:
+            preds.append(F.size(keys) >= F.lit(s.min_properties))
+        if s.max_properties is not None:
+            preds.append(F.size(keys) <= F.lit(s.max_properties))
+        if s.property_names is not None:
+            pn = s.property_names
+            preds.append(
+                F.forall(keys, lambda k: _as_bool(value_predicate(pn, k, f"{path}.<k>")))
+            )
+        if (
+            s.additional_properties is not None
+            and s.additional_properties is not True
+        ):
+            ap = s.additional_properties
+            preds.append(
+                F.forall(
+                    F.map_values(expr),
+                    lambda v: _as_bool(node_predicate(ap, v, f"{path}.<v>")),
+                )
+            )
+        for pat, sub in s.pattern_properties.items():
+            matching = F.map_filter(expr, lambda k, v: k.rlike(pat))
+            sub_s = sub
+            preds.append(
+                F.forall(
+                    F.map_values(matching),
+                    lambda v: _as_bool(node_predicate(sub_s, v, f"{path}.<p>")),
+                )
+            )
+
+    if isinstance(dtype, T.StructType) and s.properties:
+        for name, sub in s.properties.items():
+            preds.append(node_predicate(sub, expr[name], f"{path}.{name}"))
+        for name in s.required:
+            if name in s.properties:
+                preds.append(expr[name].isNotNull())
+        for dep_key, dep in s.dependencies.items():
+            present = expr[dep_key].isNotNull()
+            if isinstance(dep, tuple):
+                need = _conj([expr[d].isNotNull() for d in dep])
+            else:
+                need = value_predicate(dep, expr, f"{path}.dep[{dep_key}]")
+            preds.append(~present | need)
+
+    return preds
+
+
+def monotonic_increasing(
+    expr: Column, field: str, elem_type: T.DataType
+) -> Column:
+    """Engine extension: struct-array element ``field`` strictly increasing.
+
+    Built from HOFs only (slice + zip_with + forall) so it stays codegen'd —
+    this is the span ``offset`` ordering invariant for interleaved documents.
+    """
+    n = F.size(expr)
+    pair_len = F.greatest(n - F.lit(1), F.lit(0))
+    heads = F.slice(expr, F.lit(1), pair_len)
+    tails = F.slice(expr, F.lit(2), pair_len)
+
+    def cmp(a: Column, b: Column) -> Column:
+        if isinstance(elem_type, T.StructType):
+            return _as_bool(a[field] < b[field])
+        return _as_bool(a < b)
+
+    zipped = F.zip_with(heads, tails, cmp)
+    return F.forall(zipped, lambda ok: _as_bool(ok))
+
+
+# ------------------------------------------------------------ combinators
+
+def _combinator_predicates(
+    s: ConstraintSpec, expr: Column, path: str
+) -> List[Column]:
+    preds: List[Column] = []
+    if s.all_of:
+        preds.append(
+            _conj([value_predicate(a, expr, f"{path}&{i}") for i, a in enumerate(s.all_of)])
+        )
+    if s.any_of:
+        disj = F.lit(False)
+        for i, a in enumerate(s.any_of):
+            disj = disj | _as_bool(value_predicate(a, expr, f"{path}|{i}"))
+        preds.append(disj)
+    if s.not_ is not None:
+        preds.append(~_as_bool(value_predicate(s.not_, expr, f"{path}!")))
+    return preds
+
+
+def _union_predicate(
+    s: ConstraintSpec,
+    arms,
+    expr: Column,
+    dtype: T.DataType,
+    path: str,
+) -> Column:
+    value_arms = [(n, a) for n, a in arms if not is_null_arm(a) and a is not True]
+
+    if isinstance(dtype, T.StructType) and value_arms and all(
+        f.name == n for f, (n, _) in zip(dtype.fields, value_arms)
+    ):
+        # tagged struct of optional arms: exactly one non-null + that arm passes
+        present = [expr[n].isNotNull().cast("int") for n, _ in value_arms]
+        exactly_one = sum(present[1:], present[0]) == F.lit(1)
+        arms_ok = _conj(
+            [
+                gate(expr[n], value_predicate(a, expr[n], f"{path}^{n}"))
+                for n, a in value_arms
+            ]
+        )
+        return exactly_one & arms_ok
+
+    # scalar-collapsed union: exactly one arm's constraints hold
+    arm_preds = [
+        _as_bool(value_predicate(a, expr, f"{path}^{i}")).cast("int")
+        for i, (n, a) in enumerate(value_arms)
+    ]
+    if not arm_preds:
+        return F.lit(True)
+    total = arm_preds[0]
+    for p in arm_preds[1:]:
+        total = total + p
+    # oneOf = exactly one; multi-valued `type` = at least one (a JSON value
+    # has exactly one type, so ==1 and >=1 coincide there)
+    return total == F.lit(1) if s.one_of else total >= F.lit(1)

@@ -1,0 +1,335 @@
+"""Spec → CompiledPlan (pass P6 orchestration).
+
+The engine analog of the reference's ``Transpiler.transpile``
+(/root/reference/src/main/scala/Transpiler.scala:20-48): runs the full
+driver-side pipeline — parse (P3) → $id normalization (P4) → symbol table (P5)
+→ depth-bounded ref inlining (P10/P11) → lowering (P6-P13) — and produces a
+:class:`CompiledPlan`:
+
+    { expected_schema : pyspark StructType        (type conformance)
+      row_checks      : list[RowCheck]            (§2.2 keyword predicates)
+      unique/ref/drift/stats checks               (§2.3 table-level config) }
+
+Everything here is pure driver-side Python; Column objects are built lazily
+(factories) so a plan can be compiled and inspected without a SparkSession.
+
+Table-level checks are declared with engine extension keywords at the spec
+root (no JSON-Schema counterpart — these are the north-rule operators):
+
+    "x-unique": [{"name": ..., "columns": ["doc_id"]}]
+    "x-ref":    [{"name": ..., "columns": [...], "refTable": ..., "refColumns": [...]}]
+    "x-drift":  [{"name": ..., "column": ..., "bins": 32, "min": ..., "max": ...}]
+    "x-stats":  ["col", ...] | true
+    "x-checks": [{"name": ..., "expr": "<spark-sql boolean expr>"}]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import SpecCompileError, SpecParseError
+from ..spec.model import ConstraintSpec, JSchema, RootConstraintSpec
+from ..spec.normalize import normalize_ids
+from ..spec.parser import parse_root
+from ..spec.symbols import resolve_symbols
+from .checks import gate, node_predicate, value_predicate
+from .names import sanitize_check_name
+from .refs import inline_refs
+from .types import carrier_type, has_null_arm
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """A named per-row predicate; True = row passes this check."""
+
+    name: str
+    path: str
+    description: str
+    factory: Callable[[], Column]
+
+    def predicate(self) -> Column:
+        return self.factory()
+
+
+@dataclass(frozen=True)
+class UniqueCheckCfg:
+    name: str
+    columns: Tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class RefCheckCfg:
+    name: str
+    columns: Tuple[str, ...]
+    ref_table: str
+    ref_columns: Tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class DriftCheckCfg:
+    name: str
+    column: str
+    bins: int = 32
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+
+
+@dataclass
+class CompiledPlan:
+    spec_name: str
+    spec_hash: str
+    expected_schema: T.StructType
+    row_checks: List[RowCheck] = dc_field(default_factory=list)
+    unique_checks: List[UniqueCheckCfg] = dc_field(default_factory=list)
+    ref_checks: List[RefCheckCfg] = dc_field(default_factory=list)
+    drift_checks: List[DriftCheckCfg] = dc_field(default_factory=list)
+    stats_columns: List[str] = dc_field(default_factory=list)
+    unchecked_paths: List[str] = dc_field(default_factory=list)
+
+    def check_names(self) -> List[str]:
+        return [c.name for c in self.row_checks]
+
+    def with_row_checks(self, *checks: RowCheck) -> "CompiledPlan":
+        self.row_checks.extend(checks)
+        return self
+
+
+def spec_name_from_id(root_id: str) -> str:
+    """Record name = last path segment of the root $id URI
+    (Transpiler.scala:133-134)."""
+    frag = root_id.split("#")[0].rstrip("/")
+    return frag.split("/")[-1] or "root"
+
+
+def compile_document(
+    doc: Dict[str, Any],
+    *,
+    strict_enums: bool = False,
+    max_ref_depth: int = 3,
+) -> CompiledPlan:
+    """Compile a spec document (dict) into a CompiledPlan. Fails fast on the
+    driver — no Spark job is touched here."""
+    if not isinstance(doc, dict):
+        raise SpecParseError("schema must be an object")
+
+    root = parse_root(doc)
+    normalized = normalize_ids(root)
+    symbols = resolve_symbols(normalized)
+    inlined = inline_refs(normalized, symbols, max_depth=max_ref_depth)
+    spec = inlined.spec
+
+    if strict_enums:
+        _assert_string_enums(spec, "$")
+
+    name = spec_name_from_id(normalized.spec.id or "root")
+    spec_hash = hashlib.sha256(
+        json.dumps(doc, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()[:16]
+
+    plan = CompiledPlan(
+        spec_name=name,
+        spec_hash=spec_hash,
+        expected_schema=_root_schema(spec),
+        unchecked_paths=inlined.unchecked_paths,
+    )
+    _compile_row_checks(spec, plan)
+    _compile_extensions(doc, plan)
+    return plan
+
+
+# ----------------------------------------------------------------- schema
+
+def _root_schema(spec: ConstraintSpec) -> T.StructType:
+    if spec.one_of and not spec.properties:
+        # root-level oneOf wraps into a single `value` union field
+        # (Transpiler.scala:155-167, P15)
+        value_spec = spec.evolve(id=None)
+        return T.StructType(
+            [T.StructField("value", carrier_type(value_spec, "$.value"), True)]
+        )
+    return _as_struct(carrier_type(spec.evolve(id=None), "$"))
+
+
+def _as_struct(dt: T.DataType) -> T.StructType:
+    if isinstance(dt, T.StructType):
+        return dt
+    # scalar/array/map root: single-field wrapper record `{value: T}` —
+    # matches the reference's scalar-definition wrapping (Transpiler.scala:169-192)
+    return T.StructType([T.StructField("value", dt, True)])
+
+
+# ------------------------------------------------------------- row checks
+
+def _col(name: str) -> Callable[[], Column]:
+    return lambda: F.col(name)
+
+
+def _compile_row_checks(spec: ConstraintSpec, plan: CompiledPlan) -> None:
+    root_name = plan.spec_name
+
+    if spec.one_of and not spec.properties:
+        value_spec = spec.evolve(id=None)
+        plan.row_checks.append(
+            RowCheck(
+                name=sanitize_check_name("value__conforms", root_name),
+                path="$.value",
+                description="root oneOf: exactly one alternative passes",
+                factory=lambda: node_predicate(value_spec, F.col("value"), "$.value"),
+            )
+        )
+        if not has_null_arm(spec):
+            plan.row_checks.append(
+                RowCheck(
+                    name=sanitize_check_name("value__required", root_name),
+                    path="$.value",
+                    description="root oneOf value must be present",
+                    factory=lambda: F.col("value").isNotNull(),
+                )
+            )
+        return
+
+    for prop in spec.required:
+        if prop not in spec.properties:
+            continue
+        plan.row_checks.append(
+            RowCheck(
+                name=sanitize_check_name(f"{prop}__required", root_name),
+                path=f"$.{prop}",
+                description=f"required property '{prop}' must be non-null",
+                factory=(lambda p=prop: F.col(p).isNotNull()),
+            )
+        )
+
+    for prop, sub in spec.properties.items():
+        if sub is True or (isinstance(sub, ConstraintSpec) and sub == ConstraintSpec()):
+            continue  # empty schema constrains nothing — no check column
+        desc = (
+            sub.desc
+            if isinstance(sub, ConstraintSpec) and sub.desc
+            else f"'{prop}' conforms to its spec"
+        )
+        plan.row_checks.append(
+            RowCheck(
+                name=sanitize_check_name(f"{prop}__conforms", root_name),
+                path=f"$.{prop}",
+                description=desc,
+                factory=(
+                    lambda p=prop, s=sub: node_predicate(s, F.col(p), f"$.{p}")
+                ),
+            )
+        )
+
+    for dep_key, dep in spec.dependencies.items():
+        if isinstance(dep, tuple):
+            plan.row_checks.append(
+                RowCheck(
+                    name=sanitize_check_name(f"{dep_key}__dependencies", root_name),
+                    path=f"$.{dep_key}",
+                    description=f"if '{dep_key}' present then {list(dep)} present",
+                    factory=(
+                        lambda k=dep_key, d=dep: ~F.col(k).isNotNull()
+                        | _conj_cols([F.col(x).isNotNull() for x in d])
+                    ),
+                )
+            )
+        else:
+            plan.row_checks.append(
+                RowCheck(
+                    name=sanitize_check_name(f"{dep_key}__dependencies", root_name),
+                    path=f"$.{dep_key}",
+                    description=f"if '{dep_key}' present then dependent schema holds",
+                    factory=(
+                        lambda k=dep_key, d=dep, s=spec: ~F.col(k).isNotNull()
+                        | _row_schema_predicate(d, s)
+                    ),
+                )
+            )
+
+
+def _row_schema_predicate(dep: JSchema, parent: ConstraintSpec) -> Column:
+    """Apply a schema-form dependency against the whole row (as a struct)."""
+    row = F.struct(*[F.col(p) for p in parent.properties])
+    return gate(row, value_predicate(dep, row, "$"))
+
+
+def _conj_cols(cols: List[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _assert_string_enums(s: JSchema, path: str) -> None:
+    if not isinstance(s, ConstraintSpec):
+        return
+    for v in s.enum:
+        if not isinstance(v, str):
+            raise SpecCompileError(
+                f"Unimplemented: non-string enums aren't supported yet at {path}. "
+                f"Value: {v!r}"
+            )
+    children: List[Tuple[str, Any]] = []
+    children += [(f"{path}.{k}", c) for k, c in s.properties.items()]
+    children += [(f"{path}.def[{k}]", c) for k, c in s.definitions.items()]
+    if s.items is not None and not isinstance(s.items, tuple):
+        children.append((f"{path}[]", s.items))
+    children += [(f"{path}^{i}", c) for i, c in enumerate(s.one_of)]
+    children += [(f"{path}&{i}", c) for i, c in enumerate(s.all_of)]
+    children += [(f"{path}|{i}", c) for i, c in enumerate(s.any_of)]
+    if s.additional_properties is not None:
+        children.append((f"{path}.<v>", s.additional_properties))
+    for p, c in children:
+        _assert_string_enums(c, p)
+
+
+# ------------------------------------------------------------- extensions
+
+def _compile_extensions(doc: Dict[str, Any], plan: CompiledPlan) -> None:
+    for i, u in enumerate(doc.get("x-unique", []) or []):
+        if isinstance(u, str):
+            u = {"columns": [u]}
+        cols = tuple(u["columns"])
+        plan.unique_checks.append(
+            UniqueCheckCfg(name=u.get("name", f"unique_{'_'.join(cols)}"), columns=cols)
+        )
+    for r in doc.get("x-ref", []) or []:
+        cols = tuple(r["columns"])
+        plan.ref_checks.append(
+            RefCheckCfg(
+                name=r.get("name", f"ref_{'_'.join(cols)}_{r['refTable']}"),
+                columns=cols,
+                ref_table=r["refTable"],
+                ref_columns=tuple(r.get("refColumns", cols)),
+            )
+        )
+    for d in doc.get("x-drift", []) or []:
+        plan.drift_checks.append(
+            DriftCheckCfg(
+                name=d.get("name", f"drift_{d['column']}"),
+                column=d["column"],
+                bins=int(d.get("bins", 32)),
+                lo=d.get("min"),
+                hi=d.get("max"),
+            )
+        )
+    stats = doc.get("x-stats")
+    if stats is True:
+        plan.stats_columns = ["*"]
+    elif isinstance(stats, list):
+        plan.stats_columns = [str(c) for c in stats]
+    for c in doc.get("x-checks", []) or []:
+        plan.row_checks.append(
+            RowCheck(
+                name=sanitize_check_name(c["name"], plan.spec_name),
+                path="$",
+                description=c.get("description", c["expr"]),
+                factory=(lambda e=c["expr"]: F.expr(e)),
+            )
+        )
