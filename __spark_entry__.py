@@ -1,38 +1,443 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: validate the interleaved documents table
+(deterministic synthetic, BASELINE.json input_hint shape) and return the
+per-partition verdict DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2.2/§2.3 plus the training-data-pipeline operators; every
+SQL-expressible one has a DuckDB oracle. All float outputs are rounded in
+BOTH engines so value hashes agree; all computed columns are aliased
+identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from json_to_avro_schema_spark.compiler.plan import compile_document
+from json_to_avro_schema_spark.operators import dedup as dd
+from json_to_avro_schema_spark.operators import drift as dr
+from json_to_avro_schema_spark.operators import referential as ri
+from json_to_avro_schema_spark.operators import similarity as sim
+from json_to_avro_schema_spark.operators import stats as st
+from json_to_avro_schema_spark.operators import text as tx
+from json_to_avro_schema_spark.operators import uniqueness as uq
+from json_to_avro_schema_spark.operators.tdigest import tdigest_quantiles
+from json_to_avro_schema_spark.runner import run_validation
+from json_to_avro_schema_spark.sources.synthetic import (
+    documents_iv_spec,
+    generate_documents_iv,
+    generate_media_assets,
+)
+from json_to_avro_schema_spark.sources.tables import load_table
+
+N_DOCS_ENTRY = 20_000
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spec-compile + validate interleaved docs; per-partition
+    verdicts (stable schema, >0 rows)."""
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, N_DOCS_ENTRY, violation_pct=5)
+    res = run_validation(spark, df, plan)
+    return res.verdicts.orderBy("part_key", "check_name")
+
+
+# --------------------------------------------------------------- queries
+
+def _q_stats_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    out = st.column_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "column",
+        "n_rows",
+        "n_null",
+        F.round("null_rate", 6).alias("null_rate"),
+        F.round(F.col("min").cast("double"), 4).alias("min_v"),
+        F.round(F.col("max").cast("double"), 4).alias("max_v"),
+        F.round("mean", 4).alias("mean_v"),
+    ).orderBy("column")
+
+
+def _o_stats_lineitem() -> str:
+    parts = []
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        parts.append(f"""
+        SELECT '{c}' AS "column", count(*) AS n_rows,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_rate,
+               round(min({c}), 4) AS min_v, round(max({c}), 4) AS max_v,
+               round(avg({c}), 4) AS mean_v
+        FROM lineitem""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+def _q_unique_orders(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return uq.uniqueness_verdict(orders, ["o_orderkey"]).select(
+        "n_rows", "n_distinct", "n_dup_rows", "pass"
+    )
+
+
+_O_UNIQUE_ORDERS = """
+WITH c AS (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)
+SELECT sum(cnt) AS n_rows, count(*) AS n_distinct,
+       coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS n_dup_rows,
+       coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) = 0 AS pass
+FROM c
+"""
+
+
+def _q_dup_event_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        dd and uq.duplicate_keys(ev, ["user_id"])
+    ).orderBy(F.col("dup_count").desc(), "user_id").limit(50)
+
+
+_O_DUP_EVENT_USERS = """
+SELECT user_id, count(*) AS dup_count FROM events
+GROUP BY user_id HAVING count(*) > 1
+ORDER BY dup_count DESC, user_id LIMIT 50
+"""
+
+
+def _q_ri_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    return ri.ri_verdict(li, orders, ["l_orderkey"], ["o_orderkey"]).select(
+        "n_rows", "n_dangling", "pass"
+    )
+
+
+_O_RI_LINEITEM_ORDERS = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN l_orderkey IS NOT NULL
+                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            THEN 1 ELSE 0 END) AS n_dangling,
+       sum(CASE WHEN l_orderkey IS NOT NULL
+                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            THEN 1 ELSE 0 END) = 0 AS pass
+FROM lineitem
+"""
+
+
+def _q_ri_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    return ri.ri_verdict(orders, cust, ["o_custkey"], ["c_custkey"]).select(
+        "n_rows", "n_dangling", "pass"
+    )
+
+
+_O_RI_ORDERS_CUSTOMER = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN o_custkey IS NOT NULL
+                 AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+            THEN 1 ELSE 0 END) AS n_dangling,
+       sum(CASE WHEN o_custkey IS NOT NULL
+                 AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+            THEN 1 ELSE 0 END) = 0 AS pass
+FROM orders
+"""
+
+
+def _q_enum_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("value", "n", F.col("value").isin("A", "N", "R").alias("in_domain"))
+        .orderBy("value")
+    )
+
+
+_O_ENUM_RETURNFLAG = """
+SELECT l_returnflag AS value, count(*) AS n,
+       l_returnflag IN ('A', 'N', 'R') AS in_domain
+FROM lineitem GROUP BY 1 ORDER BY value
+"""
+
+
+def _q_range_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")).alias("n_discount_oob"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("n_quantity_oob"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias("n_price_oob"),
+    )
+
+
+_O_RANGE_LINEITEM = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS n_discount_oob,
+       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS n_quantity_oob,
+       sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS n_price_oob
+FROM lineitem
+"""
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 900.0, 105000.0, 32
+
+
+def _q_histogram_price(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return dr.histogram(
+        li, "l_extendedprice", bins=_HIST_BINS, lo=_HIST_LO, hi=_HIST_HI
+    ).orderBy("bucket")
+
+
+def _o_histogram_price() -> str:
+    w = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    return f"""
+    SELECT least(greatest(CAST(floor((l_extendedprice - {_HIST_LO}) / {w}) AS INT), 0),
+                 {_HIST_BINS - 1}) AS bucket,
+           count(*) AS n
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    GROUP BY 1 ORDER BY bucket
+    """
+
+
+def _q_quantiles_price(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    qs = li.selectExpr(
+        "percentile(l_extendedprice, array(0.1, 0.25, 0.5, 0.75, 0.9)) AS q"
+    )
+    return qs.select(
+        F.round(F.col("q")[0], 3).alias("q10"),
+        F.round(F.col("q")[1], 3).alias("q25"),
+        F.round(F.col("q")[2], 3).alias("q50"),
+        F.round(F.col("q")[3], 3).alias("q75"),
+        F.round(F.col("q")[4], 3).alias("q90"),
+    )
+
+
+_O_QUANTILES_PRICE = """
+SELECT round(quantile_cont(l_extendedprice, 0.1), 3) AS q10,
+       round(quantile_cont(l_extendedprice, 0.25), 3) AS q25,
+       round(quantile_cont(l_extendedprice, 0.5), 3) AS q50,
+       round(quantile_cont(l_extendedprice, 0.75), 3) AS q75,
+       round(quantile_cont(l_extendedprice, 0.9), 3) AS q90
+FROM lineitem
+"""
+
+
+def _q_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    c = F.col("text")
+    return (
+        docs.select(
+            "doc_id",
+            tx.whitespace_token_count(c).alias("n_tokens_ws"),
+            F.round(tx.punct_ratio(c), 5).alias("punct_ratio"),
+            F.round(tx.mean_word_length(c), 5).alias("mean_word_len"),
+        )
+        .orderBy("doc_id")
+        .limit(2000)
+    )
+
+
+_O_TEXT_ANALYSIS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens_ws,
+       round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 5) AS punct_ratio,
+       round(coalesce(list_sum(list_transform(t, x -> length(x))), 0) * 1.0
+             / greatest(len(t), 1), 5) AS mean_word_len
+FROM toks ORDER BY doc_id LIMIT 2000
+"""
+
+
+def _q_token_totals(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.whitespace_token_count(F.col("text"))).alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_O_TOKEN_TOTALS = r"""
+SELECT lang, count(*) AS n_docs,
+       sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))) AS n_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _q_exact_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    # deterministic seeded duplicates: re-append every 100th doc
+    dup = docs.filter(F.col("doc_id") % 100 == 0)
+    both = docs.unionAll(dup)
+    groups = dd.exact_duplicates(both, "text", "doc_id")
+    return groups.select(
+        F.element_at("doc_ids", 1).alias("first_doc_id"),
+        "n_docs",
+    ).orderBy("first_doc_id")
+
+
+_O_EXACT_DUP_GROUPS = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0
+), g AS (
+  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k,
+         min(doc_id) AS first_doc_id, count(*) AS n_docs
+  FROM unioned GROUP BY 1 HAVING count(*) > 1
+)
+SELECT first_doc_id, n_docs FROM g ORDER BY first_doc_id
+"""
+
+
+def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = sim.brute_force_topk(emb, list(q), k=10)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+_O_TOPK_COSINE = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+FROM embeddings e,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def _q_events_domain(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("mean_value"))
+        .orderBy("value")
+    )
+
+
+_O_EVENTS_DOMAIN = """
+SELECT event_type AS value, count(*) AS n, round(avg(value), 4) AS mean_value
+FROM events GROUP BY 1 ORDER BY value
+"""
+
+
+# ------------------------- non-SQL-expressible (rows-only checks) --------
+
+def _q_documents_iv_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 10_000, violation_pct=5)
+    return run_validation(spark, df, plan).verdicts.orderBy("part_key", "check_name")
+
+
+def _q_documents_iv_violations(spark: SparkSession, sf: str) -> DataFrame:
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 10_000, violation_pct=5)
+    v = run_validation(spark, df, plan).violations
+    return v.select("doc_id", "part_key", F.to_json("spans").alias("spans_json"),
+                    F.array_join("failed_checks", ",").alias("failed")).orderBy("doc_id")
+
+
+def _q_span_ri_dangling(spark: SparkSession, sf: str) -> DataFrame:
+    docs = generate_documents_iv(spark, 10_000, violation_pct=5)
+    assets = generate_media_assets(spark)
+    refs = ri.exploded_span_refs(docs)
+    return ri.ri_verdict(refs, assets, ["media_ref"]).select(
+        "n_rows", "n_dangling", "pass"
+    )
+
+
+def _q_tdigest_price(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    est = tdigest_quantiles(li, "l_extendedprice", [0.1, 0.5, 0.9])
+    return spark.createDataFrame(
+        [(round(est[0], 1), round(est[1], 1), round(est[2], 1))],
+        "q10 double, q50 double, q90 double",
+    )
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    dup = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    both = docs.unionAll(dup)
+    pairs = dd.minhash_near_duplicates(both, threshold=0.9)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    dup = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    both = docs.unionAll(dup)
+    return (
+        dd.simhash_near_duplicates(both, max_hamming=0)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # §2.3 table-level checks (SQL-expressible, DuckDB-oracled)
+        "stats_lineitem": _q_stats_lineitem,
+        "unique_orders": _q_unique_orders,
+        "dup_event_users": _q_dup_event_users,
+        "ri_lineitem_orders": _q_ri_lineitem_orders,
+        "ri_orders_customer": _q_ri_orders_customer,
+        "enum_returnflag": _q_enum_returnflag,
+        "range_lineitem": _q_range_lineitem,
+        "histogram_price": _q_histogram_price,
+        "quantiles_price": _q_quantiles_price,
+        "events_domain": _q_events_domain,
+        # training-data pipeline ops (oracled)
+        "text_analysis": _q_text_analysis,
+        "token_totals": _q_token_totals,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "topk_cosine": _q_topk_cosine,
+        # engine-native / non-SQL-expressible (rows-only checks)
+        "documents_iv_verdicts": _q_documents_iv_verdicts,
+        "documents_iv_violations": _q_documents_iv_violations,
+        "span_ri_dangling": _q_span_ri_dangling,
+        "tdigest_price": _q_tdigest_price,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "stats_lineitem": _o_stats_lineitem(),
+        "unique_orders": _O_UNIQUE_ORDERS,
+        "dup_event_users": _O_DUP_EVENT_USERS,
+        "ri_lineitem_orders": _O_RI_LINEITEM_ORDERS,
+        "ri_orders_customer": _O_RI_ORDERS_CUSTOMER,
+        "enum_returnflag": _O_ENUM_RETURNFLAG,
+        "range_lineitem": _O_RANGE_LINEITEM,
+        "histogram_price": _o_histogram_price(),
+        "quantiles_price": _O_QUANTILES_PRICE,
+        "events_domain": _O_EVENTS_DOMAIN,
+        "text_analysis": _O_TEXT_ANALYSIS,
+        "token_totals": _O_TOKEN_TOTALS,
+        "exact_dup_groups": _O_EXACT_DUP_GROUPS,
+        "topk_cosine": _O_TOPK_COSINE,
+    }

@@ -1,0 +1,137 @@
+"""Partition-granular checkpoint / resume (north rule: "resumable from
+checkpoint with per-partition lineage + metrics").
+
+State model — one row per (run_id, part_key) written **after** that
+partition's sinks commit:
+
+    run_id, part_key, spec_name, spec_hash, n_rows, n_fail, completed_at
+
+Resume = enumerate the input's partitions, **anti-join** the completed set,
+validate only the remainder (SURVEY.md §3 lifecycle).
+
+Atomicity & idempotence:
+  * violation/verdict sinks are written with *dynamic partition overwrite*
+    (``partitionOverwriteMode=dynamic`` + ``mode('overwrite')``), so a retried
+    partition replaces exactly its own output directory — re-running a
+    half-finished partition cannot duplicate rows;
+  * the state row is appended only after both sinks return, giving
+    write-then-commit ordering (an Iceberg snapshot commit would make this a
+    single atomic operation; Iceberg jars aren't in this image, so the store
+    is parquet-backed behind the same interface — see ``sources/iceberg.py``).
+
+The completed-set read is tiny (one row per partition × run) and is
+broadcast into the anti-join.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compiler.plan import CompiledPlan
+from .runner import ValidationResult, run_validation
+
+STATE_SCHEMA = (
+    "run_id string, part_key string, spec_name string, spec_hash string, "
+    "n_rows long, n_fail long, completed_at timestamp"
+)
+
+
+@dataclass
+class CheckpointStore:
+    """Parquet-backed state table (same interface an Iceberg metadata table
+    would implement)."""
+
+    path: str
+
+    def _state_path(self) -> str:
+        return os.path.join(self.path, "state")
+
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        p = self._state_path()
+        try:
+            return spark.read.parquet(p)
+        except Exception:
+            return spark.createDataFrame([], STATE_SCHEMA)
+
+    def completed_partitions(
+        self, spark: SparkSession, run_id: str, spec_hash: str
+    ) -> DataFrame:
+        """part_key values already finished for this run under this exact
+        spec version (lineage: a spec change invalidates completion)."""
+        return (
+            self.read_state(spark)
+            .filter((F.col("run_id") == run_id) & (F.col("spec_hash") == spec_hash))
+            .select("part_key")
+            .distinct()
+        )
+
+    def mark_completed(self, spark: SparkSession, rows: DataFrame) -> None:
+        rows.write.mode("append").parquet(self._state_path())
+
+
+@dataclass
+class CheckpointedRun:
+    run_id: str
+    n_partitions_total: int
+    n_partitions_resumed: int   # skipped because already completed
+    n_partitions_processed: int
+    result: Optional[ValidationResult]
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    df: DataFrame,
+    plan: CompiledPlan,
+    store: CheckpointStore,
+    run_id: str,
+    out_dir: str,
+    *,
+    part_key_col: str = "part_key",
+) -> CheckpointedRun:
+    """Validate only the partitions not yet completed for (run_id, spec_hash);
+    sink violations + verdicts partitioned by part_key; then commit state."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    all_parts = df.select(part_key_col).distinct()
+    done = store.completed_partitions(spark, run_id, plan.spec_hash)
+    pending = all_parts.join(F.broadcast(done), part_key_col, "left_anti")
+
+    n_total = all_parts.count()
+    pending_keys = [r[part_key_col] for r in pending.collect()]
+    n_pending = len(pending_keys)
+    if n_pending == 0:
+        return CheckpointedRun(run_id, n_total, n_total, 0, None)
+
+    # partition pruning: when the source is partitioned by part_key this
+    # filter prunes whole directories/manifests at scan time
+    sub = df.filter(F.col(part_key_col).isin(pending_keys))
+    res = run_validation(spark, sub, plan)
+
+    viol_path = os.path.join(out_dir, "violations")
+    verd_path = os.path.join(out_dir, "verdicts")
+    res.violations.write.mode("overwrite").partitionBy(part_key_col).parquet(viol_path)
+    res.verdicts.write.mode("overwrite").partitionBy(part_key_col).parquet(verd_path)
+
+    # state rows AFTER both sinks committed (per-partition metrics = lineage)
+    metrics = (
+        spark.read.parquet(verd_path)
+        .filter(F.col(part_key_col).isin(pending_keys))
+        .groupBy(part_key_col)
+        .agg(F.max("n_rows").alias("n_rows"), F.sum("n_fail").alias("n_fail"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col(part_key_col).alias("part_key"),
+            F.lit(plan.spec_name).alias("spec_name"),
+            F.lit(plan.spec_hash).alias("spec_hash"),
+            "n_rows",
+            "n_fail",
+            F.current_timestamp().alias("completed_at"),
+        )
+    )
+    store.mark_completed(spark, metrics)
+    return CheckpointedRun(run_id, n_total, n_total - n_pending, n_pending, res)

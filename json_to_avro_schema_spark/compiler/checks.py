@@ -53,6 +53,24 @@ def node_predicate(s: JSchema, expr: Column, path: str = "$") -> Column:
     return gate(expr, value_predicate(s, expr, path))
 
 
+def element_predicate(s: JSchema, e: Column, path: str) -> Column:
+    """Predicate for array elements / map values: unlike struct fields, a
+    null element is a VALUE (JSON null), not an absent field — it conforms
+    only when the element spec admits type null."""
+    if s is True:
+        return F.lit(True)
+    if s is False:
+        return F.lit(False)
+    assert isinstance(s, ConstraintSpec)
+    from ..spec.model import is_empty_spec
+    from .types import has_null_arm as _hna
+
+    allow_null = _hna(s) or s.types == ("null",) or is_empty_spec(s)
+    return F.when(e.isNull(), F.lit(allow_null)).otherwise(
+        _as_bool(value_predicate(s, e, path))
+    )
+
+
 def value_predicate(s: JSchema, expr: Column, path: str = "$") -> Column:
     """Conformance predicate assuming ``expr`` is non-null."""
     if s is True:
@@ -176,7 +194,7 @@ def _container_keyword_predicates(
         if s.items is not None and not isinstance(s.items, tuple):
             items = s.items
             preds.append(
-                F.forall(expr, lambda e: _as_bool(node_predicate(items, e, f"{path}[]")))
+                F.forall(expr, lambda e: element_predicate(items, e, f"{path}[]"))
             )
         if isinstance(s.items, tuple):
             raise SpecCompileError(
@@ -217,7 +235,7 @@ def _container_keyword_predicates(
             preds.append(
                 F.forall(
                     F.map_values(expr),
-                    lambda v: _as_bool(node_predicate(ap, v, f"{path}.<v>")),
+                    lambda v: element_predicate(ap, v, f"{path}.<v>"),
                 )
             )
         for pat, sub in s.pattern_properties.items():
@@ -226,7 +244,7 @@ def _container_keyword_predicates(
             preds.append(
                 F.forall(
                     F.map_values(matching),
-                    lambda v: _as_bool(node_predicate(sub_s, v, f"{path}.<p>")),
+                    lambda v: element_predicate(sub_s, v, f"{path}.<p>"),
                 )
             )
 

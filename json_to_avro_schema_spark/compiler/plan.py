@@ -116,10 +116,7 @@ def compile_document(
 ) -> CompiledPlan:
     """Compile a spec document (dict) into a CompiledPlan. Fails fast on the
     driver — no Spark job is touched here."""
-    if not isinstance(doc, dict):
-        raise SpecParseError("schema must be an object")
-
-    root = parse_root(doc)
+    root = parse_root(doc)  # raises typed SpecParseError on malformed input
     normalized = normalize_ids(root)
     symbols = resolve_symbols(normalized)
     inlined = inline_refs(normalized, symbols, max_depth=max_ref_depth)

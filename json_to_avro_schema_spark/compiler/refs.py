@@ -58,7 +58,16 @@ def _walk_pointer(root: ConstraintSpec, pointer: str) -> JSchema:
 
 def resolve_ref_uri(ref: str, root: ConstraintSpec, symbols: Symbols) -> JSchema:
     """Symbol-table lookup first, then canonical-pointer walk
-    (Transpiler.scala:334-345)."""
+    (Transpiler.scala:334-345). A relative ref to a declared ``$id`` is
+    resolved against the root base URI first (the normalizer only rewrote
+    $id declarations, not $ref sites)."""
+    if ref not in symbols and not ref.startswith("#") and root.id:
+        from urllib.parse import urljoin, urlparse
+
+        if not urlparse(ref).scheme:
+            absolute = urljoin(root.id, ref)
+            if absolute in symbols:
+                ref = absolute
     if ref in symbols:
         target = symbols[ref]
         if target.startswith("#"):

@@ -1,0 +1,249 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Five strategies, cheapest→richest, all shuffle-conscious:
+
+* **exact** — hash-groupBy on a normalized-text fingerprint (xxhash64);
+  two-phase salted variant available via operators/uniqueness.
+* **MinHash + LSH** — char-shingles → H minhashes (per-hash ``array_min`` of
+  JVM hashes, no UDF) → b bands of r rows → bucket join: only same-band-hash
+  docs are candidate pairs; exact shingle-Jaccard verifies. Shuffle volume is
+  ~(b × docs) tiny band rows, never O(docs²).
+* **SimHash** — 64-bit signature from token-hash bit voting (HOF
+  ``aggregate`` over a 64-slot array); near-dups share one of 4 16-bit chunks
+  (pigeonhole for hamming ≤ 3) → chunk-bucket join → exact hamming via
+  ``bit_count(a ^ b)``.
+* **n-gram Jaccard** — exact pair similarity on candidate pairs only.
+* **embedding cosine** — see operators/similarity.py (LSH-bucketed).
+
+At 10^12 docs: banding keys are uniformly-distributed hashes, so the bucket
+join is skew-free by construction except for degenerate content (e.g. empty
+docs) — those are filtered before banding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for every exact-duplicate group."""
+    fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per fingerprint — the classic
+    hash-groupBy dedup. Window-free: min-id join keeps the scan single-pass."""
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    with_fp = df.select("*", fp)
+    keepers = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keepers, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+# ---------------------------------------------------------------- shingles
+
+def _shingles(col: Column, k: int) -> Column:
+    """Distinct character k-shingles of lowercased text, via HOFs."""
+    s = F.lower(col)
+    n = F.greatest(F.length(s) - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: s.substr(i, F.lit(k)))
+    )
+
+
+def minhash_signature(col: Column, *, k: int = 5, num_hashes: int = 32) -> Column:
+    """H-wide minhash signature: sig[h] = min over shingles of hash(shingle, h).
+
+    Empty shingle sets yield nulls — callers filter short docs first.
+    """
+    sh = _shingles(col, k)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda t: F.xxhash64(t, F.lit(h))))
+          for h in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_len: int = 20,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded minhash LSH.
+
+    rows-per-band r = num_hashes // bands; two docs collide in a band iff all
+    r minhashes agree there — P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+    """
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), k=k, num_hashes=num_hashes)
+    base = (
+        df.filter(F.length(text_col) >= min_len)
+        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+    )
+    band_rows = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    pairs: DataFrame, docs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id", *, k: int = 5,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs: (id_a, id_b, jaccard).
+    Joins shingle arrays in (only the candidates), computes
+    |∩| / |∪| with array HOFs."""
+    sh = _shingles(F.col(text_col), k).alias("sh")
+    docs_sh = docs.select(F.col(id_col).alias("id"), sh)
+    out = (
+        pairs.join(docs_sh.withColumnRenamed("sh", "sh_a"), pairs.id_a == docs_sh.id)
+        .drop("id")
+        .join(docs_sh.withColumnRenamed("sh", "sh_b"), pairs.id_b == F.col("id"))
+        .drop("id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a", "id_b",
+        (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.8,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidates → exact Jaccard ≥ threshold: (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands
+    )
+    return ngram_jaccard(cands, df, text_col, id_col, k=k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of whitespace tokens, entirely in HOFs.
+
+    Bit voting: each token's xxhash64 votes +1/-1 per bit position; the
+    signature takes the sign. aggregate() keeps a 64-slot int array.
+    """
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    # bit positions unrolled Python-side (shiftright/shiftleft take int
+    # literals); still a single JVM expression per row
+    votes = F.aggregate(
+        toks,
+        F.array(*[F.lit(0)] * 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for b in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(votes, b + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    min_len: int = 20,
+) -> DataFrame:
+    """(id_a, id_b, hamming): pairs within hamming ≤ max_hamming.
+
+    Pigeonhole: split 64 bits into 4 chunks; hamming ≤ 3 ⇒ at least one chunk
+    identical → join on (chunk_idx, chunk_value), verify with bit_count(xor).
+    """
+    sig = simhash64(F.col(text_col)).alias("sig")
+    base = df.filter(F.length(text_col) >= min_len).select(
+        F.col(id_col).alias("id"), sig
+    )
+    chunks = base.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "sig", "e.chunk", "e.cv")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    pairs = (
+        l.join(r, ["chunk", "cv"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,114 @@
+"""Distribution-drift checks: binned histograms + KL divergence / PSI.
+
+North-rule operator (SURVEY.md §2.3 'Aggregations'): the distributed part is
+a single ``groupBy(bucket).count()`` histogram per column — oracle-checkable
+SQL.  The KL/PSI arithmetic runs driver-side on the (tiny) histogram vectors;
+at 10^12 rows the histogram is still ≤ ``bins`` rows per partition key, so
+the driver never sees data-proportional volume.
+
+PSI = Σ (p_i - q_i) * ln(p_i / q_i)     (symmetric-ish, finite with smoothing)
+KL  = Σ p_i * ln(p_i / q_i)
+
+Smoothing: each empty bucket gets ``eps`` mass so both are finite.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    *,
+    bins: int = 32,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    by: Optional[str] = None,
+) -> DataFrame:
+    """Fixed-width binned counts: (part_key?, bucket, n). Nulls are dropped;
+    values outside [lo, hi] clamp into the edge buckets (so mass is conserved).
+
+    When lo/hi are omitted they are computed with one extra (cheap) agg pass —
+    at scale pass them explicitly from the spec (DriftCheckCfg.lo/hi) to keep
+    drift single-scan.
+    """
+    col = F.col(column)
+    if lo is None or hi is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.greatest(F.floor((col - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    keys = [F.col(by).alias("part_key")] if by else []
+    return (
+        df.filter(col.isNotNull())
+        .groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _to_probs(counts: Dict[int, int], bins: int, eps: float) -> List[float]:
+    total = sum(counts.values())
+    if total == 0:
+        return [1.0 / bins] * bins
+    raw = [counts.get(i, 0) / total for i in range(bins)]
+    smoothed = [max(p, eps) for p in raw]
+    z = sum(smoothed)
+    return [p / z for p in smoothed]
+
+
+def kl_divergence(p: Sequence[float], q: Sequence[float]) -> float:
+    return sum(pi * math.log(pi / qi) for pi, qi in zip(p, q) if pi > 0)
+
+
+def psi(p: Sequence[float], q: Sequence[float]) -> float:
+    return sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+
+
+def drift_verdict(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    bins: int = 32,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    psi_threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> Tuple[float, float, bool]:
+    """(kl, psi, pass). Two histogram aggregations → driver-side arithmetic.
+
+    ``psi_threshold`` 0.2 is the conventional 'significant shift' cutoff.
+    """
+    if lo is None or hi is None:
+        row = (
+            current.select(F.col(column).alias("v"))
+            .union(baseline.select(F.col(column).alias("v")))
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .collect()[0]
+        )
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    cur = {
+        r["bucket"]: r["n"]
+        for r in histogram(current, column, bins=bins, lo=lo, hi=hi).collect()
+    }
+    base = {
+        r["bucket"]: r["n"]
+        for r in histogram(baseline, column, bins=bins, lo=lo, hi=hi).collect()
+    }
+    p = _to_probs(cur, bins, eps)
+    q = _to_probs(base, bins, eps)
+    kl = kl_divergence(p, q)
+    s = psi(p, q)
+    return kl, s, s < psi_threshold

@@ -1,0 +1,91 @@
+"""Referential-integrity checks: child keys ⊆ parent keys (SURVEY.md §2.3).
+
+The spec-language counterpart is a cross-table ``$ref`` (reference analog:
+$ref resolution, Transpiler.scala:334-345 — retargeted from intra-document
+name reuse to inter-table key containment).
+
+Spark shape: ``left_anti`` join child→parent for violations, ``left_semi``
+for passes.  The parent side is usually a dimension — broadcast it when it
+fits (explicit ``F.broadcast`` below the threshold); otherwise AQE picks the
+strategy and splits skewed partitions.  Only the key columns of the parent
+are shuffled/broadcast (column pruning by construction).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _keys_only(parent: DataFrame, ref_columns: Sequence[str], columns: Sequence[str]) -> DataFrame:
+    sel = [F.col(rc).alias(c) for rc, c in zip(ref_columns, columns)]
+    return parent.select(*sel).dropDuplicates(list(columns))
+
+
+def ri_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    columns: Sequence[str],
+    ref_columns: Optional[Sequence[str]] = None,
+    *,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Child rows whose key has no match in the parent (dangling refs).
+
+    Null child keys are NOT violations (SQL FK semantics: null opts out).
+    Child rows pass through the anti-join byte-identical — Spark's anti join
+    only reads the parent's keys.
+    """
+    ref_columns = list(ref_columns or columns)
+    keys = _keys_only(parent, ref_columns, columns)
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    non_null = child
+    for c in columns:
+        non_null = non_null.filter(F.col(c).isNotNull())
+    return non_null.join(keys, list(columns), "left_anti")
+
+
+def ri_verdict(
+    child: DataFrame,
+    parent: DataFrame,
+    columns: Sequence[str],
+    ref_columns: Optional[Sequence[str]] = None,
+    *,
+    by: Optional[str] = None,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """(part_key, n_rows, n_dangling, pass) — one anti-join + one agg."""
+    ref_columns = list(ref_columns or columns)
+    keys = _keys_only(parent, ref_columns, columns).withColumn(
+        "__hit", F.lit(True)
+    )
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    joined = child.join(keys, list(columns), "left")
+    key_col = F.col(by) if by else F.lit("__all__")
+    has_key = F.lit(True)
+    for c in columns:
+        has_key = has_key & F.col(c).isNotNull()
+    dangling = (has_key & F.col("__hit").isNull()).cast("long")
+    out = joined.groupBy(key_col.alias("part_key")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dangling).alias("n_dangling"),
+    )
+    return out.withColumn("pass", F.col("n_dangling") == 0)
+
+
+def exploded_span_refs(documents: DataFrame) -> DataFrame:
+    """Flatten media span refs for RI against a media_assets table:
+    (doc_id, part_key?, media_ref). Explode prunes to the two needed columns
+    before the shuffle."""
+    cols = [F.col("doc_id")]
+    if "part_key" in documents.columns:
+        cols.append(F.col("part_key"))
+    return (
+        documents.select(*cols, F.explode("spans").alias("s"))
+        .filter(F.col("s.media_ref").isNotNull())
+        .select(*cols, F.col("s.media_ref").alias("media_ref"))
+    )

@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths (training-data-pipeline ANN):
+
+* **brute-force cosine top-k** — the correctness baseline: dot product via
+  ``zip_with`` + ``aggregate`` HOFs (JVM-side), ``orderBy desc limit k``.
+  O(N·d) per query; fine for one-off queries, the oracle path for the ANN
+  variants.
+* **LSH-bucketed (random hyperplanes)** — the scale path: H sign-bits of
+  projections onto deterministic pseudo-random hyperplanes form a bucket id;
+  a query only scans its own bucket (plus optional 1-bit probes). Hyperplanes
+  are derived from a seed via hashing, so executors need no broadcast state
+  and two runs agree bit-for-bit.
+
+At 10^12 vectors the bucketed variant turns a full-scan top-k into a
+(avg N/2^H)-row scan per probe; bucket ids are near-uniform by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cos_sim) of the k nearest vectors by cosine — exact baseline.
+
+    The query vector is a literal array (constant-folded; no join, no
+    broadcast needed). Top-k is a TakeOrdered — no full sort materializes.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------- random-hyperplane LSH
+
+def _hyperplane(dim: int, bit: int, seed: int) -> List[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from (seed, bit).
+
+    Components via splitmix-style integer hashing → [-1, 1]; no RNG object,
+    so driver and any re-run agree exactly.
+    """
+    comps = []
+    for j in range(dim):
+        x = (seed * 0x9E3779B97F4A7C15 + bit * 0xBF58476D1CE4E5B9 + j * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        comps.append((x / 2**64) * 2.0 - 1.0)
+    return comps
+
+
+def lsh_bucket(vec: Column, dim: int, *, bits: int = 8, seed: int = 42) -> Column:
+    """H-bit bucket id: bit h = sign(vec · hyperplane_h)."""
+    bucket = F.lit(0).cast("long")
+    for h in range(bits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, h, seed)])
+        positive = dot(vec.cast("array<double>"), plane) > 0
+        bucket = bucket.bitwiseOR(
+            F.when(positive, F.shiftleft(F.lit(1).cast("long"), h)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    *,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: scan only buckets within ``probe_hamming`` bits of the
+    query's bucket, exact cosine inside. Recall rises with probes; with
+    probe_hamming = bits it degrades gracefully to brute force."""
+    dim = len(query)
+    q_list = [float(x) for x in query]
+    # query bucket computed driver-side with the same hyperplanes
+    qb = 0
+    for h in range(bits):
+        plane = _hyperplane(dim, h, seed)
+        if sum(a * b for a, b in zip(q_list, plane)) > 0:
+            qb |= 1 << h
+    probes = [qb]
+    if probe_hamming >= 1:
+        probes += [qb ^ (1 << h) for h in range(bits)]
+
+    bucket = lsh_bucket(F.col(vec_col), dim, bits=bits, seed=seed)
+    qcol = F.array(*[F.lit(x) for x in q_list])
+    sim = cosine(F.col(vec_col).cast("array<double>"), qcol).alias("cos_sim")
+    return (
+        df.withColumn("__bucket", bucket)
+        .filter(F.col("__bucket").isin(probes))   # partition/file pruning if bucketed at write time
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos_sim ≥ threshold).
+
+    Same-bucket join only — O(Σ bucket²) not O(N²); high-cosine pairs land in
+    the same bucket with probability (1 − θ/π)^bits for angle θ.
+    """
+    first = df.select(vec_col).first()
+    dim = len(first[vec_col]) if first else 0
+    bucket = lsh_bucket(F.col(vec_col), dim, bits=bits, seed=seed)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("b")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    pairs = (
+        l.join(r, "b")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cosine(
+                F.col("l.v").cast("array<double>"), F.col("r.v").cast("array<double>")
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+    return pairs

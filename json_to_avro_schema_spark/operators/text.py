@@ -1,0 +1,110 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` Column expressions (JVM-side, codegen'd,
+no UDFs) over a ``text`` column — language-ID (stopword-hit heuristic),
+quality scoring (length / punctuation / stopword ratios), token counting
+(whitespace + BPE-ish regex), and document fingerprinting (hash-based).
+
+Each is deterministic and DuckDB-oracle-expressible where the arithmetic is
+portable (token counts, quality components, fingerprints).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small stopword sets per language for the n-gram/stopword-hit heuristic
+STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "und", "das", "ist", "von", "nicht", "mit", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "que", "de", "los", "es", "una", "por", "con", "para"),
+}
+
+# BPE-ish token regex: words, numbers, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (lowercased), empties removed."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-ish lexical units via regexp_count (JVM regex)."""
+    return F.regexp_count(col, F.lit(TOKEN_REGEX))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}]", ""))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column, lang: str = "en") -> Column:
+    """Composite quality in [0,1]: favors moderate length, some stopwords,
+    sane punctuation density, word lengths 3-10 — the standard cheap filters
+    a pretraining pipeline applies before dedup."""
+    length_ok = F.least(F.length(col) / F.lit(200.0), F.lit(1.0))
+    sw = F.least(stopword_ratio(col, lang) * 4.0, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    mwl = mean_word_length(col)
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.3))
+    return (length_ok + sw + punct_ok + mwl_ok) / 4.0
+
+
+def detect_language(col: Column) -> Column:
+    """Best stopword-hit language, 'und' (undetermined) when nothing hits."""
+    toks = tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0.02, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 64-bit document fingerprint over normalized text
+    (case/whitespace-insensitive) — the exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def analyze(
+    df: DataFrame, text_col: str = "text", *, lang: str = "en"
+) -> DataFrame:
+    """One projection adding all text-analysis columns (single pass)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        whitespace_token_count(c).alias("n_tokens_ws"),
+        bpe_ish_token_count(c).alias("n_tokens_bpe"),
+        stopword_ratio(c, lang).alias("stopword_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        mean_word_length(c).alias("mean_word_len"),
+        quality_score(c, lang).alias("quality"),
+        detect_language(c).alias("lang_detected"),
+        fingerprint(c).alias("fingerprint"),
+    )

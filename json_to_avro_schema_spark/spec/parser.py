@@ -32,7 +32,9 @@ def parse_file(path: str) -> RootConstraintSpec:
 
 def parse_root(doc: Any) -> RootConstraintSpec:
     """Parse a root spec document (reference JsonSchemaParser.scala:11-18)."""
-    if isinstance(doc, bool) or not isinstance(doc, dict):
+    if isinstance(doc, bool):
+        raise SpecParseError("root schema must be a schema, not a boolean")
+    if not isinstance(doc, dict):
         raise SpecParseError("schema must be an object")
     schema_uri = doc.get("$schema")
     if schema_uri is not None and not isinstance(schema_uri, str):

@@ -1,0 +1,78 @@
+"""Checkpoint/resume: partition-granular skip, lineage on spec hash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from json_to_avro_schema_spark.checkpoint import CheckpointStore, run_with_checkpoint
+from json_to_avro_schema_spark.compiler.plan import compile_document
+from json_to_avro_schema_spark.sources.synthetic import (
+    documents_iv_spec,
+    generate_documents_iv,
+)
+
+
+def test_checkpoint_resume_skips_completed(spark, tmp_path):
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 2000, violation_pct=5)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+
+    r1 = run_with_checkpoint(spark, df, plan, store, "run1", out)
+    assert r1.n_partitions_resumed == 0
+    assert r1.n_partitions_processed == r1.n_partitions_total > 0
+
+    # second invocation: everything already done → no work scheduled
+    r2 = run_with_checkpoint(spark, df, plan, store, "run1", out)
+    assert r2.n_partitions_processed == 0
+    assert r2.n_partitions_resumed == r2.n_partitions_total
+    assert r2.result is None
+
+    # different run_id → full re-run
+    r3 = run_with_checkpoint(spark, df, plan, store, "run2", out)
+    assert r3.n_partitions_processed == r3.n_partitions_total
+
+
+def test_checkpoint_partial_resume(spark, tmp_path):
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 2000, violation_pct=5)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+
+    # simulate an interrupted run: only half the partitions were completed
+    keys = sorted(r["part_key"] for r in df.select("part_key").distinct().collect())
+    half = keys[: len(keys) // 2]
+    run_with_checkpoint(
+        spark, df.filter(F.col("part_key").isin(half)), plan, store, "runX", out
+    )
+
+    r = run_with_checkpoint(spark, df, plan, store, "runX", out)
+    assert r.n_partitions_resumed == len(half)
+    assert r.n_partitions_processed == len(keys) - len(half)
+
+    # verdict sink covers ALL partitions exactly once after resume
+    verd = spark.read.parquet(f"{out}/verdicts")
+    got = sorted(
+        r["part_key"] for r in verd.select("part_key").distinct().collect()
+    )
+    assert got == keys
+    per_part = verd.groupBy("part_key", "check_name").count()
+    assert per_part.filter(F.col("count") > 1).count() == 0
+
+
+def test_spec_change_invalidates_completion(spark, tmp_path):
+    df = generate_documents_iv(spark, 1000, violation_pct=0)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+
+    plan_a = compile_document(documents_iv_spec())
+    run_with_checkpoint(spark, df, plan_a, store, "run1", out)
+
+    doc_b = documents_iv_spec()
+    doc_b["properties"]["doc_id"]["maxLength"] = 20
+    plan_b = compile_document(doc_b)
+    assert plan_b.spec_hash != plan_a.spec_hash
+
+    r = run_with_checkpoint(spark, df, plan_b, store, "run1", out)
+    # new spec version ⇒ lineage mismatch ⇒ everything re-validated
+    assert r.n_partitions_processed == r.n_partitions_total

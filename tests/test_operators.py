@@ -1,0 +1,128 @@
+"""Table-level operators: stats, uniqueness, referential, drift, t-digest."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from json_to_avro_schema_spark.operators.drift import drift_verdict, histogram
+from json_to_avro_schema_spark.operators.referential import (
+    exploded_span_refs,
+    ri_verdict,
+    ri_violations,
+)
+from json_to_avro_schema_spark.operators.stats import column_stats
+from json_to_avro_schema_spark.operators.tdigest import (
+    TDigest,
+    merged_digest,
+    tdigest_quantiles,
+)
+from json_to_avro_schema_spark.operators.uniqueness import (
+    approx_uniqueness,
+    duplicate_keys,
+    duplicate_rows,
+    uniqueness_verdict,
+)
+from json_to_avro_schema_spark.sources.synthetic import (
+    generate_documents_iv,
+    generate_media_assets,
+)
+
+
+def test_column_stats_lineitem(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    stats = {r["column"]: r for r in column_stats(df, ["l_quantity", "l_returnflag"]).collect()}
+    n = df.count()
+    q = stats["l_quantity"]
+    assert q["n_rows"] == n and q["n_null"] == 0
+    assert float(q["min"]) >= 1.0 and float(q["max"]) <= 50.0
+    assert q["quantiles"] is not None and len(q["quantiles"]) == 4
+    r = stats["l_returnflag"]
+    assert r["min"] in ("A",) and r["max"] in ("R",)
+    assert r["mean"] is None
+
+
+def test_uniqueness_exact_and_approx(spark):
+    df = generate_documents_iv(spark, 3000, violation_pct=10)
+    dups = duplicate_keys(df, ["doc_id"])
+    n_dup_keys = dups.count()
+    assert n_dup_keys > 0
+    assert dups.agg(F.min("dup_count")).collect()[0][0] >= 2
+    # duplicate_rows total == sum of dup_counts
+    assert duplicate_rows(df, ["doc_id"]).count() == (
+        dups.agg(F.sum("dup_count")).collect()[0][0]
+    )
+    v = uniqueness_verdict(df, ["doc_id"]).collect()[0]
+    assert not v["pass"] and v["n_dup_rows"] >= 2 * n_dup_keys
+    a = approx_uniqueness(df, ["doc_id"]).collect()[0]
+    # HLL error ~2%: approx duplicates should be in the ballpark
+    exact_dups = v["n_rows"] - v["n_distinct"]
+    assert abs(a["approx_duplicates"] - exact_dups) <= max(40, 0.1 * v["n_rows"])
+
+
+def test_referential_integrity_spans(spark):
+    docs = generate_documents_iv(spark, 3000, violation_pct=10)
+    assets = generate_media_assets(spark)
+    refs = exploded_span_refs(docs)
+    viol = ri_violations(refs, assets, ["media_ref"])
+    n_viol = viol.count()
+    assert n_viol > 0
+    assert viol.filter(~F.col("media_ref").startswith("m-missing-")).count() == 0
+    verdict = ri_verdict(refs, assets, ["media_ref"]).collect()[0]
+    assert verdict["n_dangling"] == n_viol and not verdict["pass"]
+
+
+def test_referential_integrity_tpch(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    v = ri_verdict(li, orders, ["l_orderkey"], ["o_orderkey"]).collect()[0]
+    assert v["pass"] and v["n_dangling"] == 0
+
+
+def test_histogram_conserves_mass(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    h = histogram(df, "l_extendedprice", bins=16)
+    assert h.agg(F.sum("n")).collect()[0][0] == df.count()
+    assert h.filter((F.col("bucket") < 0) | (F.col("bucket") > 15)).count() == 0
+
+
+def test_drift_detects_shift(spark):
+    base = spark.range(0, 20000).select((F.rand(seed=1) * 100).alias("v"))
+    same = spark.range(0, 20000).select((F.rand(seed=2) * 100).alias("v"))
+    shifted = spark.range(0, 20000).select((F.rand(seed=3) * 100 + 50).alias("v"))
+    kl0, psi0, ok0 = drift_verdict(same, base, "v", lo=0.0, hi=150.0)
+    kl1, psi1, ok1 = drift_verdict(shifted, base, "v", lo=0.0, hi=150.0)
+    assert ok0 and psi0 < 0.05
+    assert not ok1 and psi1 > 0.5 and kl1 > kl0
+
+
+def test_tdigest_pure_python_accuracy():
+    rng = np.random.default_rng(42)
+    vals = rng.normal(100.0, 15.0, 50_000)
+    d = TDigest.of(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        exact = float(np.quantile(vals, q))
+        est = d.quantile(q)
+        assert abs(est - exact) < 1.0, (q, est, exact)
+    # mergeability: split-merge ≈ whole
+    d2 = TDigest.of(vals[:25_000]).merge(TDigest.of(vals[25_000:]))
+    assert abs(d2.quantile(0.5) - d.quantile(0.5)) < 0.5
+    # serialization round-trip
+    d3 = TDigest.from_json(d2.to_json())
+    assert d3.quantile(0.9) == d2.quantile(0.9)
+
+
+def test_tdigest_distributed_matches_exact(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exact = [
+        r[0]
+        for r in df.selectExpr("percentile(l_extendedprice, array(0.1,0.5,0.9))").collect()
+    ][0]
+    est = tdigest_quantiles(df, "l_extendedprice", [0.1, 0.5, 0.9])
+    for e, a in zip(exact, est):
+        assert abs(e - a) / e < 0.01, (e, a)
+    d = merged_digest(df, "l_extendedprice")
+    assert d.n == df.count()

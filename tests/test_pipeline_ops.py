@@ -1,0 +1,146 @@
+"""Training-data pipeline operators: text analysis, dedup, similarity,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from json_to_avro_schema_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash64,
+    simhash_near_duplicates,
+)
+from json_to_avro_schema_spark.operators.multimodal import (
+    extract_features,
+    resize_plan,
+    synthesize_media_table,
+)
+from json_to_avro_schema_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from json_to_avro_schema_spark.operators.text import analyze
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the hills"),
+        (2, "the quick brown fox jumps over the lazy dog and runs to the hills"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and runs to the hill"),   # near dup of 1
+        (4, "der schnelle braune fuchs springt und die hunde sind nicht da ein"),
+        (5, "completely different content about spark distributed aggregation engines"),
+        (6, "!!!???...,,,;;;"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_text_analyze(spark):
+    out = {r["doc_id"]: r for r in analyze(_docs(spark)).collect()}
+    assert out[1]["n_tokens_ws"] == 14
+    assert out[1]["lang_detected"] == "en"
+    assert out[4]["lang_detected"] == "de"
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert out[1]["quality"] > out[6]["quality"]
+    assert 0.0 <= out[6]["punct_ratio"] <= 1.0 and out[6]["punct_ratio"] > 0.9
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark)
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [1, 2]
+    kept = dedup_exact(docs)
+    assert kept.count() == 5
+    assert kept.filter("doc_id = 2").count() == 0  # min-id representative kept
+
+
+def test_minhash_near_dup(spark):
+    docs = _docs(spark)
+    pairs = minhash_near_duplicates(docs, threshold=0.8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found          # exact dup
+    assert (1, 3) in found or (2, 3) in found  # near dup
+    assert all(r["jaccard"] >= 0.8 for r in pairs)
+    assert not any(5 in p for p in found)
+
+
+def test_simhash_near_dup(spark):
+    docs = _docs(spark)
+    sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash64(F.col("text")).alias("s")).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_duplicates(docs, max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0
+    # the 4-chunk pigeonhole GUARANTEES recall only for hamming ≤ 3; the
+    # near-dup (1,3) is asserted only when its true distance is in range
+    d13 = bin(sigs[1] ^ sigs[3]).count("1")
+    if d13 <= 3:
+        assert (1, 3) in pairs and pairs[(1, 3)] == d13
+    assert all(h <= 6 for h in pairs.values())
+
+
+def _embeddings(spark, n=200, dim=8):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[1] = vecs[0] * 0.999 + 0.001 * vecs[2]  # near-dup of vec 0
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _embeddings(spark)
+    q = vecs[0].tolist()
+    got = [r["vec_id"] for r in brute_force_topk(df, q, k=5).collect()]
+    sims = vecs @ np.asarray(q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = list(np.argsort(-sims)[:5])
+    assert got[0] == 0 and got[1] == 1       # self + planted near-dup
+    assert set(got) == set(int(x) for x in want)
+
+
+def test_lsh_topk_recall(spark):
+    df, vecs = _embeddings(spark)
+    q = vecs[0].tolist()
+    exact = {r["vec_id"] for r in brute_force_topk(df, q, k=3).collect()}
+    approx = {r["vec_id"] for r in lsh_topk(df, q, k=3, bits=6, probe_hamming=1).collect()}
+    # LSH with probing must recover the planted near-dup and self
+    assert 0 in approx and 1 in approx
+    assert len(exact & approx) >= 2
+
+
+def test_embedding_near_duplicates(spark):
+    df, _ = _embeddings(spark)
+    pairs = embedding_near_duplicates(df, threshold=0.99, bits=4).collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 1) for r in pairs)
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media_table(spark, 300)
+    # deterministic
+    assert media.collect() == synthesize_media_table(spark, 300).collect()
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 300 and all(r["decode_ok"] for r in rows)
+    by_ref = {r["media_ref"]: r for r in rows}
+    vids = [r for r in rows if r["media_type"] == "video"]
+    assert vids and all(r["frames_sampled"] == 4 for r in vids)
+    imgs = [r for r in rows if r["media_type"] == "image"]
+    assert imgs and all(r["frames_sampled"] == 1 for r in imgs)
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic features too
+    again = {r["media_ref"]: r["feature"] for r in extract_features(media).collect()}
+    assert again[rows[0]["media_ref"]] == rows[0]["feature"]
+
+    rp = resize_plan(media, max_px=256)
+    bad = rp.filter(
+        (F.col("target_width") > 256) | (F.col("target_height") > 256)
+    ).count()
+    assert bad == 0 and rp.count() == len(imgs)
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, real_codecs=True)
