@@ -270,21 +270,34 @@ def monotonic_increasing(
 ) -> Column:
     """Engine extension: struct-array element ``field`` strictly increasing.
 
-    Built from HOFs only (slice + zip_with + forall) so it stays codegen'd —
-    this is the span ``offset`` ordering invariant for interleaved documents.
+    Single-pass ``aggregate`` with a (prev, ok) accumulator — no intermediate
+    array allocations (a slice+zip_with formulation allocates 3 arrays per
+    row, measurable at 10^12 rows). Null elements/fields fail closed.
+    This is the span ``offset`` ordering invariant for interleaved documents.
     """
-    n = F.size(expr)
-    pair_len = F.greatest(n - F.lit(1), F.lit(0))
-    heads = F.slice(expr, F.lit(1), pair_len)
-    tails = F.slice(expr, F.lit(2), pair_len)
+    def value_of(x: Column) -> Column:
+        return x[field] if isinstance(elem_type, T.StructType) else x
 
-    def cmp(a: Column, b: Column) -> Column:
-        if isinstance(elem_type, T.StructType):
-            return _as_bool(a[field] < b[field])
-        return _as_bool(a < b)
-
-    zipped = F.zip_with(heads, tails, cmp)
-    return F.forall(zipped, lambda ok: _as_bool(ok))
+    init = F.struct(
+        F.lit(None).cast("long").alias("prev"), F.lit(True).alias("ok")
+    )
+    return F.aggregate(
+        expr,
+        init,
+        lambda acc, x: F.struct(
+            value_of(x).cast("long").alias("prev"),
+            (
+                acc["ok"]
+                & F.coalesce(
+                    F.when(acc["prev"].isNull(), value_of(x).isNotNull()).otherwise(
+                        value_of(x) > acc["prev"]
+                    ),
+                    F.lit(False),
+                )
+            ).alias("ok"),
+        ),
+        lambda acc: _as_bool(acc["ok"]),
+    )
 
 
 # ------------------------------------------------------------ combinators

@@ -157,7 +157,21 @@ def documents_iv_spec() -> dict:
     """The flagship constraint spec for the interleaved documents table —
     the reference's golden-fixture style re-expressed as an engine spec
     (FIXTURES.md §A). Span conformance: kind ∈ {text, media}; text set iff
-    kind=text; media_ref set iff kind=media; offsets strictly increasing."""
+    kind=text; media_ref set iff kind=media; offsets strictly increasing.
+
+    Canonical copy lives at plans/documents_iv.json (used by the CLI); this
+    loads it when present and falls back to the inline literal."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "documents_iv.json",
+    )
+    if os.path.exists(path):
+        with open(path, "r", encoding="utf-8") as f:
+            return json.load(f)
     # NOTE: both arms declare the same properties in the same order so their
     # Spark carriers coincide and the union scalar-collapses onto the single
     # physical span struct (compiler/types.py union rules).
