@@ -55,7 +55,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_stats_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
-    out = st.column_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    out = st.column_stats(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        quantiles=None, approx_distinct=False,
+    )
     return out.select(
         "column",
         "n_rows",
@@ -339,6 +342,278 @@ FROM events GROUP BY 1 ORDER BY value
 """
 
 
+def _q_approx_unique_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ distinct vs exact — cross-engine check that Spark's
+    approx_count_distinct lands within 2% of DuckDB's exact count."""
+    li = load_table(spark, sf, "lineitem")
+    key_cols = ["l_orderkey", "l_linenumber"]
+    approx = uq.approx_uniqueness(li, key_cols)
+    exact = li.select(
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("n_distinct")
+    )
+    return approx.crossJoin(exact).select(
+        "n_rows",
+        "n_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+            <= 0.02 * F.col("n_distinct")
+        ).alias("hll_within_2pct"),
+    )
+
+
+_O_APPROX_UNIQUE_LINEITEM = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT (l_orderkey, l_linenumber)) AS n_distinct,
+       TRUE AS hll_within_2pct
+FROM lineitem
+"""
+
+
+_SW_SQL = {
+    "en": "['the','and','of','to','in','is','that','it','for','with']",
+    "de": "['der','die','und','das','ist','von','nicht','mit','ein','zu']",
+    "fr": "['le','la','et','les','des','est','une','dans','que','pour']",
+    "es": "['el','la','que','de','los','es','una','por','con','para']",
+}
+
+
+def _q_lang_detect_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(tx.detect_language(F.col("text")).alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_detected")
+    )
+
+
+def _o_lang_detect_docs() -> str:
+    score = {
+        lang: (
+            f"len(list_filter(t, x -> list_contains({arr}, x))) * 1.0"
+            f" / greatest(len(t), 1)"
+        )
+        for lang, arr in _SW_SQL.items()
+    }
+    return rf"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+  FROM documents
+), sc AS (
+  SELECT {score['en']} AS s_en, {score['de']} AS s_de,
+         {score['fr']} AS s_fr, {score['es']} AS s_es
+  FROM toks
+), best AS (
+  -- Spark picks array_max over struct(score, lang): max score, lexicographic
+  -- max lang on ties → probe fr > es > en > de
+  SELECT greatest(s_en, s_de, s_fr, s_es) AS gs,
+         CASE WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              ELSE 'de' END AS gl
+  FROM sc
+)
+SELECT CASE WHEN gs > 0.02 THEN gl ELSE 'und' END AS lang_detected,
+       count(*) AS n_docs
+FROM best GROUP BY 1 ORDER BY lang_detected
+"""
+
+
+def _q_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    # floor-based half-up rounding: both engines apply the identical IEEE
+    # formula to the identical double, so decimal ties can't diverge the way
+    # Spark's BigDecimal HALF_UP vs DuckDB's round() do
+    q4 = F.floor(tx.quality_score(F.col("text")) * 10000 + 0.5) / 10000
+    return (
+        docs.select("doc_id", q4.alias("quality"))
+        .orderBy("doc_id")
+        .limit(2000)
+    )
+
+
+_O_QUALITY_DOCS = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+  FROM documents
+), comp AS (
+  SELECT doc_id,
+    least(length(text) / 200.0, 1.0) AS length_ok,
+    least((len(list_filter(t, x -> list_contains({_SW_SQL['en']}, x))) * 1.0
+           / greatest(len(t), 1)) * 4.0, 1.0) AS sw,
+    1.0 - least((length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}]', '', 'g')) * 1.0
+                 / greatest(length(text), 1)) * 5.0, 1.0) AS punct_ok,
+    coalesce(list_sum(list_transform(t, x -> length(x))), 0) * 1.0
+      / greatest(len(t), 1) AS mwl
+  FROM toks
+)
+SELECT doc_id,
+       floor((length_ok + sw + punct_ok
+              + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.3 END) / 4.0
+             * 10000 + 0.5) / 10000 AS quality
+FROM comp ORDER BY doc_id LIMIT 2000
+"""
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.bpe_ish_token_count(F.col("text"))).alias("n_tokens_bpe"),
+        )
+        .orderBy("lang")
+    )
+
+
+_O_BPE_TOKEN_STATS = r"""
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_tokens_bpe
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _q_fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """xxhash64 fingerprint cardinality == normalized-text cardinality
+    (collision-free at this scale) — oracles the dedup key itself."""
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(tx.fingerprint(F.col("text"))).alias("n_distinct_fp"),
+    )
+
+
+_O_FINGERPRINT_DISTINCT = r"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_distinct_fp
+FROM documents
+"""
+
+_DRIFT_LO, _DRIFT_HI, _DRIFT_BINS, _DRIFT_EPS = 900.0, 105000.0, 32, 1e-6
+
+
+def _q_psi_drift_price(spark: SparkSession, sf: str) -> DataFrame:
+    """KL/PSI drift between even- and odd-orderkey halves of lineitem —
+    the distributed part is two fixed-width histograms; the divergence
+    arithmetic runs driver-side on ≤ bins values."""
+    li = load_table(spark, sf, "lineitem")
+    cur = li.filter(F.col("l_orderkey") % 2 == 0)
+    base = li.filter(F.col("l_orderkey") % 2 == 1)
+    kl, psi_v, ok = dr.drift_verdict(
+        cur, base, "l_extendedprice",
+        bins=_DRIFT_BINS, lo=_DRIFT_LO, hi=_DRIFT_HI, eps=_DRIFT_EPS,
+    )
+    return spark.createDataFrame(
+        [(round(kl, 5), round(psi_v, 5), bool(ok))],
+        "kl double, psi double, pass boolean",
+    )
+
+
+def _o_psi_drift_price() -> str:
+    w = (_DRIFT_HI - _DRIFT_LO) / _DRIFT_BINS
+    hist = (
+        "SELECT least(greatest(CAST(floor((l_extendedprice - {lo}) / {w}) AS INT), 0), {top}) AS bucket, "
+        "count(*) AS n FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL AND l_orderkey % 2 = {par} GROUP BY 1"
+    )
+    return f"""
+WITH cur AS ({hist.format(lo=_DRIFT_LO, w=w, top=_DRIFT_BINS - 1, par=0)}),
+bas AS ({hist.format(lo=_DRIFT_LO, w=w, top=_DRIFT_BINS - 1, par=1)}),
+b AS (SELECT unnest(range({_DRIFT_BINS})) AS bucket),
+ps AS (SELECT b.bucket,
+              greatest(coalesce(c.n, 0) * 1.0 / (SELECT sum(n) FROM cur), {_DRIFT_EPS}) AS sp
+       FROM b LEFT JOIN cur c ON b.bucket = c.bucket),
+qs AS (SELECT b.bucket,
+              greatest(coalesce(c.n, 0) * 1.0 / (SELECT sum(n) FROM bas), {_DRIFT_EPS}) AS sq
+       FROM b LEFT JOIN bas c ON b.bucket = c.bucket),
+pn AS (SELECT bucket, sp / (SELECT sum(sp) FROM ps) AS p FROM ps),
+qn AS (SELECT bucket, sq / (SELECT sum(sq) FROM qs) AS q FROM qs)
+SELECT round(sum(p * ln(p / q)), 5) AS kl,
+       round(sum((p - q) * ln(p / q)), 5) AS psi,
+       sum((p - q) * ln(p / q)) < 0.2 AS pass
+FROM pn JOIN qn USING (bucket)
+"""
+
+
+def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 5-shingle Jaccard on planted (doc, next-doc) pairs — oracles
+    the pair-metric used to verify MinHash-LSH candidates."""
+    docs = load_table(spark, sf, "documents")
+    pairs = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    out = dd.ngram_jaccard(pairs, docs, k=5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 5).alias("jaccard")
+    ).orderBy("id_a")
+
+
+_O_NGRAM_JACCARD_PAIRS = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 4, 0) + 1),
+           i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 5) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 100 = 0 ORDER BY id_a
+"""
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs over planted exact-duplicate
+    vectors (max natural pair cosine in the data is ~0.6, so the planted
+    clones are exactly the expected output)."""
+    emb = load_table(spark, sf, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    both = emb.unionAll(clones)
+    pairs = sim.embedding_near_duplicates(both, threshold=0.99, bits=12)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 3).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+_O_EMBEDDING_NEAR_DUPS = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos_sim
+FROM embeddings WHERE vec_id % 50 = 0 ORDER BY id_a, id_b
+"""
+
+
+def _q_stats_events_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    out = st.column_stats(
+        ev, ["value"], by="event_type", quantiles=None, approx_distinct=False
+    )
+    return out.select(
+        "event_type",
+        "column",
+        "n_rows",
+        "n_null",
+        F.round("null_rate", 6).alias("null_rate"),
+        F.round(F.col("min").cast("double"), 4).alias("min_v"),
+        F.round(F.col("max").cast("double"), 4).alias("max_v"),
+        F.round("mean", 4).alias("mean_v"),
+    ).orderBy("event_type")
+
+
+_O_STATS_EVENTS_BY_TYPE = """
+SELECT event_type, 'value' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+       round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_rate,
+       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+       round(avg(value), 4) AS mean_v
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ------------------------- non-SQL-expressible (rows-only checks) --------
 
 def _q_documents_iv_verdicts(spark: SparkSession, sf: str) -> DataFrame:
@@ -371,6 +646,89 @@ def _q_tdigest_price(spark: SparkSession, sf: str) -> DataFrame:
         [(round(est[0], 1), round(est[1], 1), round(est[2], 1))],
         "q10 double, q50 double, q90 double",
     )
+
+
+def _q_lsh_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH buckets (probe = bucket ±1 bit);
+    exact cosine inside the probed buckets."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = sim.lsh_topk(emb, list(q), k=10, bits=6, probe_hamming=1)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Media plumbing end-to-end: synthesize binary payloads + typed
+    metadata, decode/feature-extract via mapInPandas (deterministic fake
+    codec — see operators/multimodal.py), return per-asset feature facts."""
+    from json_to_avro_schema_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media_table(spark, 2000)
+    feats = mm.extract_features(media, frames_per_video=4)
+    return feats.select(
+        "media_ref",
+        "media_type",
+        "frames_sampled",
+        "decode_ok",
+        F.round(F.element_at("feature", 1), 5).alias("f0"),
+    ).orderBy("media_ref")
+
+
+def _q_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only image resize planning (no decode): aspect-preserving
+    target dims capped at 512px, full scan speed."""
+    from json_to_avro_schema_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media_table(spark, 2000)
+    return mm.resize_plan(media, max_px=512).orderBy("media_ref")
+
+
+def _q_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-granular resume: run validation over half the partitions,
+    'crash', re-run the whole table with the same run_id — the second run
+    must skip every completed partition (anti-join against the state
+    table) and process only the remainder."""
+    import shutil
+    import tempfile
+
+    from json_to_avro_schema_spark.checkpoint import (
+        CheckpointStore,
+        run_with_checkpoint,
+    )
+
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 10_000, violation_pct=5)
+    parts = sorted(r["part_key"] for r in df.select("part_key").distinct().collect())
+    half = parts[: len(parts) // 2]
+
+    tmp = tempfile.mkdtemp(prefix="ckpt_resume_")
+    try:
+        store = CheckpointStore(os.path.join(tmp, "state"))
+        out_dir = os.path.join(tmp, "out")
+        first = run_with_checkpoint(
+            spark, df.filter(F.col("part_key").isin(half)), plan, store,
+            "run-1", out_dir,
+        )
+        second = run_with_checkpoint(spark, df, plan, store, "run-1", out_dir)
+        third = run_with_checkpoint(spark, df, plan, store, "run-1", out_dir)
+        verdict_parts = (
+            spark.read.parquet(os.path.join(out_dir, "verdicts"))
+            .select("part_key").distinct().count()
+        )
+        return spark.createDataFrame(
+            [(
+                len(parts),
+                first.n_partitions_processed,
+                second.n_partitions_resumed,
+                second.n_partitions_processed,
+                third.n_partitions_resumed,
+                verdict_parts,
+            )],
+            "n_parts int, first_processed int, second_resumed int, "
+            "second_processed int, third_resumed int, verdict_parts int",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -414,6 +772,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_totals": _q_token_totals,
         "exact_dup_groups": _q_exact_dup_groups,
         "topk_cosine": _q_topk_cosine,
+        "approx_unique_lineitem": _q_approx_unique_lineitem,
+        "lang_detect_docs": _q_lang_detect_docs,
+        "quality_docs": _q_quality_docs,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "fingerprint_distinct": _q_fingerprint_distinct,
+        "psi_drift_price": _q_psi_drift_price,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "stats_events_by_type": _q_stats_events_by_type,
         # engine-native / non-SQL-expressible (rows-only checks)
         "documents_iv_verdicts": _q_documents_iv_verdicts,
         "documents_iv_violations": _q_documents_iv_violations,
@@ -421,6 +788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_price": _q_tdigest_price,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
+        "lsh_topk_cosine": _q_lsh_topk_cosine,
+        "multimodal_features": _q_multimodal_features,
+        "resize_plan": _q_resize_plan,
+        "checkpoint_resume": _q_checkpoint_resume,
     }
 
 
@@ -440,4 +811,13 @@ def oracle_sql() -> dict[str, str]:
         "token_totals": _O_TOKEN_TOTALS,
         "exact_dup_groups": _O_EXACT_DUP_GROUPS,
         "topk_cosine": _O_TOPK_COSINE,
+        "approx_unique_lineitem": _O_APPROX_UNIQUE_LINEITEM,
+        "lang_detect_docs": _o_lang_detect_docs(),
+        "quality_docs": _O_QUALITY_DOCS,
+        "bpe_token_stats": _O_BPE_TOKEN_STATS,
+        "fingerprint_distinct": _O_FINGERPRINT_DISTINCT,
+        "psi_drift_price": _o_psi_drift_price(),
+        "ngram_jaccard_pairs": _O_NGRAM_JACCARD_PAIRS,
+        "embedding_near_dups": _O_EMBEDDING_NEAR_DUPS,
+        "stats_events_by_type": _O_STATS_EVENTS_BY_TYPE,
     }

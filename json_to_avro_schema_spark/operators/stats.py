@@ -35,7 +35,8 @@ def column_stats(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,
     *,
-    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    quantiles: Optional[Sequence[float]] = (0.25, 0.5, 0.75, 0.95),
+    approx_distinct: bool = True,
     by: Optional[str] = None,
 ) -> DataFrame:
     """Long-form stats: one output row per column.
@@ -44,6 +45,11 @@ def column_stats(
     approx_distinct, q_*) — min/max/mean/quantiles as strings/doubles where
     applicable.  ``by`` groups stats per partition key (for per-Iceberg-
     partition verdict enrichment); default is whole-table.
+
+    ``quantiles=None`` / ``approx_distinct=False`` drop the sketch
+    aggregates (percentile_approx, HLL) from the fused agg — when a caller
+    only needs count/null-rate/min/max/mean those sketches dominate the
+    aggregation cost, so skipping them keeps the single scan cheap.
     """
     if columns is None or columns == ["*"]:
         columns = [f.name for f in df.schema.fields if _is_atomic(f.dataType)]
@@ -53,15 +59,23 @@ def column_stats(
     for c in columns:
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__n_null"))
-        aggs.append(F.approx_count_distinct(c).alias(f"{c}__approx_distinct"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__approx_distinct"))
+        else:
+            aggs.append(F.lit(None).cast("long").alias(f"{c}__approx_distinct"))
         if _is_atomic(types[c]):
             aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
             aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
         if _is_numeric(types[c]):
             aggs.append(F.avg(col).alias(f"{c}__mean"))
-            aggs.append(
-                F.percentile_approx(col, list(quantiles), 10_000).alias(f"{c}__q")
-            )
+            if quantiles:
+                aggs.append(
+                    F.percentile_approx(col, list(quantiles), 10_000).alias(f"{c}__q")
+                )
+            else:
+                aggs.append(
+                    F.lit(None).cast(T.ArrayType(T.DoubleType())).alias(f"{c}__q")
+                )
 
     wide = df.groupBy(F.col(by)).agg(*aggs) if by else df.agg(*aggs)
 

@@ -41,32 +41,27 @@ def _k(q: np.ndarray | float, delta: float):
 def _merge_centroids(
     means: np.ndarray, weights: np.ndarray, delta: float
 ) -> tuple[np.ndarray, np.ndarray]:
-    """One compression pass: sort by mean, greedily absorb while the k-size
-    bound k(q_right) − k(q_left) ≤ 1 holds."""
+    """One compression pass, fully vectorized: sort by mean, bucket each
+    point by the integer floor of its k-scale midpoint. Every bucket spans
+    < 1 unit of k, so the t-digest size bound k(q_right) − k(q_left) ≤ 1
+    holds; centroid count stays O(δ). No per-value Python loop — numpy
+    sort + bincount only (this is the hot path of the mapInPandas build)."""
     if means.size == 0:
         return means, weights
     order = np.argsort(means, kind="mergesort")
-    means, weights = means[order], weights[order]
-    total = float(weights.sum())
-    out_m: List[float] = []
-    out_w: List[float] = []
-    cm, cw = float(means[0]), float(weights[0])
-    w_done = 0.0
-    q_left = 0.0
-    for m, w in zip(means[1:], weights[1:]):
-        q_right = (w_done + cw + float(w)) / total
-        if _k(q_right, delta) - _k(q_left, delta) <= 1.0:
-            cw += float(w)
-            cm += (float(m) - cm) * float(w) / cw
-        else:
-            out_m.append(cm)
-            out_w.append(cw)
-            w_done += cw
-            q_left = w_done / total
-            cm, cw = float(m), float(w)
-    out_m.append(cm)
-    out_w.append(cw)
-    return np.asarray(out_m), np.asarray(out_w)
+    m = means[order].astype(np.float64)
+    w = weights[order].astype(np.float64)
+    total = w.sum()
+    q_mid = (np.cumsum(w) - w / 2.0) / total
+    k = _k(np.clip(q_mid, 0.0, 1.0), delta)
+    bucket = np.floor(k - k[0]).astype(np.int64)
+    # floating error can make floor() dip; enforce monotone bucket ids
+    bucket = np.maximum.accumulate(bucket)
+    nb = int(bucket[-1]) + 1
+    wsum = np.bincount(bucket, weights=w, minlength=nb)
+    msum = np.bincount(bucket, weights=w * m, minlength=nb)
+    keep = wsum > 0
+    return msum[keep] / wsum[keep], wsum[keep]
 
 
 @dataclass

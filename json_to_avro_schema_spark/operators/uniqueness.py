@@ -22,12 +22,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def approx_uniqueness(df: DataFrame, columns: Sequence[str]) -> DataFrame:
-    """One row: n_rows, approx_distinct, approx_duplicates (>0 ⇒ dups likely)."""
+def approx_uniqueness(
+    df: DataFrame, columns: Sequence[str], *, rsd: float = 0.01
+) -> DataFrame:
+    """One row: n_rows, approx_distinct, approx_duplicates (>0 ⇒ dups likely).
+
+    ``rsd`` is HLL++'s relative standard deviation; 0.01 (vs Spark's 0.05
+    default) keeps the sketch a few hundred KiB while making the estimate
+    reliably within ~1% — cheap insurance when the verdict is a threshold.
+    """
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in columns])
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.approx_count_distinct(key).alias("approx_distinct"),
+        F.approx_count_distinct(key, rsd).alias("approx_distinct"),
     ).select(
         "n_rows",
         "approx_distinct",
