@@ -614,6 +614,59 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_topk_price_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition top-K sampling (SURVEY.md §2.3 'Window functions'):
+    Window.partitionBy + row_number ≤ k — the violation-sampling shape."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .orderBy("l_returnflag", "rk")
+    )
+
+
+_O_TOPK_PRICE_BY_FLAG = """
+SELECT * FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+  FROM lineitem
+) WHERE rk <= 5 ORDER BY l_returnflag, rk
+"""
+
+
+def _q_verdict_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-op spec-diff surface (SURVEY.md §2.3): keys failing the discount
+    bound but passing the tax bound = except(all_fail, tax_fail)."""
+    li = load_table(spark, sf, "lineitem")
+    disc_viol = li.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.08)
+    ).select("l_orderkey", "l_linenumber")
+    tax_viol = li.filter(F.col("l_tax") > 0.05).select("l_orderkey", "l_linenumber")
+    only_disc = disc_viol.exceptAll(tax_viol)
+    both = disc_viol.intersect(tax_viol)
+    return only_disc.agg(F.count(F.lit(1)).alias("n_only_disc")).crossJoin(
+        both.agg(F.count(F.lit(1)).alias("n_both"))
+    )
+
+
+_O_VERDICT_SET_OPS = """
+WITH disc AS (SELECT l_orderkey, l_linenumber FROM lineitem
+              WHERE l_discount < 0 OR l_discount > 0.08),
+tax AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_tax > 0.05)
+SELECT (SELECT count(*) FROM (SELECT * FROM disc EXCEPT ALL SELECT * FROM tax)) AS n_only_disc,
+       (SELECT count(*) FROM (SELECT DISTINCT * FROM disc INTERSECT SELECT DISTINCT * FROM tax)) AS n_both
+"""
+
+
 # ------------------------- non-SQL-expressible (rows-only checks) --------
 
 def _q_documents_iv_verdicts(spark: SparkSession, sf: str) -> DataFrame:
@@ -781,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "stats_events_by_type": _q_stats_events_by_type,
+        "topk_price_by_flag": _q_topk_price_by_flag,
+        "verdict_set_ops": _q_verdict_set_ops,
         # engine-native / non-SQL-expressible (rows-only checks)
         "documents_iv_verdicts": _q_documents_iv_verdicts,
         "documents_iv_violations": _q_documents_iv_violations,
@@ -820,4 +875,6 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _O_NGRAM_JACCARD_PAIRS,
         "embedding_near_dups": _O_EMBEDDING_NEAR_DUPS,
         "stats_events_by_type": _O_STATS_EVENTS_BY_TYPE,
+        "topk_price_by_flag": _O_TOPK_PRICE_BY_FLAG,
+        "verdict_set_ops": _O_VERDICT_SET_OPS,
     }
