@@ -80,9 +80,17 @@ def _run(spark, df, plan, args) -> int:
             "unchecked_paths": plan.unchecked_paths,
         }
     else:
+        from .runner import verdicts_from_violations
+
         res = run_validation(spark, df, plan)
         res.violations.write.mode("overwrite").parquet(f"{args.out}/violations")
-        res.verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts")
+        # one full compute scan: verdicts derive from the written violations
+        viol = spark.read.schema(res.violations.schema).parquet(
+            f"{args.out}/violations"
+        )
+        verdicts_from_violations(
+            df, viol, plan, part_key_col=args.part_key_col
+        ).write.mode("overwrite").parquet(f"{args.out}/verdicts")
         verd = spark.read.parquet(f"{args.out}/verdicts")
         n_fail = verd.agg({"n_fail": "sum"}).collect()[0][0] or 0
         summary = {

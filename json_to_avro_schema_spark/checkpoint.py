@@ -115,7 +115,20 @@ def run_with_checkpoint(
     viol_path = os.path.join(out_dir, "violations")
     verd_path = os.path.join(out_dir, "verdicts")
     res.violations.write.mode("overwrite").partitionBy(part_key_col).parquet(viol_path)
-    res.verdicts.write.mode("overwrite").partitionBy(part_key_col).parquet(verd_path)
+    # verdicts from the materialized violations + a column-pruned row count —
+    # ONE full compute scan total instead of two (runner.verdicts_from_violations)
+    try:
+        viol_written = spark.read.parquet(viol_path).filter(
+            F.col(part_key_col).isin(pending_keys)
+        )
+    except Exception:  # zero violations ⇒ no files to infer from
+        viol_written = spark.createDataFrame([], res.violations.schema)
+    from .runner import verdicts_from_violations
+
+    verdicts = verdicts_from_violations(
+        sub, viol_written, plan, part_key_col=part_key_col
+    )
+    verdicts.write.mode("overwrite").partitionBy(part_key_col).parquet(verd_path)
 
     # state rows AFTER both sinks committed (per-partition metrics = lineage)
     metrics = (

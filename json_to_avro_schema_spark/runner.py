@@ -144,6 +144,58 @@ def partition_verdicts(checked: DataFrame, plan: CompiledPlan) -> DataFrame:
     )
 
 
+def verdicts_from_violations(
+    df: DataFrame,
+    violations: DataFrame,
+    plan: CompiledPlan,
+    *,
+    part_key_col: str = "part_key",
+) -> DataFrame:
+    """Per-(part_key, check) verdicts WITHOUT re-scanning the checked table.
+
+    Sink-path optimization: after ``violations`` is materialized, every
+    failing (row, check) is already in it, so
+    ``n_fail = count of violations carrying that check`` and only
+    ``n_rows`` needs the source — a column-pruned scan of the partition-key
+    column (parquet never decodes ``spans``). One full compute pass over
+    the data instead of two; at 100 TB the verdict agg becomes ~free.
+    Output is identical to :func:`partition_verdicts` (zero-filled for
+    checks with no failures).
+    """
+    key = (
+        F.col(part_key_col) if part_key_col in df.columns else F.lit("__all__")
+    )
+    rows_per_part = df.groupBy(key.alias("part_key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    vkey = (
+        F.col(part_key_col)
+        if part_key_col in violations.columns
+        else F.lit("__all__")
+    )
+    fails = (
+        violations.select(
+            vkey.alias("part_key"), F.explode("failed_checks").alias("check_name")
+        )
+        .groupBy("part_key", "check_name")
+        .agg(F.count(F.lit(1)).alias("n_fail"))
+    )
+    checks = F.explode(
+        F.array(*[F.lit(c.name) for c in plan.row_checks])
+    ).alias("check_name")
+    grid = rows_per_part.select("part_key", "n_rows", checks)
+    return (
+        grid.join(F.broadcast(fails), ["part_key", "check_name"], "left")
+        .select(
+            "part_key",
+            "check_name",
+            "n_rows",
+            F.coalesce("n_fail", F.lit(0)).alias("n_fail"),
+            (F.coalesce("n_fail", F.lit(0)) == 0).alias("pass"),
+        )
+    )
+
+
 def run_validation(
     spark: SparkSession,
     df: DataFrame,

@@ -94,3 +94,20 @@ def test_verdict_counts_match_violations(spark):
         ~F.col(CHECK_PREFIX + "doc_id__conforms")
     ).count()
     assert bad == 0
+
+
+def test_verdicts_from_violations_equals_partition_verdicts(spark):
+    from json_to_avro_schema_spark.runner import verdicts_from_violations
+
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 5_000, violation_pct=5)
+    res = run_validation(spark, df, plan)
+    direct = {
+        (r["part_key"], r["check_name"]): (r["n_rows"], r["n_fail"], r["pass"])
+        for r in res.verdicts.collect()
+    }
+    fused = {
+        (r["part_key"], r["check_name"]): (r["n_rows"], r["n_fail"], r["pass"])
+        for r in verdicts_from_violations(df, res.violations, plan).collect()
+    }
+    assert fused == direct and len(fused) > 0
