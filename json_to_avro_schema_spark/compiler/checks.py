@@ -128,7 +128,16 @@ def all_keyword_predicates(
 def _scalar_keyword_predicates(
     s: ConstraintSpec, expr: Column, dtype: T.DataType
 ) -> List[Column]:
+    """Scalar keyword predicates.
+
+    Typed specs apply each keyword family on the declared carrier. An
+    UNTYPED spec (no ``type`` — e.g. allOf/anyOf arms like ``{"minimum":
+    0}``, ``propertyNames`` patterns, schema-form dependencies) must still
+    enforce its keywords per draft-6: the engine casts the value to the
+    keyword's domain and null-gates the cast, so values outside the domain
+    pass (draft-6: a keyword constrains only its own type)."""
     preds: List[Column] = []
+    untyped = not s.types
 
     if s.const is not UNSET:
         preds.append(_const_predicate(s.const, expr))
@@ -137,33 +146,42 @@ def _scalar_keyword_predicates(
         preds.append(expr.isin(*[v for v in s.enum]))
 
     numeric = isinstance(dtype, (T.LongType, T.DoubleType, T.IntegerType))
-    if numeric:
+    if numeric or untyped:
+        num = expr if numeric else expr.cast("double")
+
+        def ngate(pred: Column) -> Column:
+            return pred if numeric else (num.isNull() | pred)
+
         if s.minimum is not None:
-            preds.append(expr >= F.lit(s.minimum))
+            preds.append(ngate(num >= F.lit(s.minimum)))
         if s.maximum is not None:
-            preds.append(expr <= F.lit(s.maximum))
+            preds.append(ngate(num <= F.lit(s.maximum)))
         if s.exclusive_minimum is not None:
-            preds.append(expr > F.lit(s.exclusive_minimum))
+            preds.append(ngate(num > F.lit(s.exclusive_minimum)))
         if s.exclusive_maximum is not None:
-            preds.append(expr < F.lit(s.exclusive_maximum))
+            preds.append(ngate(num < F.lit(s.exclusive_maximum)))
         if s.multiple_of is not None:
             m = s.multiple_of
             if isinstance(dtype, T.LongType) and float(m).is_integer():
                 preds.append(F.pmod(expr, F.lit(int(m))) == 0)
             else:
                 # double semantics need epsilon care (SURVEY.md §7)
-                ratio = expr / F.lit(float(m))
-                preds.append(F.abs(ratio - F.round(ratio)) < F.lit(DOUBLE_EPS))
+                ratio = num / F.lit(float(m))
+                preds.append(ngate(F.abs(ratio - F.round(ratio)) < F.lit(DOUBLE_EPS)))
 
-    if isinstance(dtype, T.StringType):
+    stringish = isinstance(dtype, T.StringType) or (
+        untyped and not isinstance(dtype, (T.ArrayType, T.MapType, T.StructType))
+    )
+    if stringish:
+        sv = expr if isinstance(dtype, T.StringType) else expr.cast("string")
         if s.min_length > 0:
-            preds.append(F.length(expr) >= F.lit(s.min_length))
+            preds.append(F.length(sv) >= F.lit(s.min_length))
         if s.max_length is not None:
-            preds.append(F.length(expr) <= F.lit(s.max_length))
+            preds.append(F.length(sv) <= F.lit(s.max_length))
         if s.pattern is not None:
-            preds.append(expr.rlike(s.pattern))
+            preds.append(sv.rlike(s.pattern))
         if s.format is not None and s.format in FORMAT_REGEX:
-            preds.append(expr.rlike(FORMAT_REGEX[s.format]))
+            preds.append(sv.rlike(FORMAT_REGEX[s.format]))
 
     return preds
 

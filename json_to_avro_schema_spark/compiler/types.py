@@ -155,6 +155,18 @@ def carrier_type(s: JSchema, path: str = "$") -> T.DataType:
             return T.StringType()
         if c is None:
             return T.StringType()  # carrier; only null passes
+        if isinstance(c, list) and c:
+            # homogeneous scalar list const → typed array carrier; the
+            # predicate compares structurally via to_json (checks.py)
+            elem_kinds = {type(x) for x in c}
+            if elem_kinds == {bool}:
+                return T.ArrayType(T.BooleanType(), True)
+            if elem_kinds == {int}:
+                return T.ArrayType(T.LongType(), True)
+            if elem_kinds <= {int, float}:
+                return T.ArrayType(T.DoubleType(), True)
+            if elem_kinds == {str}:
+                return T.ArrayType(T.StringType(), True)
     if s.enum:
         return _enum_carrier(s.enum, path)
     if s.properties:

@@ -48,6 +48,11 @@ def schema_conformance(actual: T.StructType, expected: T.StructType) -> List[str
         got = actual_by_name.get(f.name)
         if got is None:
             problems.append(f"missing column: {f.name} ({f.dataType.simpleString()})")
+        elif isinstance(f.dataType, T.BinaryType):
+            # BinaryType is the "any / empty schema" escape hatch
+            # (TypeMappings.md: any→bytes): no constraint ⇒ any physical
+            # type conforms
+            continue
         elif got.dataType.simpleString() != f.dataType.simpleString():
             problems.append(
                 f"type mismatch on {f.name}: expected "

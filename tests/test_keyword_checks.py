@@ -1,0 +1,204 @@
+"""§2.2 keyword predicate semantics: for every constraint keyword, compile a
+tiny spec and assert the check splits known-pass / known-fail rows exactly
+(the data-level counterpart of test_spec_passes' parse coverage)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from json_to_avro_schema_spark.compiler.plan import compile_document  # noqa: E402
+from json_to_avro_schema_spark.runner import run_validation  # noqa: E402
+
+
+def _spec(props: dict, required=()) -> dict:
+    return {
+        "$id": "x://t/Kw",
+        "type": "object",
+        "properties": {"id": {"type": "integer"}, **props},
+        "required": list(required),
+    }
+
+
+def _failing_ids(spark, doc: dict, rows, schema: str):
+    plan = compile_document(doc)
+    df = spark.createDataFrame(rows, schema)
+    res = run_validation(spark, df, plan)
+    return {r["id"] for r in res.violations.select("id").collect()}
+
+
+def test_numeric_bounds_and_multiple_of(spark):
+    doc = _spec({
+        "a": {"type": "integer", "minimum": 0, "maximum": 10, "multipleOf": 2},
+        "b": {"type": "number", "exclusiveMinimum": 0, "exclusiveMaximum": 1,
+              "multipleOf": 0.25},
+    })
+    rows = [
+        (1, 4, 0.5),      # pass
+        (2, -2, 0.25),    # a < minimum
+        (3, 12, 0.75),    # a > maximum
+        (4, 3, 0.5),      # a not multiple of 2
+        (5, 8, 0.0),      # b not > 0
+        (6, 8, 1.0),      # b not < 1
+        (7, 8, 0.3),      # b not multiple of 0.25
+        (8, None, None),  # optional: nulls pass
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, a long, b double") == {2, 3, 4, 5, 6, 7}
+
+
+def test_string_length_pattern_format(spark):
+    doc = _spec({
+        "s": {"type": "string", "minLength": 2, "maxLength": 5,
+              "pattern": "^[a-z]+$"},
+        "e": {"type": "string", "format": "email"},
+    })
+    rows = [
+        (1, "abc", "a@b.co"),
+        (2, "a", "a@b.co"),       # too short
+        (3, "abcdef", "a@b.co"),  # too long
+        (4, "aBc", "a@b.co"),     # pattern
+        (5, "abc", "not-email"),  # format
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, s string, e string") == {2, 3, 4, 5}
+
+
+def test_array_keywords(spark):
+    doc = _spec({
+        "xs": {"type": "array", "minItems": 1, "maxItems": 3,
+               "uniqueItems": True,
+               "items": {"type": "integer", "minimum": 0},
+               "contains": {"type": "integer", "minimum": 5}},
+    })
+    rows = [
+        (1, [1, 6]),        # pass
+        (2, []),            # minItems
+        (3, [1, 2, 3, 6]),  # maxItems
+        (4, [6, 6]),        # uniqueItems
+        (5, [-1, 6]),       # element minimum
+        (6, [1, 2]),        # contains (nothing ≥ 5)
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, xs array<long>") == {2, 3, 4, 5, 6}
+
+
+def test_map_keywords(spark):
+    doc = _spec({
+        "m": {"type": "object", "minProperties": 1, "maxProperties": 2,
+              "propertyNames": {"pattern": "^[a-z]+$"},
+              "additionalProperties": {"type": "integer", "minimum": 0}},
+    })
+    rows = [
+        (1, {"a": 1}),
+        (2, {}),                         # minProperties
+        (3, {"a": 1, "b": 2, "c": 3}),   # maxProperties
+        (4, {"BAD": 1}),                 # propertyNames
+        (5, {"a": -1}),                  # value minimum
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, m map<string,long>") == {2, 3, 4, 5}
+
+
+def test_pattern_properties_value_schema(spark):
+    doc = _spec({
+        "m": {"type": "object",
+              "additionalProperties": {"type": "integer"},
+              "patternProperties": {"^n_": {"type": "integer", "minimum": 0}}},
+    })
+    rows = [
+        (1, {"n_ok": 3, "other": -5}),   # pattern key ok; non-matching key free
+        (2, {"n_bad": -1}),              # pattern key violates minimum
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, m map<string,long>") == {2}
+
+
+def test_dependencies_both_forms(spark):
+    doc = _spec({
+        "card": {"type": "string"},
+        "cvv": {"type": "string"},
+        "addr": {"type": "string"},
+    })
+    doc["dependencies"] = {
+        "card": ["cvv"],                                   # property form
+        "addr": {"properties": {"card": {"minLength": 4}},  # schema form
+                 "required": ["card"]},
+    }
+    rows = [
+        (1, None, None, None),     # nothing present → pass
+        (2, "1234", "999", None),  # card+cvv → pass
+        (3, "1234", None, None),   # card without cvv → fail
+        (4, "1234", "999", "x"),   # addr present, card len ≥ 4 → pass
+        (5, "12", "999", "x"),     # addr present, card too short → fail
+    ]
+    assert _failing_ids(
+        spark, doc, rows, "id long, card string, cvv string, addr string"
+    ) == {3, 5}
+
+
+def test_const_and_complex_const(spark):
+    doc = _spec({
+        "k": {"const": "fixed"},
+        "arr": {"const": [1, 2]},
+    })
+    rows = [
+        (1, "fixed", [1, 2]),
+        (2, "other", [1, 2]),   # scalar const
+        (3, "fixed", [2, 1]),   # structural const
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, k string, arr array<long>") == {2, 3}
+
+
+def test_combinators_allof_anyof_not(spark):
+    doc = _spec({
+        "v": {"type": "integer",
+              "allOf": [{"minimum": 0}, {"maximum": 100}],
+              "anyOf": [{"multipleOf": 3}, {"multipleOf": 5}],
+              "not": {"const": 15}},
+    })
+    rows = [
+        (1, 9),     # pass (0..100, mult 3, != 15)
+        (2, -3),    # allOf minimum
+        (3, 300),   # allOf maximum (300 is mult of 3, in anyOf)
+        (4, 7),     # anyOf: neither mult 3 nor 5
+        (5, 15),    # not
+        (6, 10),    # pass (mult 5)
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, v long") == {2, 3, 4, 5}
+
+
+def test_boolean_schemas(spark):
+    doc = _spec({"anything": True})
+    rows = [(1, "x"), (2, None)]
+    assert _failing_ids(spark, doc, rows, "id long, anything string") == set()
+
+    # false schema ⇒ no valid instance: compile-time error, reference parity
+    # (Transpiler.scala:232-240)
+    from json_to_avro_schema_spark.errors import SpecCompileError
+
+    with pytest.raises(SpecCompileError, match="false value"):
+        compile_document(_spec({"never": False}))
+
+
+def test_required_vs_optional_null(spark):
+    doc = _spec({"a": {"type": "string"}, "b": {"type": "string"}},
+                required=["a"])
+    rows = [(1, "x", None), (2, None, "y")]
+    assert _failing_ids(spark, doc, rows, "id long, a string, b string") == {2}
+
+
+def test_nested_struct_dotted_paths(spark):
+    doc = _spec({
+        "o": {"type": "object",
+              "properties": {"inner": {"type": "integer", "minimum": 10}},
+              "required": ["inner"]},
+    })
+    rows = [
+        (1, {"inner": 12}),
+        (2, {"inner": 5}),     # nested minimum
+        (3, {"inner": None}),  # nested required
+        (4, None),             # whole object optional → pass
+    ]
+    assert _failing_ids(
+        spark, doc, rows, "id long, o struct<inner:long>"
+    ) == {2, 3}
