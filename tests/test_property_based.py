@@ -1,0 +1,155 @@
+"""Differential property tests: for randomly generated (spec, values), the
+compiled Spark predicates must agree with an independent pure-Python
+draft-6 checker. One Spark round-trip per hypothesis example (the spec and
+a batch of values are generated together) keeps runtime bounded."""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from json_to_avro_schema_spark.compiler.plan import compile_document  # noqa: E402
+from json_to_avro_schema_spark.runner import run_validation  # noqa: E402
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------- python oracle
+
+def py_passes(spec: dict, v) -> bool:
+    """Independent draft-6 checker for the generated keyword subset.
+    Nulls pass value constraints (requiredness is tested separately)."""
+    if v is None:
+        return True
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        if "minimum" in spec and not v >= spec["minimum"]:
+            return False
+        if "maximum" in spec and not v <= spec["maximum"]:
+            return False
+        if "exclusiveMinimum" in spec and not v > spec["exclusiveMinimum"]:
+            return False
+        if "exclusiveMaximum" in spec and not v < spec["exclusiveMaximum"]:
+            return False
+        if "multipleOf" in spec:
+            m = spec["multipleOf"]
+            if isinstance(v, int) and isinstance(m, int):
+                if v % m != 0:
+                    return False
+            else:
+                r = v / m
+                if abs(r - round(r)) >= 1e-9:
+                    return False
+        if "enum" in spec and v not in spec["enum"]:
+            return False
+    if isinstance(v, str):
+        if "minLength" in spec and len(v) < spec["minLength"]:
+            return False
+        if "maxLength" in spec and len(v) > spec["maxLength"]:
+            return False
+        if "pattern" in spec and not re.search(spec["pattern"], v):
+            return False
+        if "enum" in spec and v not in spec["enum"]:
+            return False
+    if isinstance(v, list):
+        if "minItems" in spec and len(v) < spec["minItems"]:
+            return False
+        if "maxItems" in spec and len(v) > spec["maxItems"]:
+            return False
+        if spec.get("uniqueItems") and len(set(v)) != len(v):
+            return False
+        if "items" in spec and not all(py_passes(spec["items"], x) for x in v):
+            return False
+    return True
+
+
+def _spark_failing(spark, col_spec: dict, values, schema: str):
+    doc = {
+        "$id": "x://t/Prop",
+        "type": "object",
+        "properties": {"id": {"type": "integer"}, "v": col_spec},
+        "required": ["id"],
+    }
+    plan = compile_document(doc)
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, f"id long, v {schema}")
+    res = run_validation(spark, df, plan)
+    return {r["id"] for r in res.violations.select("id").collect()}
+
+
+# ------------------------------------------------------------- strategies
+
+int_specs = st.fixed_dictionaries(
+    {"type": st.just("integer")},
+    optional={
+        "minimum": st.integers(-50, 50),
+        "maximum": st.integers(-50, 50),
+        "exclusiveMinimum": st.integers(-50, 50),
+        "exclusiveMaximum": st.integers(-50, 50),
+        "multipleOf": st.integers(1, 9),
+        "enum": st.lists(st.integers(-50, 50), min_size=1, max_size=5,
+                         unique=True),
+    },
+)
+
+str_specs = st.fixed_dictionaries(
+    {"type": st.just("string")},
+    optional={
+        "minLength": st.integers(0, 6),
+        "maxLength": st.integers(0, 10),
+        "pattern": st.sampled_from([r"^[ab]+$", r"c", r"^a", r"[0-9]"]),
+        "enum": st.lists(st.text(alphabet="abc01", max_size=4), min_size=1,
+                         max_size=4, unique=True),
+    },
+)
+
+arr_specs = st.fixed_dictionaries(
+    {"type": st.just("array"),
+     "items": st.fixed_dictionaries(
+         {"type": st.just("integer")},
+         optional={"minimum": st.integers(-5, 5)})},
+    optional={
+        "minItems": st.integers(0, 3),
+        "maxItems": st.integers(0, 5),
+        "uniqueItems": st.booleans(),
+    },
+)
+
+
+@settings(**SETTINGS)
+@given(spec=int_specs,
+       values=st.lists(st.one_of(st.none(), st.integers(-60, 60)),
+                       min_size=1, max_size=25))
+def test_integer_keywords_match_python_oracle(spark, spec, values):
+    expected = {i for i, v in enumerate(values) if not py_passes(spec, v)}
+    assert _spark_failing(spark, spec, values, "long") == expected
+
+
+@settings(**SETTINGS)
+@given(spec=str_specs,
+       values=st.lists(st.one_of(st.none(),
+                                 st.text(alphabet="abc01", max_size=8)),
+                       min_size=1, max_size=25))
+def test_string_keywords_match_python_oracle(spark, spec, values):
+    expected = {i for i, v in enumerate(values) if not py_passes(spec, v)}
+    assert _spark_failing(spark, spec, values, "string") == expected
+
+
+@settings(**SETTINGS)
+@given(spec=arr_specs,
+       values=st.lists(st.one_of(st.none(),
+                                 st.lists(st.integers(-8, 8), max_size=6)),
+                       min_size=1, max_size=20))
+def test_array_keywords_match_python_oracle(spark, spec, values):
+    expected = {i for i, v in enumerate(values) if not py_passes(spec, v)}
+    assert _spark_failing(spark, spec, values, "array<long>") == expected
