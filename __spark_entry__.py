@@ -614,6 +614,75 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_table_checks_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Spec-declared table checks end-to-end: the lineitem spec's x-ref /
+    x-drift / x-stats extensions compile into the plan and execute through
+    table_checks.run_table_checks — unified (check, kind, n_rows, n_bad,
+    pass) verdicts, DuckDB-oracled."""
+    import json as _json
+
+    from json_to_avro_schema_spark.table_checks import run_table_checks
+
+    spec_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "json_to_avro_schema_spark", "plans", "lineitem_checks.json",
+    )
+    with open(spec_path, "r", encoding="utf-8") as f:
+        plan = compile_document(_json.load(f))
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    baseline = li.filter(F.col("l_orderkey") % 2 == 1)
+    return run_table_checks(
+        spark, li, plan,
+        ref_tables={"orders": orders},
+        drift_baselines={"price_drift": baseline},
+    ).orderBy("check_name")
+
+
+def _o_table_checks_lineitem() -> str:
+    # drift baseline = odd-orderkey half, current = full table; PSI math
+    # mirrors operators/drift.py (same smoothing + normalization)
+    w = (105000.0 - 900.0) / 32
+    hist = (
+        "SELECT least(greatest(CAST(floor((l_extendedprice - 900.0) / {w}) AS INT), 0), 31) AS bucket, "
+        "count(*) AS n FROM lineitem WHERE l_extendedprice IS NOT NULL {where} GROUP BY 1"
+    )
+    return f"""
+WITH cur AS ({hist.format(w=w, where="")}),
+bas AS ({hist.format(w=w, where="AND l_orderkey % 2 = 1")}),
+b AS (SELECT unnest(range(32)) AS bucket),
+ps AS (SELECT b.bucket, greatest(coalesce(c.n, 0) * 1.0 / (SELECT sum(n) FROM cur), 1e-6) AS sp
+       FROM b LEFT JOIN cur c ON b.bucket = c.bucket),
+qs AS (SELECT b.bucket, greatest(coalesce(c.n, 0) * 1.0 / (SELECT sum(n) FROM bas), 1e-6) AS sq
+       FROM b LEFT JOIN bas c ON b.bucket = c.bucket),
+psi AS (SELECT sum((p.sp / (SELECT sum(sp) FROM ps) - q.sq / (SELECT sum(sq) FROM qs))
+               * ln((p.sp / (SELECT sum(sp) FROM ps)) / (q.sq / (SELECT sum(sq) FROM qs)))) AS v
+        FROM ps p JOIN qs q ON p.bucket = q.bucket)
+SELECT 'lineitem_orders_fk' AS check_name, 'ref' AS kind,
+       count(*) AS n_rows,
+       sum(CASE WHEN l_orderkey IS NOT NULL
+                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            THEN 1 ELSE 0 END) AS n_bad,
+       sum(CASE WHEN l_orderkey IS NOT NULL
+                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            THEN 1 ELSE 0 END) = 0 AS pass
+FROM lineitem
+UNION ALL
+SELECT 'price_drift', 'drift', (SELECT sum(n) FROM cur),
+       CASE WHEN (SELECT v FROM psi) < 0.2 THEN 0 ELSE 1 END,
+       (SELECT v FROM psi) < 0.2
+UNION ALL
+SELECT 'stats_' || c, 'stats', (SELECT count(*) FROM lineitem),
+       (SELECT sum(CASE WHEN (CASE c WHEN 'l_quantity' THEN l_quantity
+                               WHEN 'l_extendedprice' THEN l_extendedprice
+                               ELSE l_discount END) IS NULL THEN 1 ELSE 0 END)
+        FROM lineitem),
+       TRUE
+FROM (SELECT unnest(['l_quantity', 'l_extendedprice', 'l_discount']) AS c)
+ORDER BY check_name
+"""
+
+
 def _q_topk_price_by_flag(spark: SparkSession, sf: str) -> DataFrame:
     """Per-partition top-K sampling (SURVEY.md §2.3 'Window functions'):
     Window.partitionBy + row_number ≤ k — the violation-sampling shape."""
@@ -836,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_events_by_type": _q_stats_events_by_type,
         "topk_price_by_flag": _q_topk_price_by_flag,
         "verdict_set_ops": _q_verdict_set_ops,
+        "table_checks_lineitem": _q_table_checks_lineitem,
         # engine-native / non-SQL-expressible (rows-only checks)
         "documents_iv_verdicts": _q_documents_iv_verdicts,
         "documents_iv_violations": _q_documents_iv_violations,
@@ -877,4 +947,5 @@ def oracle_sql() -> dict[str, str]:
         "stats_events_by_type": _O_STATS_EVENTS_BY_TYPE,
         "topk_price_by_flag": _O_TOPK_PRICE_BY_FLAG,
         "verdict_set_ops": _O_VERDICT_SET_OPS,
+        "table_checks_lineitem": _o_table_checks_lineitem(),
     }

@@ -15,6 +15,7 @@ Smoothing: each empty bucket gets ``eps`` mass so both are finite.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
@@ -75,7 +76,16 @@ def psi(p: Sequence[float], q: Sequence[float]) -> float:
     return sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
 
 
-def drift_verdict(
+@dataclass
+class DriftReport:
+    kl: float
+    psi: float
+    ok: bool
+    n_current: int
+    n_baseline: int
+
+
+def drift_report(
     current: DataFrame,
     baseline: DataFrame,
     column: str,
@@ -85,11 +95,9 @@ def drift_verdict(
     hi: Optional[float] = None,
     psi_threshold: float = 0.2,
     eps: float = 1e-6,
-) -> Tuple[float, float, bool]:
-    """(kl, psi, pass). Two histogram aggregations → driver-side arithmetic.
-
-    ``psi_threshold`` 0.2 is the conventional 'significant shift' cutoff.
-    """
+) -> DriftReport:
+    """:func:`drift_verdict` plus the histogram row totals (for verdict
+    tables that report ``n_rows``) — same two aggregations, no extra scan."""
     if lo is None or hi is None:
         row = (
             current.select(F.col(column).alias("v"))
@@ -109,6 +117,33 @@ def drift_verdict(
     }
     p = _to_probs(cur, bins, eps)
     q = _to_probs(base, bins, eps)
-    kl = kl_divergence(p, q)
     s = psi(p, q)
-    return kl, s, s < psi_threshold
+    return DriftReport(
+        kl=kl_divergence(p, q),
+        psi=s,
+        ok=s < psi_threshold,
+        n_current=sum(cur.values()),
+        n_baseline=sum(base.values()),
+    )
+
+
+def drift_verdict(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    bins: int = 32,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    psi_threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> Tuple[float, float, bool]:
+    """(kl, psi, pass). Two histogram aggregations → driver-side arithmetic.
+
+    ``psi_threshold`` 0.2 is the conventional 'significant shift' cutoff.
+    """
+    rep = drift_report(
+        current, baseline, column,
+        bins=bins, lo=lo, hi=hi, psi_threshold=psi_threshold, eps=eps,
+    )
+    return rep.kl, rep.psi, rep.ok

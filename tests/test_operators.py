@@ -126,3 +126,45 @@ def test_tdigest_distributed_matches_exact(spark):
         assert abs(e - a) / e < 0.01, (e, a)
     d = merged_digest(df, "l_extendedprice")
     assert d.n == df.count()
+
+
+def test_run_table_checks_unified_verdicts(spark):
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.table_checks import run_table_checks
+
+    doc = {
+        "$id": "x://t/TC", "type": "object",
+        "properties": {"k": {"type": "integer"}, "v": {"type": "number"}},
+        "x-unique": [{"name": "uk", "columns": ["k"]}],
+        "x-drift": [{"name": "dv", "column": "v", "bins": 8,
+                     "min": 0.0, "max": 1.0}],
+        "x-stats": ["v"],
+    }
+    plan = compile_document(doc)
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.2), (2, 0.3), (3, None)], "k long, v double"
+    )
+    out = {
+        r["check_name"]: r
+        for r in run_table_checks(spark, df, plan).collect()
+    }
+    assert out["uk"]["kind"] == "unique" and not out["uk"]["pass"]
+    assert out["uk"]["n_bad"] == 2  # both rows of the duplicated key
+    assert out["dv"]["kind"] == "drift_skipped" and out["dv"]["pass"]
+    assert out["stats_v"]["n_rows"] == 4 and out["stats_v"]["n_bad"] == 1
+
+    # drift with a baseline: identical distribution passes
+    out2 = {
+        r["check_name"]: r
+        for r in run_table_checks(
+            spark, df, plan, drift_baselines={"dv": df}
+        ).collect()
+    }
+    assert out2["dv"]["kind"] == "drift" and out2["dv"]["pass"]
+    assert out2["dv"]["n_rows"] == 3  # non-null v rows
+
+    # missing ref table is an error, not a silent skip
+    doc["x-ref"] = [{"name": "fk", "columns": ["k"], "refTable": "parent"}]
+    plan2 = compile_document(doc)
+    with pytest.raises(KeyError, match="parent"):
+        run_table_checks(spark, df, plan2)
