@@ -36,6 +36,14 @@ def main(argv=None) -> int:
     p.add_argument("--run-id", default=None)
     p.add_argument("--part-key-col", default="part_key")
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument(
+        "--ref-table", action="append", default=[], metavar="NAME=PATH",
+        help="parent table for the spec's x-ref checks (repeatable)",
+    )
+    p.add_argument(
+        "--drift-baseline", action="append", default=[], metavar="NAME=PATH",
+        help="baseline table for the spec's x-drift checks (repeatable)",
+    )
     args = p.parse_args(argv)
 
     try:
@@ -101,6 +109,29 @@ def _run(spark, df, plan, args) -> int:
             "schema_problems": res.schema_problems,
             "unchecked_paths": plan.unchecked_paths,
         }
+    if plan.unique_checks or plan.ref_checks or plan.drift_checks or plan.stats_columns:
+        from .sources.iceberg import read_table as _read
+        from .table_checks import run_table_checks
+
+        def _parse_kv(pairs):
+            out = {}
+            for kv in pairs:
+                name, _, path = kv.partition("=")
+                out[name] = _read(spark, path)
+            return out
+
+        tv = run_table_checks(
+            spark, df, plan,
+            ref_tables=_parse_kv(args.ref_table),
+            drift_baselines=_parse_kv(args.drift_baseline),
+        )
+        tv.write.mode("overwrite").parquet(f"{args.out}/table_verdicts")
+        rows = tv.collect()
+        summary["table_checks"] = {
+            r["check_name"]: bool(r["pass"]) for r in rows
+        }
+        summary["table_checks_pass"] = all(r["pass"] for r in rows)
+
     if args.namespace:
         summary["namespace"] = args.namespace
     print(json.dumps(summary))  # result on stdout, logs on stderr

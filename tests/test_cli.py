@@ -61,3 +61,16 @@ def test_cli_bad_spec_exit_1(tmp_path, capsys):
     rc = main([str(bad), "--table", "/nonexistent", "--out", str(tmp_path)])
     assert rc == 1
     assert "multipleOf" in capsys.readouterr().err
+
+
+def test_cli_table_checks_in_summary(spark, docs_parquet, tmp_path, capsys):
+    out = str(tmp_path / "out3")
+    rc = main([SPEC, "--table", docs_parquet, "--out", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # documents_iv spec declares x-unique (doc_id) + x-stats; 5% seeded
+    # violations include duplicate doc_ids, so the unique check fails
+    assert summary["table_checks"]["unique_doc_id"] is False
+    assert summary["table_checks_pass"] is False
+    tv = spark.read.parquet(f"{out}/table_verdicts")
+    assert {r["kind"] for r in tv.collect()} == {"unique", "stats"}
