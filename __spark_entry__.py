@@ -853,6 +853,40 @@ def _q_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_validation(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-Streaming path end-to-end: file stream → foreachBatch
+    sinks (availableNow) → verdicts read back; must equal the batch run
+    (pinned in tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from json_to_avro_schema_spark.streaming.validate_stream import stream_to_sinks
+
+    plan = compile_document(documents_iv_spec())
+    tmp = tempfile.mkdtemp(prefix="stream_q_")
+    try:
+        src = os.path.join(tmp, "src")
+        generate_documents_iv(spark, 5_000, violation_pct=5).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        q = stream_to_sinks(
+            spark.readStream.schema(schema).parquet(src),
+            plan,
+            verdicts_path=os.path.join(tmp, "verdicts"),
+            checkpoint_location=os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination(120)
+        out = (
+            spark.read.parquet(os.path.join(tmp, "verdicts"))
+            .groupBy("check_name")
+            .agg(F.sum("n_rows").alias("n_rows"), F.sum("n_fail").alias("n_fail"))
+            .orderBy("check_name")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     dup = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
@@ -917,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "resize_plan": _q_resize_plan,
         "checkpoint_resume": _q_checkpoint_resume,
+        "streaming_validation": _q_streaming_validation,
     }
 
 
