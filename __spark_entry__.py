@@ -779,6 +779,17 @@ def _q_lsh_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def _q_ivf_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-k (deterministic k-means coarse quantizer trained on a
+    bounded sample, nprobe nearest cells scanned; full probe here ⇒ equals
+    brute force, so the exact-top-k DuckDB oracle applies)."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = sim.ivf_train_centroids(emb, k=8, iters=2)
+    out = sim.ivf_topk(emb, list(q), cents, k=10, nprobe=8)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Media plumbing end-to-end: synthesize binary payloads + typed
     metadata, decode/feature-extract via mapInPandas (deterministic fake
@@ -948,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk_cosine": _q_lsh_topk_cosine,
+        "ivf_topk_cosine": _q_ivf_topk_cosine,
         "multimodal_features": _q_multimodal_features,
         "resize_plan": _q_resize_plan,
         "checkpoint_resume": _q_checkpoint_resume,
@@ -979,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift_price": _o_psi_drift_price(),
         "ngram_jaccard_pairs": _O_NGRAM_JACCARD_PAIRS,
         "embedding_near_dups": _O_EMBEDDING_NEAR_DUPS,
+        "ivf_topk_cosine": _O_TOPK_COSINE,  # full-probe IVF ≡ exact top-k
         "stats_events_by_type": _O_STATS_EVENTS_BY_TYPE,
         "topk_price_by_flag": _O_TOPK_PRICE_BY_FLAG,
         "verdict_set_ops": _O_VERDICT_SET_OPS,

@@ -84,6 +84,8 @@ def run_bench() -> dict:
         "stats_lineitem", "unique_orders", "ri_lineitem_orders",
         "histogram_price", "quantiles_price", "text_analysis",
         "exact_dup_groups", "topk_cosine", "token_totals", "tdigest_price",
+        "psi_drift_price", "lang_detect_docs", "table_checks_lineitem",
+        "simhash_near_dups", "topk_price_by_flag",
     ]
     for name in bench_queries:
         qs[name](spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

@@ -133,6 +133,110 @@ def lsh_topk(
     )
 
 
+# ------------------------------------------------------------------- IVF
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: List[List[float]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``__cell`` = index of the nearest centroid (max cosine).
+
+    Centroids are literal arrays (constant-folded; no broadcast state).
+    At scale the assignment is one codegen'd projection; writing the table
+    bucketed/partitioned by ``__cell`` then gives list-level pruning.
+    """
+    best = F.lit(-1)
+    best_sim = F.lit(float("-inf"))
+    v = F.col(vec_col).cast("array<double>")
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(float(x)) for x in c])
+        sim = cosine(v, cc)
+        better = sim > best_sim
+        best = F.when(better, F.lit(i)).otherwise(best)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return df.withColumn("__cell", best)
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    *,
+    k: int = 16,
+    iters: int = 3,
+    train_sample: int = 50_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> List[List[float]]:
+    """Deterministic mini k-means for IVF coarse quantization.
+
+    Standard IVF practice: the coarse quantizer trains on a BOUNDED
+    deterministic sample (smallest ``train_sample`` ids via TakeOrdered —
+    never a full-table collect), so training cost is independent of table
+    size; only the final assignment pass touches all rows. Init = the k
+    vectors with the smallest ids (no RNG, bit-reproducible); each
+    iteration is one pass over the sample: assign (projection) → per-cell
+    mean. Driver holds only k×dim floats.
+    """
+    sample = df.orderBy(id_col).limit(train_sample).select(id_col, vec_col)
+    init = [
+        list(r[vec_col])
+        for r in sample.orderBy(id_col).limit(k).select(vec_col).collect()
+    ]
+    centroids = [[float(x) for x in v] for v in init]
+    dim = len(centroids[0]) if centroids else 0
+    for _ in range(iters):
+        assigned = ivf_assign(sample, centroids, vec_col=vec_col)
+        sums = assigned.groupBy("__cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.aggregate(
+                F.collect_list(F.col(vec_col).cast("array<double>")),
+                F.array(*[F.lit(0.0)] * dim),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("s"),
+        ).collect()
+        new = list(centroids)
+        for r in sums:
+            if r["n"] > 0 and r["__cell"] >= 0:
+                new[r["__cell"]] = [x / r["n"] for x in r["s"]]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: List[List[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: scan only the ``nprobe`` cells whose centroids are
+    closest to the query; exact cosine inside. Complements lsh_topk —
+    IVF adapts to the data distribution, LSH needs no training pass."""
+    q = [float(x) for x in query]
+
+    def cos_py(a: Sequence[float], b: Sequence[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb) if na and nb else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos_py(q, centroids[i]))
+    probes = order[:nprobe]
+    qcol = F.array(*[F.lit(x) for x in q])
+    sim = cosine(F.col(vec_col).cast("array<double>"), qcol).alias("cos_sim")
+    return (
+        ivf_assign(df, centroids, vec_col=vec_col)
+        .filter(F.col("__cell").isin(probes))
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     *,

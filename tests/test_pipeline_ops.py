@@ -144,3 +144,32 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(media, real_codecs=True)
+
+
+def test_ivf_topk_matches_brute_force(spark):
+    from json_to_avro_schema_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    cents = ivf_train_centroids(emb, k=8, iters=2)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    # determinism: same input → identical centroids
+    assert ivf_train_centroids(emb, k=8, iters=2) == cents
+
+    exact = [r["vec_id"] for r in brute_force_topk(emb, list(q), k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(emb, list(q), cents, k=10, nprobe=8).collect()
+    ]
+    # nprobe == k cells ⇒ full coverage ⇒ identical to brute force
+    assert approx == exact
+    # fewer probes: still returns k results with decent overlap
+    some = [
+        r["vec_id"]
+        for r in ivf_topk(emb, list(q), cents, k=10, nprobe=3).collect()
+    ]
+    assert len(some) == 10 and len(set(some) & set(exact)) >= 5
