@@ -149,6 +149,27 @@ def partition_verdicts(checked: DataFrame, plan: CompiledPlan) -> DataFrame:
     )
 
 
+def sample_violations(
+    violations: DataFrame,
+    *,
+    k: int = 10,
+    part_key_col: str = "part_key",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic top-K violation sample per partition (SURVEY.md §2.3
+    'Window functions'): the report-sized excerpt a 10^12-row run ships to
+    a human instead of the full violation table. row_number over a
+    per-partition window — no global sort, no collect."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_key_col).orderBy(F.col(order_col))
+    return (
+        violations.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def verdicts_from_violations(
     df: DataFrame,
     violations: DataFrame,

@@ -111,3 +111,22 @@ def test_verdicts_from_violations_equals_partition_verdicts(spark):
         for r in verdicts_from_violations(df, res.violations, plan).collect()
     }
     assert fused == direct and len(fused) > 0
+
+
+def test_sample_violations_per_partition(spark):
+    from json_to_avro_schema_spark.runner import sample_violations
+
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 20_000, violation_pct=10)
+    res = run_validation(spark, df, plan)
+    sample = sample_violations(res.violations, k=3)
+    counts = {
+        r["part_key"]: r["n"]
+        for r in sample.groupBy("part_key").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts and all(n <= 3 for n in counts.values())
+    # deterministic: same input → same sample
+    again = sample_violations(res.violations, k=3)
+    assert sorted(r["doc_id"] for r in sample.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
