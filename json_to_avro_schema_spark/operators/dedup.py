@@ -30,6 +30,20 @@ from pyspark.sql import functions as F
 from .text import fingerprint
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the signature-heavy projection downstream uses every core.
+
+    Small inputs (few parquet files) arrive in 1-2 partitions, serializing
+    an expensive per-row expression onto 1-2 tasks; repartition up to the
+    default parallelism. No-op (no added shuffle) for big inputs, whose
+    partition count already exceeds the core count.
+    """
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 # ------------------------------------------------------------------ exact
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -93,7 +107,7 @@ def minhash_lsh_candidates(
     r = num_hashes // bands
     sig = minhash_signature(F.col(text_col), k=k, num_hashes=num_hashes)
     base = (
-        df.filter(F.length(text_col) >= min_len)
+        _spread(df.filter(F.length(text_col) >= min_len))
         .select(F.col(id_col).alias("id"), sig.alias("sig"))
     )
     band_rows = base.select(
@@ -110,6 +124,10 @@ def minhash_lsh_candidates(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
+    # the band table is tiny (bands rows per doc, two longs each) but its
+    # lineage re-runs the full minhash projection; persist so the self-join
+    # computes signatures once, not once per side
+    band_rows = band_rows.persist()
     left = band_rows.alias("l")
     right = band_rows.alias("r")
     pairs = (
@@ -129,7 +147,8 @@ def ngram_jaccard(
     Joins shingle arrays in (only the candidates), computes
     |∩| / |∪| with array HOFs."""
     sh = _shingles(F.col(text_col), k).alias("sh")
-    docs_sh = docs.select(F.col(id_col).alias("id"), sh)
+    # persisted: the shingle projection feeds both sides of the pair join
+    docs_sh = _spread(docs).select(F.col(id_col).alias("id"), sh).persist()
     out = (
         pairs.join(docs_sh.withColumnRenamed("sh", "sh_a"), pairs.id_a == docs_sh.id)
         .drop("id")
@@ -152,9 +171,17 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     k: int = 5,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
-    """LSH candidates → exact Jaccard ≥ threshold: (id_a, id_b, jaccard)."""
+    """LSH candidates → exact Jaccard ≥ threshold: (id_a, id_b, jaccard).
+
+    Default 4 bands × 8 rows: P(candidate) at j=0.5 is ~1.5% vs ~40% for
+    8×4 — on vocabulary-overlapping corpora the wider bands produce
+    hundreds of thousands of spurious candidate pairs whose exact-Jaccard
+    verification dominates the runtime. Exact duplicates (j=1) always
+    collide; recall at the j=0.9 borderline is ~90% (raise ``bands`` for
+    higher recall at higher verify cost).
+    """
     cands = minhash_lsh_candidates(
         df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands
     )
@@ -168,36 +195,27 @@ def minhash_near_duplicates(
 def simhash64(col: Column) -> Column:
     """64-bit SimHash of whitespace tokens, entirely in HOFs.
 
-    Bit voting: each token's xxhash64 votes +1/-1 per bit position; the
-    signature takes the sign. aggregate() keeps a 64-slot int array.
+    Bit voting without per-token allocation: token hashes are computed
+    ONCE into an array, then each bit's vote is a count of set bits via
+    ``filter``+``size`` over that array (bit b wins when set in more than
+    half the tokens). The earlier formulation built two 64-slot arrays per
+    token inside ``aggregate`` — ~10× more allocation in the interpreted
+    HOF path, measurably slow at scale.
     """
     toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
-    # bit positions unrolled Python-side (shiftright/shiftleft take int
-    # literals); still a single JVM expression per row
-    votes = F.aggregate(
-        toks,
-        F.array(*[F.lit(0)] * 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1),
-                    ).otherwise(F.lit(-1))
-                    for b in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
-    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
     sig = F.lit(0).cast("long")
     for b in range(64):
+        ones = F.size(
+            F.filter(
+                hashes,
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
         sig = sig.bitwiseOR(
-            F.when(
-                F.element_at(votes, b + 1) > 0,
-                F.shiftleft(F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long"))
+            F.when(ones * 2 > n, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
         )
     return sig
 
@@ -216,10 +234,10 @@ def simhash_near_duplicates(
     identical → join on (chunk_idx, chunk_value), verify with bit_count(xor).
     """
     sig = simhash64(F.col(text_col)).alias("sig")
-    base = df.filter(F.length(text_col) >= min_len).select(
+    base = _spread(df.filter(F.length(text_col) >= min_len)).select(
         F.col(id_col).alias("id"), sig
     )
-    chunks = base.select(
+    chunks = base.persist().select(
         "id",
         "sig",
         F.explode(
