@@ -310,6 +310,36 @@ SELECT first_doc_id, n_docs FROM g ORDER BY first_doc_id
 """
 
 
+def _q_dedup_exact_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup keep-one-representative: after appending every 100th doc
+    as a duplicate, dedup_exact must keep exactly one row per normalized
+    text, choosing the min doc_id (pinned by the id sum)."""
+    docs = load_table(spark, sf, "documents")
+    dup = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    both = docs.unionAll(dup)
+    kept = dd.dedup_exact(both, "text", "doc_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+    )
+
+
+_O_DEDUP_EXACT_KEEP = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+), kept AS (
+  SELECT min(doc_id) AS doc_id
+  FROM unioned
+  GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+)
+SELECT count(*) AS n_kept, sum(doc_id) AS sum_kept_ids FROM kept
+"""
+
+
 def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -938,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _q_text_analysis,
         "token_totals": _q_token_totals,
         "exact_dup_groups": _q_exact_dup_groups,
+        "dedup_exact_keep": _q_dedup_exact_keep,
         "topk_cosine": _q_topk_cosine,
         "approx_unique_lineitem": _q_approx_unique_lineitem,
         "lang_detect_docs": _q_lang_detect_docs,
@@ -982,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": _O_TEXT_ANALYSIS,
         "token_totals": _O_TOKEN_TOTALS,
         "exact_dup_groups": _O_EXACT_DUP_GROUPS,
+        "dedup_exact_keep": _O_DEDUP_EXACT_KEEP,
         "topk_cosine": _O_TOPK_COSINE,
         "approx_unique_lineitem": _O_APPROX_UNIQUE_LINEITEM,
         "lang_detect_docs": _o_lang_detect_docs(),
