@@ -928,6 +928,126 @@ def _q_streaming_validation(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_windowed_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked event-time windowed metrics over a STREAMED read of the
+    events table (append mode): hourly tumbling windows per event_type,
+    10-minute watermark. availableNow's final flush closes every window
+    whose end ≤ max(ts) − 10min, so the emitted set is exactly SQL-derivable
+    — the one window still inside the watermark horizon must be absent."""
+    import shutil
+    import tempfile
+
+    from json_to_avro_schema_spark.streaming.stateful import windowed_metrics
+
+    src = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    name = "wm_q_" + next(tempfile._get_candidate_names())  # unique sink table
+    # the file-stream source needs a directory; the table is a single file
+    tmp = tempfile.mkdtemp(prefix="wm_src_")
+    shutil.copy(src, os.path.join(tmp, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema).parquet(tmp)
+        # watermarks require TIMESTAMP_LTZ; session tz is pinned UTC so the
+        # NTZ→LTZ cast preserves wall-clock values
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = windowed_metrics(
+        stream, ts_col="ts", window_duration="1 hour",
+        watermark_delay="10 minutes", group_col="event_type", value_col="value",
+    )
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    shutil.rmtree(tmp, ignore_errors=True)
+    res = (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_rows",
+            "n_null",
+            F.round("min_v", 4).alias("min_v"),
+            F.round("max_v", 4).alias("max_v"),
+            F.round("mean_v", 4).alias("mean_v"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+    rows = res.collect()
+    return spark.createDataFrame(rows, res.schema)
+
+
+_O_STREAMING_WINDOWED_METRICS = """
+WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       count(*) AS n_rows,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v,
+       round(avg(value), 4) AS mean_v
+FROM events
+GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= (SELECT wm FROM m)
+ORDER BY window_start, event_type
+"""
+
+
+def _q_streaming_running_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-partition verdict totals across micro-batches. Two files stream
+    through one at a time; the final emitted state per (part_key, check)
+    must equal the batch verdict totals over the full input (pinned in
+    tests/test_streaming_stateful.py)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from json_to_avro_schema_spark.streaming.stateful import (
+        running_partition_verdicts,
+    )
+
+    plan = compile_document(documents_iv_spec())
+    docs = generate_documents_iv(spark, 5_000, violation_pct=5)
+    tmp = tempfile.mkdtemp(prefix="stateful_q_")
+    try:
+        src = os.path.join(tmp, "src")
+        seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+        docs.filter(seq % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+        docs.filter(seq % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_partition_verdicts(stream, plan)
+            .writeStream.format("memory").queryName("rpv_q")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        w = Window.partitionBy("part_key", "check_name").orderBy(
+            F.col("n_rows").desc(), F.col("n_fail").desc()
+        )
+        final = (
+            spark.sql("SELECT * FROM rpv_q")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+            .orderBy("part_key", "check_name")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, DuckDB-oracled against brute-force
     shingle Jaccard: both engines are deterministic and the LSH bands
@@ -1011,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_set_ops": _q_verdict_set_ops,
         "table_checks_lineitem": _q_table_checks_lineitem,
         "minhash_near_dups": _q_minhash_near_dups,
+        "streaming_windowed_metrics": _q_streaming_windowed_metrics,
         # engine-native / non-SQL-expressible (rows-only checks)
         "documents_iv_verdicts": _q_documents_iv_verdicts,
         "documents_iv_violations": _q_documents_iv_violations,
@@ -1023,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_plan": _q_resize_plan,
         "checkpoint_resume": _q_checkpoint_resume,
         "streaming_validation": _q_streaming_validation,
+        "streaming_running_verdicts": _q_streaming_running_verdicts,
     }
 
 
@@ -1053,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _O_EMBEDDING_NEAR_DUPS,
         "ivf_topk_cosine": _O_TOPK_COSINE,  # full-probe IVF ≡ exact top-k
         "minhash_near_dups": _O_MINHASH_NEAR_DUPS,
+        "streaming_windowed_metrics": _O_STREAMING_WINDOWED_METRICS,
         "stats_events_by_type": _O_STATS_EVENTS_BY_TYPE,
         "topk_price_by_flag": _O_TOPK_PRICE_BY_FLAG,
         "verdict_set_ops": _O_VERDICT_SET_OPS,
