@@ -713,6 +713,60 @@ ORDER BY check_name
 """
 
 
+def _q_rollup_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical verdict roll-up (rollup by returnflag → linestatus →
+    grand total) in one pass: per-level n_rows + fail counts for two range
+    checks; gid = grouping_id disambiguates subtotal rows."""
+    li = load_table(spark, sf, "lineitem")
+    return st.verdict_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "discount_bound": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.08),
+            "tax_bound": F.col("l_tax") <= 0.05,
+        },
+    ).orderBy("gid", "l_returnflag", "l_linestatus")
+
+
+_O_ROLLUP_VERDICTS = """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n_rows,
+       sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.08 THEN 0 ELSE 1 END)
+         AS n_fail_discount_bound,
+       sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) AS n_fail_tax_bound,
+       (sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.08 THEN 0 ELSE 1 END) = 0
+        AND sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) = 0) AS pass
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def _q_cube_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """Full cube over (returnflag, linestatus): all 2^2 grouping sets in a
+    single fused aggregation."""
+    li = load_table(spark, sf, "lineitem")
+    return st.verdict_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"qty_bound": F.col("l_quantity") <= 50},
+        cube=True,
+    ).orderBy("gid", "l_returnflag", "l_linestatus")
+
+
+_O_CUBE_VERDICTS = """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n_rows,
+       sum(CASE WHEN l_quantity <= 50 THEN 0 ELSE 1 END) AS n_fail_qty_bound,
+       sum(CASE WHEN l_quantity <= 50 THEN 0 ELSE 1 END) = 0 AS pass
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 def _q_topk_price_by_flag(spark: SparkSession, sf: str) -> DataFrame:
     """Per-partition top-K sampling (SURVEY.md §2.3 'Window functions'):
     Window.partitionBy + row_number ≤ k — the violation-sampling shape."""
@@ -1128,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "stats_events_by_type": _q_stats_events_by_type,
         "topk_price_by_flag": _q_topk_price_by_flag,
+        "rollup_verdicts": _q_rollup_verdicts,
+        "cube_verdicts": _q_cube_verdicts,
         "verdict_set_ops": _q_verdict_set_ops,
         "table_checks_lineitem": _q_table_checks_lineitem,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1178,6 +1234,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_metrics": _O_STREAMING_WINDOWED_METRICS,
         "stats_events_by_type": _O_STATS_EVENTS_BY_TYPE,
         "topk_price_by_flag": _O_TOPK_PRICE_BY_FLAG,
+        "rollup_verdicts": _O_ROLLUP_VERDICTS,
+        "cube_verdicts": _O_CUBE_VERDICTS,
         "verdict_set_ops": _O_VERDICT_SET_OPS,
         "table_checks_lineitem": _o_table_checks_lineitem(),
     }

@@ -102,3 +102,40 @@ def column_stats(
     key_cols = [by] if by else []
     exploded = wide.select(*key_cols, F.explode(F.array(*rows)).alias("s"))
     return exploded.select(*key_cols, "s.*")
+
+
+def verdict_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    checks: "dict[str, Column]",
+    *,
+    cube: bool = False,
+) -> DataFrame:
+    """Hierarchical verdict roll-up (SURVEY.md §2.3 'grouping sets'):
+    per-group, per-subtotal, and grand-total fail counts in ONE pass.
+
+    ``df.rollup`` (or ``df.cube``) computes every aggregation level inside a
+    single partial+final hash aggregation — no re-scan per level, which is
+    the whole point at 100 TB. ``gid`` is ``grouping_id()`` (first group
+    column = most significant bit; identical convention to DuckDB's
+    ``GROUPING(a, b)``), disambiguating subtotal rows from genuine-null
+    group values.
+
+    Output: (*group_cols, gid, n_rows, n_fail_<check>..., pass).
+    """
+    grouped = df.cube(*group_cols) if cube else df.rollup(*group_cols)
+    aggs: List[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    fail_cols = []
+    for name, pred in checks.items():
+        cname = f"n_fail_{name}"
+        # fail-closed: null predicate counts as failure (matches runner)
+        aggs.append(
+            F.sum((~F.coalesce(pred, F.lit(False))).cast("long")).alias(cname)
+        )
+        fail_cols.append(cname)
+    out = grouped.agg(F.grouping_id().alias("gid"), *aggs)
+    all_pass = F.lit(True)
+    for cname in fail_cols:
+        all_pass = all_pass & (F.col(cname) == 0)
+    return out.select(*group_cols, "gid", "n_rows", *fail_cols,
+                      all_pass.alias("pass"))

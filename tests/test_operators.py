@@ -168,3 +168,26 @@ def test_run_table_checks_unified_verdicts(spark):
     plan2 = compile_document(doc)
     with pytest.raises(KeyError, match="parent"):
         run_table_checks(spark, df, plan2)
+
+
+def test_verdict_rollup_levels_and_totals(spark):
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.operators.stats import verdict_rollup
+
+    df = spark.createDataFrame(
+        [("A", "F", 1.0), ("A", "O", 2.0), ("N", "F", -1.0), ("N", "F", 3.0)],
+        "flag string, status string, v double",
+    )
+    checks = {"v_nonneg": F.col("v") >= 0}
+    roll = verdict_rollup(df, ["flag", "status"], checks).collect()
+    # rollup: leaf rows (gid 0) + per-flag subtotals (gid 1) + grand (gid 3)
+    assert {r["gid"] for r in roll} == {0, 1, 3}
+    grand = [r for r in roll if r["gid"] == 3][0]
+    assert grand["n_rows"] == 4 and grand["n_fail_v_nonneg"] == 1 and not grand["pass"]
+
+    cube = verdict_rollup(df, ["flag", "status"], checks, cube=True).collect()
+    # cube adds the per-status level (gid 2)
+    assert {r["gid"] for r in cube} == {0, 1, 2, 3}
+    per_status_f = [r for r in cube if r["gid"] == 2 and r["status"] == "F"][0]
+    assert per_status_f["n_rows"] == 3 and per_status_f["n_fail_v_nonneg"] == 1
