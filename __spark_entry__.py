@@ -713,6 +713,80 @@ ORDER BY check_name
 """
 
 
+def _q_format_json_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """`format` keyword registry (ipv4/email regexes) + JSON scalar path
+    (get_json_object over events.props) through the real spec compiler:
+    derived columns with deterministic pass/fail mixes, validated by
+    compile_document → run_validation, whole-table verdicts."""
+    ev = load_table(spark, sf, "events")
+    uid = F.col("user_id")
+    derived = ev.select(
+        "event_id",
+        F.concat(F.lit("10.0.0."), (uid % 300).cast("string")).alias("ip"),
+        F.when(
+            uid % 7 == 0,
+            F.concat(F.lit("u"), uid.cast("string"), F.lit("example.com")),
+        ).otherwise(
+            F.concat(F.lit("u"), uid.cast("string"), F.lit("@ex.com"))
+        ).alias("email"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    spec = {
+        "$id": "https://example.com/events_derived",
+        "type": "object",
+        "required": ["event_id", "ip", "email", "k"],
+        "properties": {
+            "event_id": {"type": "integer"},
+            "ip": {"type": "string", "format": "ipv4"},
+            "email": {"type": "string", "format": "email"},
+            "k": {"type": "integer", "minimum": 0, "maximum": 50},
+        },
+    }
+    plan = compile_document(spec)
+    res = run_validation(spark, derived, plan)
+    return res.verdicts.select(
+        "check_name", "n_rows", "n_fail", "pass"
+    ).orderBy("check_name")
+
+
+_O_FORMAT_JSON_CHECKS = r"""
+WITH d AS (
+  SELECT event_id,
+         '10.0.0.' || CAST(user_id % 300 AS VARCHAR) AS ip,
+         CASE WHEN user_id % 7 = 0
+              THEN 'u' || CAST(user_id AS VARCHAR) || 'example.com'
+              ELSE 'u' || CAST(user_id AS VARCHAR) || '@ex.com' END AS email,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), f AS (
+  SELECT 'email__conforms' AS check_name,
+         sum(CASE WHEN NOT regexp_matches(email, '^[^@\s]+@[^@\s]+\.[^@\s]+$')
+              THEN 1 ELSE 0 END) AS n_fail FROM d
+  UNION ALL
+  SELECT 'email__required', sum(CASE WHEN email IS NULL THEN 1 ELSE 0 END) FROM d
+  UNION ALL
+  SELECT 'event_id__conforms', sum(0) FROM d
+  UNION ALL
+  SELECT 'event_id__required', sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) FROM d
+  UNION ALL
+  SELECT 'ip__conforms',
+         sum(CASE WHEN NOT regexp_matches(ip,
+              '^((25[0-5]|2[0-4]\d|[01]?\d?\d)\.){3}(25[0-5]|2[0-4]\d|[01]?\d?\d)$')
+              THEN 1 ELSE 0 END) FROM d
+  UNION ALL
+  SELECT 'ip__required', sum(CASE WHEN ip IS NULL THEN 1 ELSE 0 END) FROM d
+  UNION ALL
+  SELECT 'k__conforms',
+         sum(CASE WHEN k IS NOT NULL AND NOT (k >= 0 AND k <= 50)
+              THEN 1 ELSE 0 END) FROM d
+  UNION ALL
+  SELECT 'k__required', sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) FROM d
+)
+SELECT check_name, (SELECT count(*) FROM d) AS n_rows, n_fail, n_fail = 0 AS pass
+FROM f ORDER BY check_name
+"""
+
+
 def _q_rollup_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical verdict roll-up (rollup by returnflag → linestatus →
     grand total) in one pass: per-level n_rows + fail counts for two range
@@ -1182,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "stats_events_by_type": _q_stats_events_by_type,
         "topk_price_by_flag": _q_topk_price_by_flag,
+        "format_json_checks": _q_format_json_checks,
         "rollup_verdicts": _q_rollup_verdicts,
         "cube_verdicts": _q_cube_verdicts,
         "verdict_set_ops": _q_verdict_set_ops,
@@ -1234,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_windowed_metrics": _O_STREAMING_WINDOWED_METRICS,
         "stats_events_by_type": _O_STATS_EVENTS_BY_TYPE,
         "topk_price_by_flag": _O_TOPK_PRICE_BY_FLAG,
+        "format_json_checks": _O_FORMAT_JSON_CHECKS,
         "rollup_verdicts": _O_ROLLUP_VERDICTS,
         "cube_verdicts": _O_CUBE_VERDICTS,
         "verdict_set_ops": _O_VERDICT_SET_OPS,
