@@ -567,6 +567,42 @@ FROM pn JOIN qn USING (bucket)
 """
 
 
+def _q_categorical_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical KL/PSI drift over event_type proportions between even-
+    and odd-event_id halves — no binning; category set = union of observed
+    values, eps-smoothed. Distributed part is one groupBy per side."""
+    ev = load_table(spark, sf, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 0)
+    base = ev.filter(F.col("event_id") % 2 == 1)
+    rep = dr.categorical_drift_report(cur, base, "event_type", eps=1e-6)
+    return spark.createDataFrame(
+        [(round(rep.kl, 5), round(rep.psi, 5), bool(rep.ok),
+          rep.n_current, rep.n_baseline)],
+        "kl double, psi double, pass boolean, n_current long, n_baseline long",
+    )
+
+
+_O_CATEGORICAL_DRIFT = """
+WITH cur AS (SELECT event_type AS v, count(*) AS n FROM events
+             WHERE event_id % 2 = 0 GROUP BY 1),
+bas AS (SELECT event_type AS v, count(*) AS n FROM events
+        WHERE event_id % 2 = 1 GROUP BY 1),
+cats AS (SELECT v FROM cur UNION SELECT v FROM bas),
+ps AS (SELECT c.v, greatest(coalesce(cur.n, 0) * 1.0 / (SELECT sum(n) FROM cur), 1e-6) AS sp
+       FROM cats c LEFT JOIN cur ON c.v = cur.v),
+qs AS (SELECT c.v, greatest(coalesce(bas.n, 0) * 1.0 / (SELECT sum(n) FROM bas), 1e-6) AS sq
+       FROM cats c LEFT JOIN bas ON c.v = bas.v),
+pn AS (SELECT v, sp / (SELECT sum(sp) FROM ps) AS p FROM ps),
+qn AS (SELECT v, sq / (SELECT sum(sq) FROM qs) AS q FROM qs)
+SELECT round(sum(p * ln(p / q)), 5) AS kl,
+       round(sum((p - q) * ln(p / q)), 5) AS psi,
+       sum((p - q) * ln(p / q)) < 0.2 AS pass,
+       (SELECT sum(n) FROM cur) AS n_current,
+       (SELECT sum(n) FROM bas) AS n_baseline
+FROM pn JOIN qn USING (v)
+"""
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 5-shingle Jaccard on planted (doc, next-doc) pairs — oracles
     the pair-metric used to verify MinHash-LSH candidates."""
@@ -614,6 +650,63 @@ def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 _O_EMBEDDING_NEAR_DUPS = """
 SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos_sim
 FROM embeddings WHERE vec_id % 50 = 0 ORDER BY id_a, id_b
+"""
+
+
+def _q_vector_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-column validation (training-data op): dimension
+    consistency, NaN/null contamination, L2-norm stats — one fused JVM-side
+    agg (size/exists/aggregate HOFs). Corruption is planted
+    deterministically so every counter is exercised."""
+    emb = load_table(spark, sf, "embeddings")
+    vid = F.col("vec_id")
+    v = F.col("embedding")
+    corrupted = emb.select(
+        vid,
+        F.when(vid % 101 == 0, F.lit(None).cast("array<float>"))
+        .when(vid % 103 == 0, F.slice(v, 1, 8))
+        .when(
+            vid % 107 == 0,
+            F.concat(F.slice(v, 1, 63), F.array(F.lit(float("nan")).cast("float"))),
+        )
+        .otherwise(v)
+        .alias("embedding"),
+    )
+    out = sim.vector_stats(corrupted, "embedding", expected_dim=64)
+    return out.select(
+        "n_rows", "n_null_vec", "n_dim_mismatch", "n_with_nan",
+        F.round("norm_min", 4).alias("norm_min"),
+        F.round("norm_max", 4).alias("norm_max"),
+        F.round("norm_mean", 4).alias("norm_mean"),
+        "expected_dim",
+    )
+
+
+_O_VECTOR_STATS = """
+WITH c AS (
+  SELECT CASE WHEN vec_id % 101 = 0 THEN NULL
+              WHEN vec_id % 103 = 0 THEN embedding[1:8]
+              WHEN vec_id % 107 = 0 THEN list_concat(embedding[1:63], ['NaN'::FLOAT])
+              ELSE embedding END AS v
+  FROM embeddings
+), n AS (
+  SELECT v,
+         CASE WHEN v IS NOT NULL
+                   AND len(list_filter(v, x -> x IS NULL OR isnan(x))) = 0
+              THEN sqrt(list_sum(list_transform(v, x -> x * x))) END AS nr
+  FROM c
+)
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null_vec,
+       sum(CASE WHEN v IS NOT NULL AND len(v) != 64 THEN 1 ELSE 0 END) AS n_dim_mismatch,
+       sum(CASE WHEN v IS NOT NULL
+                 AND len(list_filter(v, x -> x IS NULL OR isnan(x))) > 0
+            THEN 1 ELSE 0 END) AS n_with_nan,
+       round(min(nr), 4) AS norm_min,
+       round(max(nr), 4) AS norm_max,
+       round(avg(nr), 4) AS norm_mean,
+       64 AS expected_dim
+FROM n
 """
 
 
@@ -1056,6 +1149,48 @@ def _q_streaming_validation(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-duplicate clusters: MinHash-LSH pairs (exact-Jaccard
+    verified, ≥0.9) → connected components via iterative min-label
+    propagation → (id, cluster_rep). Oracle = recursive-CTE transitive
+    closure over the same brute-force pair set."""
+    docs = load_table(spark, sf, "documents")
+    dup = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    both = docs.unionAll(dup)
+    pairs = dd.minhash_near_duplicates(both, threshold=0.9)
+    return dd.cluster_pairs(pairs).orderBy("id")
+
+
+_O_NEAR_DUP_CLUSTERS = """
+WITH RECURSIVE
+unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(length(text) - 4, 0) + 1),
+    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+  FROM unioned WHERE length(text) >= 20
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.9
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+), nodes AS (SELECT DISTINCT a AS id FROM e),
+reach AS (
+  SELECT id AS src, id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+)
+SELECT src AS id, min(dst) AS cluster_rep FROM reach GROUP BY src ORDER BY id
+"""
+
+
 def _q_streaming_windowed_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Watermarked event-time windowed metrics over a STREAMED read of the
     events table (append mode): hourly tumbling windows per event_type,
@@ -1252,8 +1387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "fingerprint_distinct": _q_fingerprint_distinct,
         "psi_drift_price": _q_psi_drift_price,
+        "categorical_drift": _q_categorical_drift,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
+        "vector_stats": _q_vector_stats,
         "stats_events_by_type": _q_stats_events_by_type,
         "topk_price_by_flag": _q_topk_price_by_flag,
         "format_json_checks": _q_format_json_checks,
@@ -1262,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_set_ops": _q_verdict_set_ops,
         "table_checks_lineitem": _q_table_checks_lineitem,
         "minhash_near_dups": _q_minhash_near_dups,
+        "near_dup_clusters": _q_near_dup_clusters,
         "streaming_windowed_metrics": _q_streaming_windowed_metrics,
         # engine-native / non-SQL-expressible (rows-only checks)
         "documents_iv_verdicts": _q_documents_iv_verdicts,
@@ -1302,11 +1440,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _O_BPE_TOKEN_STATS,
         "fingerprint_distinct": _O_FINGERPRINT_DISTINCT,
         "psi_drift_price": _o_psi_drift_price(),
+        "categorical_drift": _O_CATEGORICAL_DRIFT,
         "ngram_jaccard_pairs": _O_NGRAM_JACCARD_PAIRS,
         "embedding_near_dups": _O_EMBEDDING_NEAR_DUPS,
         "ivf_topk_cosine": _O_TOPK_COSINE,  # full-probe IVF ≡ exact top-k
         "minhash_near_dups": _O_MINHASH_NEAR_DUPS,
+        "near_dup_clusters": _O_NEAR_DUP_CLUSTERS,
         "streaming_windowed_metrics": _O_STREAMING_WINDOWED_METRICS,
+        "vector_stats": _O_VECTOR_STATS,
         "stats_events_by_type": _O_STATS_EVENTS_BY_TYPE,
         "topk_price_by_flag": _O_TOPK_PRICE_BY_FLAG,
         "format_json_checks": _O_FORMAT_JSON_CHECKS,

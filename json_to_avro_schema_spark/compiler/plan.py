@@ -18,7 +18,10 @@ root (no JSON-Schema counterpart — these are the north-rule operators):
 
     "x-unique": [{"name": ..., "columns": ["doc_id"]}]
     "x-ref":    [{"name": ..., "columns": [...], "refTable": ..., "refColumns": [...]}]
-    "x-drift":  [{"name": ..., "column": ..., "bins": 32, "min": ..., "max": ...}]
+    "x-drift":  [{"name": ..., "column": ..., "bins": 32, "min": ..., "max": ...,
+                  "categorical": false}]
+    "x-vector": [{"name": ..., "column": "embedding", "dim": 64,
+                  "normMin": 0.9, "normMax": 1.1}]
     "x-stats":  ["col", ...] | true
     "x-checks": [{"name": ..., "expr": "<spark-sql boolean expr>"}]
 """
@@ -79,6 +82,19 @@ class DriftCheckCfg:
     bins: int = 32
     lo: Optional[float] = None
     hi: Optional[float] = None
+    categorical: bool = False
+
+
+@dataclass(frozen=True)
+class VectorCheckCfg:
+    """x-vector: embedding-column conformance (dim / NaN / null / L2-norm
+    bounds) — one fused aggregation via operators/similarity.vector_stats."""
+
+    name: str
+    column: str
+    dim: Optional[int] = None
+    norm_min: Optional[float] = None
+    norm_max: Optional[float] = None
 
 
 @dataclass
@@ -90,6 +106,7 @@ class CompiledPlan:
     unique_checks: List[UniqueCheckCfg] = dc_field(default_factory=list)
     ref_checks: List[RefCheckCfg] = dc_field(default_factory=list)
     drift_checks: List[DriftCheckCfg] = dc_field(default_factory=list)
+    vector_checks: List[VectorCheckCfg] = dc_field(default_factory=list)
     stats_columns: List[str] = dc_field(default_factory=list)
     unchecked_paths: List[str] = dc_field(default_factory=list)
 
@@ -314,6 +331,17 @@ def _compile_extensions(doc: Dict[str, Any], plan: CompiledPlan) -> None:
                 bins=int(d.get("bins", 32)),
                 lo=d.get("min"),
                 hi=d.get("max"),
+                categorical=bool(d.get("categorical", False)),
+            )
+        )
+    for v in doc.get("x-vector", []) or []:
+        plan.vector_checks.append(
+            VectorCheckCfg(
+                name=v.get("name", f"vector_{v['column']}"),
+                column=v["column"],
+                dim=v.get("dim"),
+                norm_min=v.get("normMin"),
+                norm_max=v.get("normMax"),
             )
         )
     stats = doc.get("x-stats")

@@ -265,3 +265,79 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# ----------------------------------------------------- transitive clusters
+
+def cluster_pairs(
+    pairs: DataFrame, *, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: (id, cluster_rep)
+    where cluster_rep = min id reachable through the pair graph.
+
+    Iterative min-label propagation (each round: join labels to both edge
+    endpoints, take the min seen). Rounds needed = graph diameter — for
+    near-dup clusters that is tiny (clusters are cliques or short chains);
+    ``max_iters`` bounds pathological chains. Each round is one
+    shuffle-join + one groupBy-min on (edges ∪ labels) — no driver-side
+    graph state, so 10^12-edge scale-out is the same plan.
+
+    Convergence is detected with an aggregate count of changed labels
+    (small result, no full collect).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_rep"))
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (the min id) per transitive near-duplicate
+    cluster: rows whose id is a non-representative cluster member are
+    dropped; rows in no cluster are kept. One broadcast-sized join when the
+    pair set is small (it is, post-LSH-verify), plain shuffle join else."""
+    clusters = cluster_pairs(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -147,3 +147,45 @@ def drift_verdict(
         bins=bins, lo=lo, hi=hi, psi_threshold=psi_threshold, eps=eps,
     )
     return rep.kl, rep.psi, rep.ok
+
+
+def category_counts(
+    df: DataFrame, column: str, *, by: Optional[str] = None
+) -> DataFrame:
+    """Frequency table for a categorical column: (part_key?, value, n).
+    Nulls are kept as their own category (drift in null-rate IS drift)."""
+    keys = [F.col(by).alias("part_key")] if by else []
+    return df.groupBy(*keys, F.col(column).alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def categorical_drift_report(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    psi_threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DriftReport:
+    """KL/PSI over CATEGORY proportions (no binning): the category set is
+    the union of both sides' observed values, each unseen category smoothed
+    with ``eps`` mass. Distributed part = one groupBy per side (partial+final
+    hash agg, shuffle one row per category); the divergence arithmetic runs
+    driver-side on ≤|categories| values — same contract as the numeric path.
+    """
+    cur = {r["value"]: r["n"] for r in category_counts(current, column).collect()}
+    base = {r["value"]: r["n"] for r in category_counts(baseline, column).collect()}
+    cats = sorted(set(cur) | set(base), key=repr)
+    idx = {c: i for i, c in enumerate(cats)}
+    k = len(cats)
+    p = _to_probs({idx[c]: n for c, n in cur.items()}, k, eps)
+    q = _to_probs({idx[c]: n for c, n in base.items()}, k, eps)
+    s = psi(p, q)
+    return DriftReport(
+        kl=kl_divergence(p, q),
+        psi=s,
+        ok=s < psi_threshold,
+        n_current=sum(cur.values()),
+        n_baseline=sum(base.values()),
+    )

@@ -19,7 +19,7 @@ At 10^12 vectors the bucketed variant turns a full-scan top-k into a
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -272,3 +272,52 @@ def embedding_near_duplicates(
         .distinct()
     )
     return pairs
+
+
+def vector_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    expected_dim: Optional[int] = None,
+    norm_bounds: Optional[Tuple[float, float]] = None,
+) -> DataFrame:
+    """Embedding-column validation in ONE fused aggregation: dimension
+    consistency, NaN/null contamination, and L2-norm distribution — the
+    checks a training pipeline runs before indexing vectors.
+
+    All JVM-side (size / exists / aggregate HOFs — no UDF). Output is a
+    single row: n_rows, n_null_vec, n_dim_mismatch (vs expected_dim, or vs
+    the modal observed dim when omitted — pass it explicitly at scale to
+    keep this single-pass), n_with_nan, min/max/mean of the L2 norm.
+    """
+    v = F.col(vec_col)
+    if expected_dim is None:
+        expected_dim = (
+            df.filter(v.isNotNull())
+            .groupBy(F.size(v).alias("d"))
+            .count()
+            .orderBy(F.col("count").desc(), "d")
+            .first()["d"]
+        )
+    has_nan = F.exists(v, lambda x: x.isNull() | F.isnan(x))
+    good_norm = F.when(v.isNotNull() & ~has_nan, norm(v))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v.isNull().cast("long")).alias("n_null_vec"),
+        F.sum((v.isNotNull() & (F.size(v) != F.lit(expected_dim))).cast("long"))
+        .alias("n_dim_mismatch"),
+        F.sum((v.isNotNull() & has_nan).cast("long")).alias("n_with_nan"),
+        F.min(good_norm).alias("norm_min"),
+        F.max(good_norm).alias("norm_max"),
+        F.avg(good_norm).alias("norm_mean"),
+    ]
+    if norm_bounds is not None:
+        lo, hi = norm_bounds
+        aggs.append(
+            F.sum(
+                ((good_norm < F.lit(lo)) | (good_norm > F.lit(hi))).cast("long")
+            ).alias("n_norm_oob")
+        )
+    else:
+        aggs.append(F.sum(F.lit(0)).cast("long").alias("n_norm_oob"))
+    return df.agg(*aggs).withColumn("expected_dim", F.lit(expected_dim))

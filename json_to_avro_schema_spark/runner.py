@@ -170,6 +170,32 @@ def sample_violations(
     )
 
 
+def verdicts_with_violation_count(
+    df: DataFrame,
+    plan: CompiledPlan,
+    *,
+    part_key: Optional[Column] = None,
+):
+    """ONE-scan verdict aggregation + total failing-row count.
+
+    ``Observation`` metrics ride the same job that feeds the verdict
+    aggregation, so the row-level violation total (rows failing ≥1 check —
+    NOT derivable from per-check fail sums, since one row can fail several)
+    costs zero extra scans. Returns ``(verdicts_df, observation)``; read
+    ``observation.get`` AFTER an action on the verdicts.
+    """
+    from pyspark.sql import Observation
+
+    checked = apply_row_checks(df, plan, part_key=part_key)
+    obs = Observation()
+    observed = checked.observe(
+        obs,
+        F.sum((~F.col(ROW_PASS)).cast("long")).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return partition_verdicts(observed, plan), obs
+
+
 def verdicts_from_violations(
     df: DataFrame,
     violations: DataFrame,

@@ -210,3 +210,34 @@ def documents_iv_spec() -> dict:
         "x-unique": [{"name": "unique_doc_id", "columns": ["doc_id"]}],
         "x-stats": ["doc_id"],
     }
+
+
+def documents_iv_rich_spec() -> dict:
+    """Production-density variant of the flagship spec: same table, ~3× the
+    constraint surface (length/pattern bounds, span-set uniqueness, a
+    contains requirement, offset caps). Real validation specs carry dozens
+    of keywords per column; the 4-check minimal spec is parquet-decode-bound
+    at high core counts, so scaling measurements use this richer spec to
+    reflect production compute density (see BENCH/BASELINE.md)."""
+    import copy
+
+    spec = copy.deepcopy(documents_iv_spec())
+    spec["$id"] = "http://engine.local/DocumentsIVRich"
+    props = spec["properties"]
+    props["doc_id"]["minLength"] = 15
+    props["doc_id"]["maxLength"] = 15
+    spans = props["spans"]
+    spans["maxItems"] = 64
+    spans["uniqueItems"] = True
+    spans["contains"] = {
+        "properties": {"kind": {"enum": ["text", "media"]}},
+        "required": ["kind"],
+    }
+    for arm in spans["items"]["oneOf"]:
+        p = arm["properties"]
+        if p.get("text", {}).get("type") == "string":
+            p["text"]["maxLength"] = 4096
+            p["text"]["pattern"] = r"\S"
+        if "offset" in p and p["offset"].get("type") == "integer":
+            p["offset"]["maximum"] = 1000000000
+    return spec

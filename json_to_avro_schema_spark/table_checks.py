@@ -4,13 +4,15 @@ the ``table_checks``/``ref_checks``/``stats`` arm).
 The spec declares them with engine extension keywords (compiler/plan.py):
 ``x-unique`` → salted-agg uniqueness verdicts, ``x-ref`` → anti-join
 referential integrity, ``x-drift`` → binned-histogram KL/PSI vs a supplied
-baseline, ``x-stats`` → fused single-scan column stats. Each check family
-delegates to its operator module; results land in ONE unified verdict
-table::
+baseline (``categorical: true`` switches to category-proportion PSI, no
+binning), ``x-vector`` → embedding-column conformance (dim / NaN / null /
+L2-norm bounds), ``x-stats`` → fused single-scan column stats. Each check
+family delegates to its operator module; results land in ONE unified
+verdict table::
 
     (check_name, kind, n_rows, n_bad, pass)
 
-``kind`` ∈ {unique, ref, drift, drift_skipped, stats}. Per-check metric
+``kind`` ∈ {unique, ref, drift, drift_skipped, vector, stats}. Per-check metric
 detail (PSI value, per-column stats) stays in the operators' own outputs;
 this table is the pass/fail report a run persists next to the row-check
 verdicts.
@@ -84,13 +86,35 @@ def run_table_checks(
         if base is None:
             rows.append((dc.name, "drift_skipped", 0, 0, True))
             continue
-        rep = dr.drift_report(
-            df, base, dc.column,
-            bins=dc.bins, lo=dc.lo, hi=dc.hi, psi_threshold=psi_threshold,
-        )
+        if dc.categorical:
+            rep = dr.categorical_drift_report(
+                df, base, dc.column, psi_threshold=psi_threshold
+            )
+        else:
+            rep = dr.drift_report(
+                df, base, dc.column,
+                bins=dc.bins, lo=dc.lo, hi=dc.hi, psi_threshold=psi_threshold,
+            )
         rows.append(
             (dc.name, "drift", rep.n_current, 0 if rep.ok else 1, bool(rep.ok))
         )
+
+    for vc in plan.vector_checks:
+        from .operators import similarity as sim
+
+        bounds = (
+            (vc.norm_min, vc.norm_max)
+            if vc.norm_min is not None and vc.norm_max is not None
+            else None
+        )
+        r = sim.vector_stats(
+            df, vc.column, expected_dim=vc.dim, norm_bounds=bounds
+        ).collect()[0]
+        n_bad = (
+            int(r["n_null_vec"]) + int(r["n_dim_mismatch"])
+            + int(r["n_with_nan"]) + int(r["n_norm_oob"])
+        )
+        rows.append((vc.name, "vector", int(r["n_rows"]), n_bad, n_bad == 0))
 
     if plan.stats_columns:
         stats = st.column_stats(

@@ -191,3 +191,62 @@ def test_verdict_rollup_levels_and_totals(spark):
     assert {r["gid"] for r in cube} == {0, 1, 2, 3}
     per_status_f = [r for r in cube if r["gid"] == 2 and r["status"] == "F"][0]
     assert per_status_f["n_rows"] == 3 and per_status_f["n_fail_v_nonneg"] == 1
+
+
+def test_categorical_drift_identical_and_shifted(spark):
+    from json_to_avro_schema_spark.operators.drift import categorical_drift_report
+
+    a = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 30 + [("z",)] * 20, "v string"
+    )
+    same = categorical_drift_report(a, a, "v")
+    assert same.ok and abs(same.psi) < 1e-9 and same.n_current == 100
+
+    # shifted: z vanishes, w appears — PSI must blow past the 0.2 cutoff
+    b = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 30 + [("w",)] * 20, "v string"
+    )
+    moved = categorical_drift_report(a, b, "v")
+    assert not moved.ok and moved.psi > 0.2
+    # hand-check: categories {w,x,y,z}; x,y identical (no contribution);
+    # p_z=0.2 vs q_z≈eps and p_w≈eps vs q_w=0.2 → psi ≈ 2*0.2*ln(0.2/1e-6)
+    import math
+    expect = 2 * 0.2 * math.log(0.2 / 1e-6)
+    assert abs(moved.psi - expect) < 0.05
+
+
+def test_x_vector_and_categorical_drift_table_checks(spark):
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.table_checks import run_table_checks
+
+    rows = [(i, [1.0, 0.0], "a" if i % 2 else "b") for i in range(40)]
+    rows += [(100, None, "a"), (101, [1.0], "b"),          # null vec, bad dim
+             (102, [float("nan"), 0.0], "a"),               # NaN
+             (103, [9.0, 9.0], "b")]                        # norm out of bounds
+    df = spark.createDataFrame(rows, "id long, embedding array<float>, cat string")
+    base = df.filter(F.col("id") < 40)  # same categorical mix → no drift
+
+    spec = {
+        "$id": "https://example.com/vec",
+        "type": "object",
+        "properties": {"id": {"type": "integer"}},
+        "x-vector": [{"name": "emb_ok", "column": "embedding", "dim": 2,
+                      "normMin": 0.5, "normMax": 2.0}],
+        "x-drift": [{"name": "cat_drift", "column": "cat", "categorical": True}],
+    }
+    plan = compile_document(spec)
+    assert len(plan.vector_checks) == 1 and plan.drift_checks[0].categorical
+
+    out = {
+        r["check_name"]: r
+        for r in run_table_checks(
+            spark, df, plan, drift_baselines={"cat_drift": base}
+        ).collect()
+    }
+    emb = out["emb_ok"]
+    # 1 null + 1 dim-mismatch + 1 NaN + 1 norm-oob
+    assert emb["kind"] == "vector" and emb["n_bad"] == 4 and not emb["pass"]
+    cat = out["cat_drift"]
+    assert cat["kind"] == "drift" and cat["pass"]

@@ -173,3 +173,52 @@ def test_ivf_topk_matches_brute_force(spark):
         for r in ivf_topk(emb, list(q), cents, k=10, nprobe=3).collect()
     ]
     assert len(some) == 10 and len(set(some) & set(exact)) >= 5
+
+
+def test_verdicts_with_violation_count_single_scan(spark):
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.runner import (
+        run_validation,
+        verdicts_with_violation_count,
+    )
+    from json_to_avro_schema_spark.sources.synthetic import (
+        documents_iv_spec,
+        generate_documents_iv,
+    )
+
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 4_000, violation_pct=5)
+
+    verd, obs = verdicts_with_violation_count(df, plan)
+    collected = verd.collect()  # the single action; observation rides it
+    got = obs.get
+
+    ref = run_validation(spark, df, plan)
+    assert got["n_violations"] == ref.violations.count()
+    assert got["n_rows"] == df.count()
+    ref_verd = {(r["part_key"], r["check_name"]): (r["n_rows"], r["n_fail"])
+                for r in ref.verdicts.collect()}
+    new_verd = {(r["part_key"], r["check_name"]): (r["n_rows"], r["n_fail"])
+                for r in collected}
+    assert new_verd == ref_verd
+
+
+def test_cluster_pairs_and_dedup_near(spark):
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.operators.dedup import cluster_pairs, dedup_near
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_rep"] for r in cluster_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 5, 10, 11)], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_near(docs, pairs).collect())
+    # one rep per cluster (1, 10) + untouched 5
+    assert kept == [1, 5, 10]
