@@ -8,8 +8,8 @@ Five strategies, cheapest→richest, all shuffle-conscious:
   JVM hashes, no UDF) → b bands of r rows → bucket join: only same-band-hash
   docs are candidate pairs; exact shingle-Jaccard verifies. Shuffle volume is
   ~(b × docs) tiny band rows, never O(docs²).
-* **SimHash** — 64-bit signature from token-hash bit voting (HOF
-  ``aggregate`` over a 64-slot array); near-dups share one of 4 16-bit chunks
+* **SimHash** — 64-bit signature: JVM-side token hashing + Arrow/numpy
+  majority bit-voting; near-dups share one of 4 16-bit chunks
   (pigeonhole for hamming ≤ 3) → chunk-bucket join → exact hamming via
   ``bit_count(a ^ b)``.
 * **n-gram Jaccard** — exact pair similarity on candidate pairs only.
@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -192,32 +194,49 @@ def minhash_near_duplicates(
 
 # ----------------------------------------------------------------- simhash
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash of whitespace tokens, entirely in HOFs.
+def _simhash_vote_udf():
+    """Vectorized bit-voting: array<long> token hashes → 64-bit signature.
 
-    Bit voting without per-token allocation: token hashes are computed
-    ONCE into an array, then each bit's vote is a count of set bits via
-    ``filter``+``size`` over that array (bit b wins when set in more than
-    half the tokens). The earlier formulation built two 64-slot arrays per
-    token inside ``aggregate`` — ~10× more allocation in the interpreted
-    HOF path, measurably slow at scale.
+    The voting used to be a 64-branch ``filter``+``size`` HOF expression —
+    correct, but its whole-stage-codegen compile alone cost ~9 s per query.
+    Token hashing stays JVM-side (``xxhash64`` — deterministic, matches the
+    old output bit-for-bit); only the voting crosses to Arrow, where numpy
+    unpacks all hash bits of a batch at once and majority-votes per row
+    (``unpackbits`` + ``add.reduceat`` — no per-row Python).
     """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def vote(hashes: pd.Series) -> pd.Series:
+        lens = hashes.map(len).to_numpy(dtype=np.int64)
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hashes[nz]]
+            ).view(np.uint64)
+            bits = np.unpackbits(
+                flat.view(np.uint8), bitorder="little"
+            ).reshape(-1, 64)
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            ones = np.add.reduceat(bits, starts, axis=0)
+            maj = (2 * ones) > lens[nz][:, None]
+            out[nz] = (maj.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                axis=1
+            )
+        return pd.Series(out.view(np.int64))
+
+    return vote
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of whitespace tokens: JVM-side token hashing
+    (``xxhash64`` into an array — deterministic) + Arrow-vectorized
+    majority bit-voting (see :func:`_simhash_vote_udf`)."""
     toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hashes)
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        ones = F.size(
-            F.filter(
-                hashes,
-                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-            )
-        )
-        sig = sig.bitwiseOR(
-            F.when(ones * 2 > n, F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return sig
+    return _simhash_vote_udf()(hashes)
 
 
 def simhash_near_duplicates(
