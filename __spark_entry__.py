@@ -209,6 +209,28 @@ def _o_histogram_price() -> str:
     """
 
 
+def _q_histogram_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group fixed-width histogram (drift operator's by= path): one
+    partial+final hash agg keyed on (group, bucket) — the shape per-
+    Iceberg-partition drift baselines are built from."""
+    li = load_table(spark, sf, "lineitem")
+    return dr.histogram(
+        li, "l_extendedprice", bins=8, lo=_HIST_LO, hi=_HIST_HI,
+        by="l_returnflag",
+    ).orderBy("part_key", "bucket")
+
+
+def _o_histogram_by_flag() -> str:
+    w = (_HIST_HI - _HIST_LO) / 8
+    return f"""
+    SELECT l_returnflag AS part_key,
+           least(greatest(CAST(floor((l_extendedprice - {_HIST_LO}) / {w}) AS INT), 0), 7) AS bucket,
+           count(*) AS n
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    GROUP BY 1, 2 ORDER BY part_key, bucket
+    """
+
+
 def _q_quantiles_price(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     qs = li.selectExpr(
@@ -1373,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_returnflag": _q_enum_returnflag,
         "range_lineitem": _q_range_lineitem,
         "histogram_price": _q_histogram_price,
+        "histogram_by_flag": _q_histogram_by_flag,
         "quantiles_price": _q_quantiles_price,
         "events_domain": _q_events_domain,
         # training-data pipeline ops (oracled)
@@ -1427,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "enum_returnflag": _O_ENUM_RETURNFLAG,
         "range_lineitem": _O_RANGE_LINEITEM,
         "histogram_price": _o_histogram_price(),
+        "histogram_by_flag": _o_histogram_by_flag(),
         "quantiles_price": _O_QUANTILES_PRICE,
         "events_domain": _O_EVENTS_DOMAIN,
         "text_analysis": _O_TEXT_ANALYSIS,
