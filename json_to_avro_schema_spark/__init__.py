@@ -1,0 +1,52 @@
+"""PySpark-native schema + constraint validation engine.
+
+Public API (see README.md and docs/SPEC.md):
+
+    from json_to_avro_schema_spark import (
+        compile_document, run_validation, get_spark,
+        run_table_checks, CheckpointStore, run_with_checkpoint,
+    )
+
+    plan = compile_document(spec_dict)        # driver-side, fails fast
+    res = run_validation(spark, df, plan)     # lazy: violations + verdicts
+"""
+
+from .checkpoint import CheckpointStore, run_with_checkpoint
+from .compiler.plan import CompiledPlan, compile_document
+from .errors import (
+    SchemaMismatchError,
+    SpecCompileError,
+    SpecError,
+    SpecParseError,
+    SpecResolutionError,
+)
+from .runner import (
+    ValidationResult,
+    run_validation,
+    sample_violations,
+    verdicts_from_violations,
+    verdicts_with_violation_count,
+)
+from .session import get_spark
+from .table_checks import run_table_checks
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CheckpointStore",
+    "CompiledPlan",
+    "SchemaMismatchError",
+    "SpecCompileError",
+    "SpecError",
+    "SpecParseError",
+    "SpecResolutionError",
+    "ValidationResult",
+    "compile_document",
+    "get_spark",
+    "run_table_checks",
+    "run_validation",
+    "run_with_checkpoint",
+    "sample_violations",
+    "verdicts_from_violations",
+    "verdicts_with_violation_count",
+]
