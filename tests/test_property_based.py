@@ -153,3 +153,38 @@ def test_string_keywords_match_python_oracle(spark, spec, values):
 def test_array_keywords_match_python_oracle(spark, spec, values):
     expected = {i for i, v in enumerate(values) if not py_passes(spec, v)}
     assert _spark_failing(spark, spec, values, "array<long>") == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_cluster_pairs_is_valid_partition(spark, raw_pairs):
+    """cluster_pairs must produce the connected components exactly: every
+    edge's endpoints share a rep, every rep is the min of its component
+    (checked against a driver-side union-find)."""
+    from json_to_avro_schema_spark.operators.dedup import cluster_pairs
+
+    pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_rep"] for r in cluster_pairs(df).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
