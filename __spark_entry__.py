@@ -75,7 +75,7 @@ def _o_stats_lineitem() -> str:
     for c in ("l_quantity", "l_extendedprice", "l_discount"):
         parts.append(f"""
         SELECT '{c}' AS "column", count(*) AS n_rows,
-               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_rate,
                round(min({c}), 4) AS min_v, round(max({c}), 4) AS max_v,
                round(avg({c}), 4) AS mean_v
@@ -92,8 +92,8 @@ def _q_unique_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 _O_UNIQUE_ORDERS = """
 WITH c AS (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY 1)
-SELECT sum(cnt) AS n_rows, count(*) AS n_distinct,
-       coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS n_dup_rows,
+SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+       CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_dup_rows,
        coalesce(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END), 0) = 0 AS pass
 FROM c
 """
@@ -102,8 +102,10 @@ FROM c
 def _q_dup_event_users(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return (
-        dd and uq.duplicate_keys(ev, ["user_id"])
-    ).orderBy(F.col("dup_count").desc(), "user_id").limit(50)
+        uq.duplicate_keys(ev, ["user_id"])
+        .orderBy(F.col("dup_count").desc(), "user_id")
+        .limit(50)
+    )
 
 
 _O_DUP_EVENT_USERS = """
@@ -123,9 +125,9 @@ def _q_ri_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 _O_RI_LINEITEM_ORDERS = """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN l_orderkey IS NOT NULL
+       CAST(sum(CASE WHEN l_orderkey IS NOT NULL
                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-            THEN 1 ELSE 0 END) AS n_dangling,
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
        sum(CASE WHEN l_orderkey IS NOT NULL
                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
             THEN 1 ELSE 0 END) = 0 AS pass
@@ -143,9 +145,9 @@ def _q_ri_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
 
 _O_RI_ORDERS_CUSTOMER = """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN o_custkey IS NOT NULL
+       CAST(sum(CASE WHEN o_custkey IS NOT NULL
                  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
-            THEN 1 ELSE 0 END) AS n_dangling,
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
        sum(CASE WHEN o_custkey IS NOT NULL
                  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
             THEN 1 ELSE 0 END) = 0 AS pass
@@ -182,9 +184,9 @@ def _q_range_lineitem(spark: SparkSession, sf: str) -> DataFrame:
 
 _O_RANGE_LINEITEM = """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS n_discount_oob,
-       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS n_quantity_oob,
-       sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS n_price_oob
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_discount_oob,
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quantity_oob,
+       CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_oob
 FROM lineitem
 """
 
@@ -301,7 +303,7 @@ def _q_token_totals(spark: SparkSession, sf: str) -> DataFrame:
 
 _O_TOKEN_TOTALS = r"""
 SELECT lang, count(*) AS n_docs,
-       sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))) AS n_tokens
+       CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != ''))) AS BIGINT) AS n_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -358,7 +360,7 @@ WITH unioned AS (
   FROM unioned
   GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
 )
-SELECT count(*) AS n_kept, sum(doc_id) AS sum_kept_ids FROM kept
+SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids FROM kept
 """
 
 
@@ -522,7 +524,7 @@ def _q_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 _O_BPE_TOKEN_STATS = r"""
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_tokens_bpe
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens_bpe
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -619,8 +621,8 @@ qn AS (SELECT v, sq / (SELECT sum(sq) FROM qs) AS q FROM qs)
 SELECT round(sum(p * ln(p / q)), 5) AS kl,
        round(sum((p - q) * ln(p / q)), 5) AS psi,
        sum((p - q) * ln(p / q)) < 0.2 AS pass,
-       (SELECT sum(n) FROM cur) AS n_current,
-       (SELECT sum(n) FROM bas) AS n_baseline
+       (SELECT CAST(sum(n) AS BIGINT) FROM cur) AS n_current,
+       (SELECT CAST(sum(n) AS BIGINT) FROM bas) AS n_baseline
 FROM pn JOIN qn USING (v)
 """
 
@@ -719,11 +721,11 @@ WITH c AS (
   FROM c
 )
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null_vec,
-       sum(CASE WHEN v IS NOT NULL AND len(v) != 64 THEN 1 ELSE 0 END) AS n_dim_mismatch,
-       sum(CASE WHEN v IS NOT NULL
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
+       CAST(sum(CASE WHEN v IS NOT NULL AND len(v) != 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_mismatch,
+       CAST(sum(CASE WHEN v IS NOT NULL
                  AND len(list_filter(v, x -> x IS NULL OR isnan(x))) > 0
-            THEN 1 ELSE 0 END) AS n_with_nan,
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
        round(min(nr), 4) AS norm_min,
        round(max(nr), 4) AS norm_max,
        round(avg(nr), 4) AS norm_mean,
@@ -751,7 +753,7 @@ def _q_stats_events_by_type(spark: SparkSession, sf: str) -> DataFrame:
 
 _O_STATS_EVENTS_BY_TYPE = """
 SELECT event_type, 'value' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_rate,
        round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
        round(avg(value), 4) AS mean_v
@@ -805,23 +807,23 @@ psi AS (SELECT sum((p.sp / (SELECT sum(sp) FROM ps) - q.sq / (SELECT sum(sq) FRO
         FROM ps p JOIN qs q ON p.bucket = q.bucket)
 SELECT 'lineitem_orders_fk' AS check_name, 'ref' AS kind,
        count(*) AS n_rows,
-       sum(CASE WHEN l_orderkey IS NOT NULL
+       CAST(sum(CASE WHEN l_orderkey IS NOT NULL
                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-            THEN 1 ELSE 0 END) AS n_bad,
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
        sum(CASE WHEN l_orderkey IS NOT NULL
                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
             THEN 1 ELSE 0 END) = 0 AS pass
 FROM lineitem
 UNION ALL
-SELECT 'price_drift', 'drift', (SELECT sum(n) FROM cur),
-       CASE WHEN (SELECT v FROM psi) < 0.2 THEN 0 ELSE 1 END,
+SELECT 'price_drift', 'drift', (SELECT CAST(sum(n) AS BIGINT) FROM cur),
+       CAST(CASE WHEN (SELECT v FROM psi) < 0.2 THEN 0 ELSE 1 END AS BIGINT),
        (SELECT v FROM psi) < 0.2
 UNION ALL
 SELECT 'stats_' || c, 'stats', (SELECT count(*) FROM lineitem),
-       (SELECT sum(CASE WHEN (CASE c WHEN 'l_quantity' THEN l_quantity
+       (SELECT CAST(sum(CASE WHEN (CASE c WHEN 'l_quantity' THEN l_quantity
                                WHEN 'l_extendedprice' THEN l_extendedprice
                                ELSE l_discount END) IS NULL THEN 1 ELSE 0 END)
-        FROM lineitem),
+        AS BIGINT) FROM lineitem),
        TRUE
 FROM (SELECT unnest(['l_quantity', 'l_extendedprice', 'l_discount']) AS c)
 ORDER BY check_name
@@ -897,7 +899,8 @@ WITH d AS (
   UNION ALL
   SELECT 'k__required', sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) FROM d
 )
-SELECT check_name, (SELECT count(*) FROM d) AS n_rows, n_fail, n_fail = 0 AS pass
+SELECT check_name, (SELECT count(*) FROM d) AS n_rows,
+       CAST(n_fail AS BIGINT) AS n_fail, n_fail = 0 AS pass
 FROM f ORDER BY check_name
 """
 
@@ -921,9 +924,9 @@ _O_ROLLUP_VERDICTS = """
 SELECT l_returnflag, l_linestatus,
        grouping(l_returnflag, l_linestatus) AS gid,
        count(*) AS n_rows,
-       sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.08 THEN 0 ELSE 1 END)
-         AS n_fail_discount_bound,
-       sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) AS n_fail_tax_bound,
+       CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.08 THEN 0 ELSE 1 END)
+         AS BIGINT) AS n_fail_discount_bound,
+       CAST(sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_tax_bound,
        (sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.08 THEN 0 ELSE 1 END) = 0
         AND sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) = 0) AS pass
 FROM lineitem
@@ -948,7 +951,7 @@ _O_CUBE_VERDICTS = """
 SELECT l_returnflag, l_linestatus,
        grouping(l_returnflag, l_linestatus) AS gid,
        count(*) AS n_rows,
-       sum(CASE WHEN l_quantity <= 50 THEN 0 ELSE 1 END) AS n_fail_qty_bound,
+       CAST(sum(CASE WHEN l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_qty_bound,
        sum(CASE WHEN l_quantity <= 50 THEN 0 ELSE 1 END) = 0 AS pass
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -1271,7 +1274,7 @@ SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window
                 '%Y-%m-%d %H:%M:%S') AS window_end,
        event_type,
        count(*) AS n_rows,
-       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        round(min(value), 4) AS min_v,
        round(max(value), 4) AS max_v,
        round(avg(value), 4) AS mean_v

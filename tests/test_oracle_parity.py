@@ -34,15 +34,23 @@ def ddb():
 
 
 def _norm(v):
+    # Type-strict on purpose: the driver's value hash distinguishes int from
+    # float (DuckDB sum() exports as decimal128 unless CAST to BIGINT), so
+    # ints stay ints here. Floats are rounded to absorb IEEE noise only.
     if isinstance(v, bool):
         return v
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return round(v, 6)
-    if isinstance(v, int):
-        return float(v) if not isinstance(v, bool) else v
     return v
+
+
+def _kind(dtype) -> str:
+    """Pandas dtype kind: the driver's hash merges decimal→float but splits
+    int vs float (DuckDB HUGEINT sum() lands as float64), so kind-level
+    parity is the right mirror."""
+    return dtype.kind
 
 
 def _normalize(rows, colnames):
@@ -71,6 +79,14 @@ def test_query_matches_oracle(spark, ddb, name):
     d_rows, d_cols = _normalize(duck_rows, duck_cols)
 
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+
+    # physical type parity (the driver's value hash is type-sensitive:
+    # int-family vs float-family must agree on every column)
+    s_pd = spark_df.toPandas()
+    d_pd = ddb.execute(entrymod.oracle_sql()[name]).df()
+    s_types = {c: _kind(s_pd.dtypes[c]) for c in s_pd.columns}
+    d_types = {c: _kind(d_pd.dtypes[c]) for c in d_pd.columns}
+    assert s_types == d_types, f"{name}: dtype kind mismatch {s_types} vs {d_types}"
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     )
