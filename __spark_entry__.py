@@ -1229,7 +1229,9 @@ def _q_streaming_windowed_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
     src = os.path.join(sf, "events.parquet")
     schema = spark.read.parquet(src).schema
-    name = "wm_q_" + next(tempfile._get_candidate_names())  # unique sink table
+    import uuid
+
+    name = "wm_q_" + uuid.uuid4().hex[:12]  # unique sink table
     # the file-stream source needs a directory; the table is a single file
     tmp = tempfile.mkdtemp(prefix="wm_src_")
     shutil.copy(src, os.path.join(tmp, "events.parquet"))

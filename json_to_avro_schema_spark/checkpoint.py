@@ -99,17 +99,24 @@ def run_with_checkpoint(
 
     all_parts = df.select(part_key_col).distinct()
     done = store.completed_partitions(spark, run_id, plan.spec_hash)
-    pending = all_parts.join(F.broadcast(done), part_key_col, "left_anti")
+    # pending stays a DataFrame end-to-end: at 10^5-10^6 partitions a
+    # collect + isin(literal list) would embed one literal per partition in
+    # every downstream plan. localCheckpoint materializes the (tiny) key
+    # set once so the three reuses below don't re-scan the input.
+    pending = (
+        all_parts.join(F.broadcast(done), part_key_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
     n_total = all_parts.count()
-    pending_keys = [r[part_key_col] for r in pending.collect()]
-    n_pending = len(pending_keys)
+    n_pending = pending.count()
     if n_pending == 0:
         return CheckpointedRun(run_id, n_total, n_total, 0, None)
 
-    # partition pruning: when the source is partitioned by part_key this
-    # filter prunes whole directories/manifests at scan time
-    sub = df.filter(F.col(part_key_col).isin(pending_keys))
+    # broadcast semi-join on the partition column: with a partitioned
+    # source this triggers dynamic partition pruning (whole directories /
+    # manifests skipped at scan time), without a driver-side literal plan
+    sub = df.join(F.broadcast(pending), part_key_col, "left_semi")
     res = run_validation(spark, sub, plan)
 
     viol_path = os.path.join(out_dir, "violations")
@@ -118,8 +125,8 @@ def run_with_checkpoint(
     # verdicts from the materialized violations + a column-pruned row count —
     # ONE full compute scan total instead of two (runner.verdicts_from_violations)
     try:
-        viol_written = spark.read.parquet(viol_path).filter(
-            F.col(part_key_col).isin(pending_keys)
+        viol_written = spark.read.parquet(viol_path).join(
+            F.broadcast(pending), part_key_col, "left_semi"
         )
     except Exception:  # zero violations ⇒ no files to infer from
         viol_written = spark.createDataFrame([], res.violations.schema)
@@ -133,7 +140,7 @@ def run_with_checkpoint(
     # state rows AFTER both sinks committed (per-partition metrics = lineage)
     metrics = (
         spark.read.parquet(verd_path)
-        .filter(F.col(part_key_col).isin(pending_keys))
+        .join(F.broadcast(pending), part_key_col, "left_semi")
         .groupBy(part_key_col)
         .agg(F.max("n_rows").alias("n_rows"), F.sum("n_fail").alias("n_fail"))
         .select(

@@ -41,9 +41,15 @@ def _spread(df: DataFrame) -> DataFrame:
     partition count already exceeds the core count.
     """
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        return df.repartition(cores)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans can't report files
+        n_files = 0
+    if n_files >= cores:
+        # file scan already fans out at least core-wide; a repartition here
+        # would only add a shuffle
+        return df
+    return df.repartition(cores)
 
 
 # ------------------------------------------------------------------ exact
@@ -100,11 +106,19 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     min_len: int = 20,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded minhash LSH.
 
     rows-per-band r = num_hashes // bands; two docs collide in a band iff all
     r minhashes agree there — P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+
+    ``max_bucket_size`` guards against degenerate band buckets: every member
+    of an exact-duplicate group shares every band hash, so a group of g
+    copies would emit g² candidate pairs in ONE bucket. Buckets above the
+    cap are skipped (their pairs are exact duplicates — run
+    :func:`dedup_exact` first; that is the documented contract). Pass
+    ``None`` to disable the cap.
     """
     r = num_hashes // bands
     sig = minhash_signature(F.col(text_col), k=k, num_hashes=num_hashes)
@@ -130,6 +144,14 @@ def minhash_lsh_candidates(
     # lineage re-runs the full minhash projection; persist so the self-join
     # computes signatures once, not once per side
     band_rows = band_rows.persist()
+    if max_bucket_size is not None:
+        small = (
+            band_rows.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        band_rows = band_rows.join(small, ["band", "bh"], "left_semi")
     left = band_rows.alias("l")
     right = band_rows.alias("r")
     pairs = (
@@ -206,25 +228,44 @@ def _simhash_vote_udf():
     """
     from pyspark.sql.functions import pandas_udf
 
+    # Bound worker memory: unpackbits expands every 8-byte hash to 64 bytes,
+    # so the batch is processed in slices of ≤ _MAX_HASHES_PER_SLICE hashes
+    # (≈64 MiB of unpacked bits) instead of all docs at once.
+    _MAX_HASHES_PER_SLICE = 1 << 20
+
+    def _vote_slice(hashes_nz, lens_nz: np.ndarray) -> np.ndarray:
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes_nz]
+        ).view(np.uint64)
+        bits = np.unpackbits(flat.view(np.uint8), bitorder="little").reshape(-1, 64)
+        starts = np.zeros(len(lens_nz), dtype=np.int64)
+        np.cumsum(lens_nz[:-1], out=starts[1:])
+        ones = np.add.reduceat(bits, starts, axis=0)
+        maj = (2 * ones) > lens_nz[:, None]
+        return (maj.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+
     @pandas_udf("long")
     def vote(hashes: pd.Series) -> pd.Series:
-        lens = hashes.map(len).to_numpy(dtype=np.int64)
+        # null token arrays (null text upstream) vote to signature 0; the
+        # public simhash64 null-gates so callers still see null, but the UDF
+        # itself must never crash on a null batch element
+        lens = hashes.map(lambda h: 0 if h is None else len(h)).to_numpy(
+            dtype=np.int64
+        )
         out = np.zeros(len(hashes), dtype=np.uint64)
-        nz = lens > 0
-        if nz.any():
-            flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in hashes[nz]]
-            ).view(np.uint64)
-            bits = np.unpackbits(
-                flat.view(np.uint8), bitorder="little"
-            ).reshape(-1, 64)
-            starts = np.zeros(int(nz.sum()), dtype=np.int64)
-            np.cumsum(lens[nz][:-1], out=starts[1:])
-            ones = np.add.reduceat(bits, starts, axis=0)
-            maj = (2 * ones) > lens[nz][:, None]
-            out[nz] = (maj.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-                axis=1
-            )
+        nz_idx = np.flatnonzero(lens > 0)
+        pos = 0
+        while pos < len(nz_idx):
+            end = pos
+            budget = 0
+            while end < len(nz_idx) and (
+                budget + lens[nz_idx[end]] <= _MAX_HASHES_PER_SLICE or end == pos
+            ):
+                budget += lens[nz_idx[end]]
+                end += 1
+            sl = nz_idx[pos:end]
+            out[sl] = _vote_slice(hashes.iloc[sl], lens[sl])
+            pos = end
         return pd.Series(out.view(np.int64))
 
     return vote
@@ -236,7 +277,11 @@ def simhash64(col: Column) -> Column:
     majority bit-voting (see :func:`_simhash_vote_udf`)."""
     toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return _simhash_vote_udf()(hashes)
+    # null-gate: null text → null signature (the UDF also tolerates nulls,
+    # but callers should see null, not an all-zero signature)
+    return F.when(col.isNotNull(), _simhash_vote_udf()(hashes)).otherwise(
+        F.lit(None).cast("long")
+    )
 
 
 def simhash_near_duplicates(
@@ -246,11 +291,16 @@ def simhash_near_duplicates(
     *,
     max_hamming: int = 3,
     min_len: int = 20,
+    max_bucket_size: Optional[int] = 10_000,
 ) -> DataFrame:
     """(id_a, id_b, hamming): pairs within hamming ≤ max_hamming.
 
     Pigeonhole: split 64 bits into 4 chunks; hamming ≤ 3 ⇒ at least one chunk
     identical → join on (chunk_idx, chunk_value), verify with bit_count(xor).
+
+    ``max_bucket_size`` skips degenerate chunk buckets (exact-duplicate
+    mega-groups would otherwise emit |group|² pairs in one bucket) — run
+    :func:`dedup_exact` first on duplicate-heavy corpora. ``None`` disables.
     """
     sig = simhash64(F.col(text_col)).alias("sig")
     base = _spread(df.filter(F.length(text_col) >= min_len)).select(
@@ -271,6 +321,14 @@ def simhash_near_duplicates(
             )
         ).alias("e"),
     ).select("id", "sig", "e.chunk", "e.cv")
+    if max_bucket_size is not None:
+        small = (
+            chunks.groupBy("chunk", "cv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        chunks = chunks.join(small, ["chunk", "cv"], "left_semi")
     l, r = chunks.alias("l"), chunks.alias("r")
     pairs = (
         l.join(r, ["chunk", "cv"])
@@ -289,20 +347,22 @@ def simhash_near_duplicates(
 # ----------------------------------------------------- transitive clusters
 
 def cluster_pairs(
-    pairs: DataFrame, *, max_iters: int = 20
+    pairs: DataFrame, *, max_iters: int = 50
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: (id, cluster_rep)
     where cluster_rep = min id reachable through the pair graph.
 
-    Iterative min-label propagation (each round: join labels to both edge
-    endpoints, take the min seen). Rounds needed = graph diameter — for
-    near-dup clusters that is tiny (clusters are cliques or short chains);
-    ``max_iters`` bounds pathological chains. Each round is one
-    shuffle-join + one groupBy-min on (edges ∪ labels) — no driver-side
-    graph state, so 10^12-edge scale-out is the same plan.
+    Each round combines min-label propagation over edges with pointer
+    doubling over the label table itself (label ← label(label)), so a chain
+    of diameter D converges in O(log D) rounds, not O(D) — a 10^6-hop
+    pathological chain finishes in ~20 rounds. Each round is two
+    shuffle-joins + one groupBy-min; no driver-side graph state, so
+    10^12-edge scale-out is the same plan.
 
     Convergence is detected with an aggregate count of changed labels
-    (small result, no full collect).
+    (small result, no full collect). ``max_iters`` is a safety valve only:
+    if the loop exhausts without converging, a RuntimeError is raised —
+    silent partial labels would split real clusters.
     """
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -310,27 +370,40 @@ def cluster_pairs(
         .distinct()
         .persist()
     )
+    # localCheckpoint (not persist): the label table feeds four plan
+    # branches per round, so lineage would grow 4^rounds without an eager
+    # truncation — the standard iterative-graph pattern
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        # pointer doubling: the label of my label (labels is both the map
+        # and the domain — every label value is itself an id in the table)
+        hop = labels.alias("x").join(
+            labels.alias("y"), F.col("x.label") == F.col("y.id")
+        ).select(F.col("x.id").alias("id"), F.col("y.label").alias("hlabel"))
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .drop("a")
+            .join(hop, "id", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nlabel"), F.col("label")),
+                    F.coalesce(F.col("hlabel"), F.col("label")),
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -338,11 +411,17 @@ def cluster_pairs(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"cluster_pairs did not converge within max_iters={max_iters}; "
+            "raise max_iters (rounds needed ≈ log2 of the largest component "
+            "diameter)"
+        )
     return labels.select("id", F.col("label").alias("cluster_rep"))
 
 

@@ -105,10 +105,17 @@ def lsh_topk(
     probe_hamming: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bucket_col: Optional[str] = None,
 ) -> DataFrame:
     """ANN top-k: scan only buckets within ``probe_hamming`` bits of the
     query's bucket, exact cosine inside. Recall rises with probes; with
-    probe_hamming = bits it degrades gracefully to brute force."""
+    probe_hamming = bits it degrades gracefully to brute force.
+
+    Pass ``bucket_col`` when the table was WRITTEN with a materialized
+    bucket column (computed via :func:`lsh_bucket` with the same
+    bits/seed and used as a partition/bucketing key): the probe filter then
+    lands on a stored column, so Catalyst prunes partitions/files instead
+    of recomputing the bucket for every row of a full scan."""
     dim = len(query)
     q_list = [float(x) for x in query]
     # query bucket computed driver-side with the same hyperplanes
@@ -121,13 +128,19 @@ def lsh_topk(
     if probe_hamming >= 1:
         probes += [qb ^ (1 << h) for h in range(bits)]
 
-    bucket = lsh_bucket(F.col(vec_col), dim, bits=bits, seed=seed)
     qcol = F.array(*[F.lit(x) for x in q_list])
     sim = cosine(F.col(vec_col).cast("array<double>"), qcol).alias("cos_sim")
+    if bucket_col is not None:
+        # stored bucket column → the isin filter is pushed to the scan
+        # (partition pruning / parquet row-group skipping)
+        pruned = df.filter(F.col(bucket_col).isin(probes))
+    else:
+        bucket = lsh_bucket(F.col(vec_col), dim, bits=bits, seed=seed)
+        pruned = df.withColumn("__bucket", bucket).filter(
+            F.col("__bucket").isin(probes)
+        )
     return (
-        df.withColumn("__bucket", bucket)
-        .filter(F.col("__bucket").isin(probes))   # partition/file pruning if bucketed at write time
-        .select(F.col(id_col), sim)
+        pruned.select(F.col(id_col), sim)
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -241,17 +254,27 @@ def embedding_near_duplicates(
     df: DataFrame,
     *,
     threshold: float = 0.95,
-    bits: int = 12,
+    bits: Optional[int] = None,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos_sim ≥ threshold).
 
     Same-bucket join only — O(Σ bucket²) not O(N²); high-cosine pairs land in
     the same bucket with probability (1 − θ/π)^bits for angle θ.
+
+    ``bits`` defaults to ``log2(N / target_bucket_rows)`` from a cheap
+    count, clamped to [8, 28]: a fixed bit width would make the same-bucket
+    self-join O(N²/2^bits) — quadratic blowup once N outgrows the bucket
+    table. Pass ``bits`` explicitly to pin the bucket layout (e.g. when the
+    table was written bucketed by a known width).
     """
-    first = df.select(vec_col).first()
+    if bits is None:
+        n = df.count()
+        bits = max(8, min(28, int(math.ceil(math.log2(max(n / target_bucket_rows, 2.0))))))
+    first = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
     dim = len(first[vec_col]) if first else 0
     bucket = lsh_bucket(F.col(vec_col), dim, bits=bits, seed=seed)
     base = df.select(
@@ -292,32 +315,47 @@ def vector_stats(
     """
     v = F.col(vec_col)
     if expected_dim is None:
-        expected_dim = (
+        modal = (
             df.filter(v.isNotNull())
             .groupBy(F.size(v).alias("d"))
             .count()
             .orderBy(F.col("count").desc(), "d")
-            .first()["d"]
+            .first()
         )
+        # empty / all-null column: no modal dim exists — report dim 0 (every
+        # counter below still comes out well-defined: 0 mismatches, n nulls)
+        expected_dim = modal["d"] if modal is not None else 0
+    aggs = vector_stat_aggs(vec_col, expected_dim, norm_bounds)
+    return df.agg(*aggs).withColumn("expected_dim", F.lit(expected_dim))
+
+
+def vector_stat_aggs(
+    vec_col: str,
+    expected_dim: int,
+    norm_bounds: Optional[Tuple[float, float]] = None,
+    *,
+    prefix: str = "",
+) -> List[Column]:
+    """The :func:`vector_stats` aggregate expressions as a reusable list so
+    callers (table_checks) can FUSE them into one shared scan with other
+    check families. Aliases are ``{prefix}{name}``."""
+    v = F.col(vec_col)
     has_nan = F.exists(v, lambda x: x.isNull() | F.isnan(x))
     good_norm = F.when(v.isNotNull() & ~has_nan, norm(v))
     aggs = [
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(v.isNull().cast("long")).alias("n_null_vec"),
+        F.count(F.lit(1)).alias(f"{prefix}n_rows"),
+        F.sum(v.isNull().cast("long")).alias(f"{prefix}n_null_vec"),
         F.sum((v.isNotNull() & (F.size(v) != F.lit(expected_dim))).cast("long"))
-        .alias("n_dim_mismatch"),
-        F.sum((v.isNotNull() & has_nan).cast("long")).alias("n_with_nan"),
-        F.min(good_norm).alias("norm_min"),
-        F.max(good_norm).alias("norm_max"),
-        F.avg(good_norm).alias("norm_mean"),
+        .alias(f"{prefix}n_dim_mismatch"),
+        F.sum((v.isNotNull() & has_nan).cast("long")).alias(f"{prefix}n_with_nan"),
+        F.min(good_norm).alias(f"{prefix}norm_min"),
+        F.max(good_norm).alias(f"{prefix}norm_max"),
+        F.avg(good_norm).alias(f"{prefix}norm_mean"),
     ]
     if norm_bounds is not None:
         lo, hi = norm_bounds
-        aggs.append(
-            F.sum(
-                ((good_norm < F.lit(lo)) | (good_norm > F.lit(hi))).cast("long")
-            ).alias("n_norm_oob")
-        )
+        oob = (good_norm < F.lit(float(lo))) | (good_norm > F.lit(float(hi)))
+        aggs.append(F.sum(oob.cast("long")).alias(f"{prefix}n_norm_oob"))
     else:
-        aggs.append(F.sum(F.lit(0)).cast("long").alias("n_norm_oob"))
-    return df.agg(*aggs).withColumn("expected_dim", F.lit(expected_dim))
+        aggs.append(F.sum(F.lit(0)).cast("long").alias(f"{prefix}n_norm_oob"))
+    return aggs

@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from .compiler.plan import CompiledPlan
 from .operators import drift as dr
 from .operators import referential as ri
-from .operators import stats as st
 from .operators import uniqueness as uq
 
 VERDICT_SCHEMA = (
@@ -57,35 +56,84 @@ def run_table_checks(
     reported as ``drift_skipped`` with ``pass=true`` so resumable runs can
     fill them in later.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from .operators import similarity as sim
+    from .operators.stats import _is_atomic
+
     ref_tables = ref_tables or {}
     drift_baselines = drift_baselines or {}
     rows: List[Tuple] = []
 
-    for u in plan.unique_checks:
-        r = uq.uniqueness_verdict(df, list(u.columns)).collect()[0]
-        rows.append(
-            (u.name, "unique", int(r["n_rows"]), int(r["n_dup_rows"]), bool(r["pass"]))
+    # ---- fused pass: stats + uniqueness + vector share ONE table scan.
+    # Each family contributes aliased aggregate expressions to a single
+    # df.agg(); at 100 TB this is the difference between k full scans and 1.
+    fused: List = [F.count(F.lit(1)).alias("__n_rows")]
+
+    for i, u in enumerate(plan.unique_checks):
+        # same \x1f-concat key as uniqueness_verdict: concat_ws never yields
+        # null, so count_distinct sees null-key groups too — identical
+        # n_distinct semantics to the groupBy formulation
+        key = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in u.columns]
+        )
+        fused.append(F.count_distinct(key).alias(f"__uq{i}"))
+
+    vec_dims: List[int] = []
+    for j, vc in enumerate(plan.vector_checks):
+        dim = vc.dim
+        if dim is None:  # modal observed dim (cheap pre-pass; declare the
+            # dim in the spec at scale to keep table_checks single-scan)
+            v = F.col(vc.column)
+            modal = (
+                df.filter(v.isNotNull())
+                .groupBy(F.size(v).alias("d")).count()
+                .orderBy(F.col("count").desc(), "d").first()
+            )
+            dim = modal["d"] if modal is not None else 0
+        vec_dims.append(dim)
+        # one-sided norm bounds default the missing side to ±inf — a spec
+        # that declares only normMin/normMax still gets enforced
+        if vc.norm_min is not None or vc.norm_max is not None:
+            bounds = (
+                vc.norm_min if vc.norm_min is not None else float("-inf"),
+                vc.norm_max if vc.norm_max is not None else float("inf"),
+            )
+        else:
+            bounds = None
+        fused.extend(
+            sim.vector_stat_aggs(vc.column, dim, bounds, prefix=f"__vec{j}_")
         )
 
-    for rc in plan.ref_checks:
-        if rc.ref_table not in ref_tables:
-            raise KeyError(
-                f"ref check '{rc.name}' needs table '{rc.ref_table}' — "
-                f"pass it via ref_tables="
+    stats_cols: List[str] = []
+    if plan.stats_columns:
+        if plan.stats_columns == ["*"]:
+            stats_cols = [
+                f.name for f in df.schema.fields if _is_atomic(f.dataType)
+            ]
+        else:
+            stats_cols = list(plan.stats_columns)
+        for c in stats_cols:
+            fused.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__st_{c}")
             )
+
+    need_fused = bool(plan.unique_checks or plan.vector_checks or stats_cols)
+
+    # ---- ref + drift keep their own plan shapes (anti-join / histogram
+    # pair) but run CONCURRENTLY with the fused agg: independent Spark jobs
+    # submitted from threads overlap instead of serializing k scans.
+    def _run_ref(rc):
         parent = ref_tables[rc.ref_table]
         r = ri.ri_verdict(
             df, parent, list(rc.columns), list(rc.ref_columns)
         ).collect()[0]
-        rows.append(
-            (rc.name, "ref", int(r["n_rows"]), int(r["n_dangling"]), bool(r["pass"]))
-        )
+        return (rc.name, "ref", int(r["n_rows"]), int(r["n_dangling"]),
+                bool(r["pass"]))
 
-    for dc in plan.drift_checks:
-        base = drift_baselines.get(dc.name) or drift_baselines.get(dc.column)
-        if base is None:
-            rows.append((dc.name, "drift_skipped", 0, 0, True))
-            continue
+    def _run_drift(dc, base):
         if dc.categorical:
             rep = dr.categorical_drift_report(
                 df, base, dc.column, psi_threshold=psi_threshold
@@ -95,38 +143,58 @@ def run_table_checks(
                 df, base, dc.column,
                 bins=dc.bins, lo=dc.lo, hi=dc.hi, psi_threshold=psi_threshold,
             )
-        rows.append(
-            (dc.name, "drift", rep.n_current, 0 if rep.ok else 1, bool(rep.ok))
-        )
+        return (dc.name, "drift", rep.n_current, 0 if rep.ok else 1,
+                bool(rep.ok))
 
-    for vc in plan.vector_checks:
-        from .operators import similarity as sim
-
-        bounds = (
-            (vc.norm_min, vc.norm_max)
-            if vc.norm_min is not None and vc.norm_max is not None
-            else None
-        )
-        r = sim.vector_stats(
-            df, vc.column, expected_dim=vc.dim, norm_bounds=bounds
-        ).collect()[0]
-        n_bad = (
-            int(r["n_null_vec"]) + int(r["n_dim_mismatch"])
-            + int(r["n_with_nan"]) + int(r["n_norm_oob"])
-        )
-        rows.append((vc.name, "vector", int(r["n_rows"]), n_bad, n_bad == 0))
-
-    if plan.stats_columns:
-        stats = st.column_stats(
-            df,
-            None if plan.stats_columns == ["*"] else plan.stats_columns,
-            quantiles=None,
-            approx_distinct=False,
-        ).collect()
-        for r in stats:
-            rows.append(
-                (f"stats_{r['column']}", "stats", int(r["n_rows"]),
-                 int(r["n_null"]), True)
+    for rc in plan.ref_checks:
+        if rc.ref_table not in ref_tables:
+            raise KeyError(
+                f"ref check '{rc.name}' needs table '{rc.ref_table}' — "
+                f"pass it via ref_tables="
             )
 
+    tasks = []
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        fused_fut = pool.submit(lambda: df.agg(*fused).collect()[0]) if need_fused else None
+        for rc in plan.ref_checks:
+            tasks.append(pool.submit(_run_ref, rc))
+        drift_skips = []
+        for dc in plan.drift_checks:
+            base = drift_baselines.get(dc.name) or drift_baselines.get(dc.column)
+            if base is None:
+                drift_skips.append((dc.name, "drift_skipped", 0, 0, True))
+            else:
+                tasks.append(pool.submit(_run_drift, dc, base))
+        fr = fused_fut.result() if fused_fut is not None else None
+        task_rows = [t.result() for t in tasks]
+
+    if fr is not None:
+        n_rows = int(fr["__n_rows"])
+        for i, u in enumerate(plan.unique_checks):
+            n_distinct = int(fr[f"__uq{i}"])
+            if n_distinct == n_rows:
+                n_dup_rows = 0
+            else:
+                # duplicates exist: one extra (rare-path) salted group-by
+                # recovers the exact duplicate-row count
+                n_dup_rows = int(
+                    uq.duplicate_keys(df, list(u.columns))
+                    .agg(F.coalesce(F.sum("dup_count"), F.lit(0)).alias("s"))
+                    .collect()[0]["s"]
+                )
+            rows.append((u.name, "unique", n_rows, n_dup_rows, n_dup_rows == 0))
+        for j, vc in enumerate(plan.vector_checks):
+            p = f"__vec{j}_"
+            n_bad = (
+                int(fr[f"{p}n_null_vec"]) + int(fr[f"{p}n_dim_mismatch"])
+                + int(fr[f"{p}n_with_nan"]) + int(fr[f"{p}n_norm_oob"])
+            )
+            rows.append((vc.name, "vector", int(fr[f"{p}n_rows"]), n_bad,
+                         n_bad == 0))
+        for c in stats_cols:
+            rows.append((f"stats_{c}", "stats", n_rows, int(fr[f"__st_{c}"]),
+                         True))
+
+    rows.extend(task_rows)
+    rows.extend(drift_skips)
     return spark.createDataFrame(rows, VERDICT_SCHEMA)

@@ -222,3 +222,102 @@ def test_cluster_pairs_and_dedup_near(spark):
     kept = sorted(r["doc_id"] for r in dedup_near(docs, pairs).collect())
     # one rep per cluster (1, 10) + untouched 5
     assert kept == [1, 5, 10]
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    """A 40-hop path graph exceeds the old per-round diameter budget;
+    pointer doubling must converge it (in ~log2(40) rounds) with every node
+    labeled by the chain minimum."""
+    from json_to_avro_schema_spark.operators.dedup import cluster_pairs
+
+    n = 41  # path 0-1-2-...-40: diameter 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_rep"] for r in cluster_pairs(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cluster_pairs_raises_on_nonconvergence(spark):
+    from json_to_avro_schema_spark.operators.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_pairs(pairs, max_iters=2)
+
+
+def test_lsh_mega_bucket_guard(spark):
+    """2k copies of one doc: with the bucket cap the band join skips the
+    degenerate bucket instead of emitting ~4M candidate pairs; distinct
+    content is still paired normally."""
+    from json_to_avro_schema_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_duplicates,
+    )
+
+    clones = [(i, "the same exact duplicated text content repeated verbatim here")
+              for i in range(2000)]
+    near = [
+        (10_001, "a genuinely distinct sentence about distributed dataframes"),
+        (10_002, "a genuinely distinct sentence about distributed dataframes"),
+    ]
+    df = spark.createDataFrame(clones + near, "doc_id long, text string")
+
+    cands = minhash_lsh_candidates(df, max_bucket_size=100)
+    rows = cands.collect()
+    assert (10_001, 10_002) in {(r["id_a"], r["id_b"]) for r in rows}
+    assert len(rows) < 10_000  # no |clones|^2 explosion
+
+    sh_pairs = simhash_near_duplicates(df, max_hamming=3, max_bucket_size=100)
+    sh = {(r["id_a"], r["id_b"]) for r in sh_pairs.collect()}
+    assert (10_001, 10_002) in sh
+    assert len(sh) < 10_000
+
+
+def test_simhash_null_safe(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world tokens here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["sig"] for r in df.select(
+        "doc_id", simhash64(F.col("text")).alias("sig")).collect()}
+    assert rows[2] is None          # null text -> null signature
+    assert rows[3] == 0             # empty text -> empty token set -> 0
+    assert rows[1] is not None and rows[1] != 0
+
+
+def test_vector_stats_empty_and_all_null(spark):
+    from json_to_avro_schema_spark.operators.similarity import vector_stats
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    r = vector_stats(all_null).collect()[0]
+    assert r["n_rows"] == 2 and r["n_null_vec"] == 2
+    assert r["n_dim_mismatch"] == 0 and r["expected_dim"] == 0
+    assert r["norm_min"] is None
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    r2 = vector_stats(empty).collect()[0]
+    assert r2["n_rows"] == 0 and r2["expected_dim"] == 0
+
+
+def test_vector_stats_one_sided_norm_bound(spark):
+    from json_to_avro_schema_spark.operators.similarity import vector_stats
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.3, 0.4])],  # norms 5.0 and 0.5
+        "vec_id long, embedding array<float>",
+    )
+    lo_only = vector_stats(df, norm_bounds=(1.0, float("inf"))).collect()[0]
+    assert lo_only["n_norm_oob"] == 1
+    hi_only = vector_stats(df, norm_bounds=(float("-inf"), 1.0)).collect()[0]
+    assert hi_only["n_norm_oob"] == 1
+
+
+def test_embedding_near_dups_auto_bits(spark):
+    df, _ = _embeddings(spark)
+    pairs = embedding_near_duplicates(df, threshold=0.99)  # bits auto-scaled
+    assert any((r["id_a"], r["id_b"]) == (0, 1) for r in pairs.collect())
