@@ -1038,20 +1038,47 @@ def _q_span_ri_dangling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_tdigest_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable t-digest quantile sketch vs the exact quantiles — the
+    oracle pins the exact values AND that each t-digest estimate lands
+    within 1% relative error (the approx_unique_lineitem pattern: the
+    tolerance check runs Spark-side, the oracle asserts it must hold)."""
     li = load_table(spark, sf, "lineitem")
     est = tdigest_quantiles(li, "l_extendedprice", [0.1, 0.5, 0.9])
+    exact = li.selectExpr(
+        "percentile(l_extendedprice, array(0.1, 0.5, 0.9)) AS q"
+    ).first()["q"]
+    ok = [abs(e - x) <= 0.01 * abs(x) for e, x in zip(est, exact)]
     return spark.createDataFrame(
-        [(round(est[0], 1), round(est[1], 1), round(est[2], 1))],
-        "q10 double, q50 double, q90 double",
+        [(
+            round(exact[0], 3), round(exact[1], 3), round(exact[2], 3),
+            bool(ok[0]), bool(ok[1]), bool(ok[2]),
+        )],
+        "q10 double, q50 double, q90 double, "
+        "td10_within_1pct boolean, td50_within_1pct boolean, "
+        "td90_within_1pct boolean",
     )
 
 
+_O_TDIGEST_PRICE = """
+SELECT round(quantile_cont(l_extendedprice, 0.1), 3) AS q10,
+       round(quantile_cont(l_extendedprice, 0.5), 3) AS q50,
+       round(quantile_cont(l_extendedprice, 0.9), 3) AS q90,
+       TRUE AS td10_within_1pct,
+       TRUE AS td50_within_1pct,
+       TRUE AS td90_within_1pct
+FROM lineitem
+"""
+
+
 def _q_lsh_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH buckets (probe = bucket ±1 bit);
-    exact cosine inside the probed buckets."""
+    """ANN top-k via random-hyperplane LSH buckets; run at full probe
+    radius (probe_hamming = bits ⇒ every bucket scanned ⇒ ≡ brute force),
+    which makes the exact-top-k DuckDB oracle apply — the same pattern as
+    ivf_topk_cosine. Recall at partial probe radius is pinned in
+    tests/test_pipeline_ops.py::test_lsh_topk_recall."""
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    out = sim.lsh_topk(emb, list(q), k=10, bits=6, probe_hamming=1)
+    out = sim.lsh_topk(emb, list(q), k=10, bits=6, probe_hamming=6)
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
@@ -1067,29 +1094,100 @@ def _q_ivf_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Media plumbing end-to-end: synthesize binary payloads + typed
-    metadata, decode/feature-extract via mapInPandas (deterministic fake
-    codec — see operators/multimodal.py), return per-asset feature facts."""
+    """Media plumbing end-to-end: binary payloads + typed metadata through
+    the mapInPandas decode/feature-extract path (deterministic fake codec —
+    see operators/multimodal.py). The media table here is derived with
+    plain arithmetic so a DuckDB oracle re-derives every plumbing fact:
+    media_type routing, frame-sampling counts, decode status, feature
+    dimensionality, and the encoder's unit-norm invariant. (Exact feature
+    bytes are pinned by pytest; they depend on float32 sha256 expansion,
+    which no SQL engine reproduces.)"""
     from json_to_avro_schema_spark.operators import multimodal as mm
 
-    media = mm.synthesize_media_table(spark, 2000)
+    i = F.col("id")
+    media = spark.range(2000).select(
+        F.format_string("m-%08d", i.cast("int")).alias("media_ref"),
+        F.encode(F.format_string("p-%d", i), "utf-8").alias("payload"),
+        F.struct(
+            F.when(i % 3 == 0, "image").when(i % 3 == 1, "audio")
+            .otherwise("video").alias("media_type"),
+            F.lit("png").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(16).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
     feats = mm.extract_features(media, frames_per_video=4)
+    l2 = F.sqrt(F.aggregate(
+        F.transform("feature", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    ))
     return feats.select(
         "media_ref",
         "media_type",
         "frames_sampled",
         "decode_ok",
-        F.round(F.element_at("feature", 1), 5).alias("f0"),
+        F.size("feature").alias("feat_dim"),
+        # frame-mean of unit vectors isn't unit itself, but a single frame's
+        # is; videos average 4 unit vectors so their norm is ≤ 1 and > 0
+        ((l2 > 0.0) & (l2 < 1.0001)).alias("norm_ok"),
     ).orderBy("media_ref")
+
+
+_O_MULTIMODAL_FEATURES = """
+SELECT printf('m-%08d', range) AS media_ref,
+       CASE WHEN range % 3 = 0 THEN 'image'
+            WHEN range % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(CASE WHEN range % 3 = 2 THEN 4 ELSE 1 END AS INT) AS frames_sampled,
+       TRUE AS decode_ok,
+       16 AS feat_dim,
+       TRUE AS norm_ok
+FROM range(2000) ORDER BY media_ref
+"""
 
 
 def _q_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Metadata-only image resize planning (no decode): aspect-preserving
-    target dims capped at 512px, full scan speed."""
+    target dims capped at 512px, full scan speed. The media metadata here
+    is derived with plain integer arithmetic (not xxhash64) so a DuckDB
+    oracle can re-derive the identical table and check the resize math."""
     from json_to_avro_schema_spark.operators import multimodal as mm
 
-    media = mm.synthesize_media_table(spark, 2000)
+    i = F.col("id")
+    media = spark.range(2000).select(
+        F.format_string("m-%08d", i.cast("int")).alias("media_ref"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.when(i % 3 == 0, "image").when(i % 3 == 1, "audio")
+            .otherwise("video").alias("media_type"),
+            F.lit("png").alias("format"),
+            ((i * 2654435761) % 1920 + 1).cast("int").alias("width"),
+            ((i * 40503) % 1080 + 1).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
     return mm.resize_plan(media, max_px=512).orderBy("media_ref")
+
+
+_O_RESIZE_PLAN = """
+WITH m AS (
+  SELECT printf('m-%08d', range) AS media_ref,
+         CAST((range * 2654435761) % 1920 + 1 AS INT) AS width,
+         CAST((range * 40503) % 1080 + 1 AS INT) AS height
+  FROM range(2000) WHERE range % 3 = 0
+), s AS (
+  SELECT *, least(512.0 / greatest(width, 1),
+                  512.0 / greatest(height, 1), 1.0) AS scale
+  FROM m
+)
+SELECT media_ref, width, height,
+       CAST(floor(width * scale + 0.5) AS INT) AS target_width,
+       CAST(floor(height * scale + 0.5) AS INT) AS target_height,
+       scale < 1.0 AS needs_resize
+FROM s ORDER BY media_ref
+"""
 
 
 def _q_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
@@ -1140,21 +1238,42 @@ def _q_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_STREAM_EVENTS_SPEC = {
+    "$id": "https://example.com/events_stream",
+    "type": "object",
+    "required": ["event_id", "user_id", "event_type", "value"],
+    "properties": {
+        "event_id": {"type": "integer"},
+        "user_id": {"type": "integer", "minimum": 0, "maximum": 99},
+        "event_type": {
+            "type": "string",
+            "enum": ["click", "purchase", "signup", "view"],  # 'error' fails
+        },
+        "value": {"type": "number", "maximum": 300},
+    },
+}
+
+
 def _q_streaming_validation(spark: SparkSession, sf: str) -> DataFrame:
-    """Structured-Streaming path end-to-end: file stream → foreachBatch
-    sinks (availableNow) → verdicts read back; must equal the batch run
-    (pinned in tests/test_streaming.py)."""
+    """Structured-Streaming path end-to-end over the REAL events table:
+    file stream → foreachBatch sinks (availableNow) → verdicts read back
+    and summed per check. Because the input is the driver's events parquet
+    and the checks are plain column predicates, the whole-table totals are
+    SQL-derivable — the stream≡batch invariant is additionally pinned in
+    tests/test_streaming.py."""
     import shutil
     import tempfile
 
     from json_to_avro_schema_spark.streaming.validate_stream import stream_to_sinks
 
-    plan = compile_document(documents_iv_spec())
+    plan = compile_document(_STREAM_EVENTS_SPEC)
+    src_file = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(src_file).schema
     tmp = tempfile.mkdtemp(prefix="stream_q_")
     try:
         src = os.path.join(tmp, "src")
-        generate_documents_iv(spark, 5_000, violation_pct=5).write.parquet(src)
-        schema = spark.read.parquet(src).schema
+        os.makedirs(src)
+        shutil.copy(src_file, os.path.join(src, "events.parquet"))
         q = stream_to_sinks(
             spark.readStream.schema(schema).parquet(src),
             plan,
@@ -1166,12 +1285,57 @@ def _q_streaming_validation(spark: SparkSession, sf: str) -> DataFrame:
             spark.read.parquet(os.path.join(tmp, "verdicts"))
             .groupBy("check_name")
             .agg(F.sum("n_rows").alias("n_rows"), F.sum("n_fail").alias("n_fail"))
+            .withColumn("pass", F.col("n_fail") == 0)
             .orderBy("check_name")
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_O_STREAMING_VALIDATION = """
+WITH f AS (
+  SELECT 'event_id__conforms' AS check_name, CAST(sum(0) AS BIGINT) AS n_fail
+  FROM events
+  UNION ALL
+  SELECT 'event_id__required',
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'event_type__conforms',
+         CAST(sum(CASE WHEN event_type IS NOT NULL
+                        AND event_type NOT IN ('click','purchase','signup','view')
+                   THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'event_type__required',
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'user_id__conforms',
+         CAST(sum(CASE WHEN user_id IS NOT NULL
+                        AND NOT (user_id >= 0 AND user_id <= 99)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'user_id__required',
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'value__conforms',
+         CAST(sum(CASE WHEN value IS NOT NULL AND NOT (value <= 300)
+                   THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'value__required',
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+)
+SELECT check_name, (SELECT count(*) FROM events) AS n_rows,
+       n_fail, n_fail = 0 AS pass
+FROM f ORDER BY check_name
+"""
 
 
 def _q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -1377,16 +1541,49 @@ ORDER BY id_a, id_b
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash chunk-bucketed candidates at hamming 0, then exact
+    token-bag verification (the candidates→verify composition the minhash
+    path also uses). Hamming 0 guarantees recall of every identical-bag
+    pair, so the verified output is exactly the identical-token-multiset
+    pair set — SQL-derivable. (Unverified simhash output additionally
+    surfaces vote-collision near-dups; that approximate surface is pinned
+    by pytest, not the oracle.)"""
     docs = load_table(spark, sf, "documents")
     dup = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10_000_000
     )
     both = docs.unionAll(dup)
+    cands = dd.simhash_near_duplicates(both, max_hamming=0)
+    toks = F.array_sort(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    bags = both.select(F.col("doc_id").alias("id"), toks.alias("bag"))
     return (
-        dd.simhash_near_duplicates(both, max_hamming=0)
+        cands.join(bags.withColumnRenamed("bag", "bag_a"), cands.id_a == bags.id)
+        .drop("id")
+        .join(bags.withColumnRenamed("bag", "bag_b"), cands.id_b == F.col("id"))
+        .drop("id")
+        .filter(F.col("bag_a") == F.col("bag_b"))
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+_O_SIMHASH_NEAR_DUPS = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+), t AS (
+  SELECT doc_id,
+         list_sort(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x != '')) AS toks
+  FROM unioned WHERE length(text) >= 20
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+FROM t a JOIN t b ON a.toks = b.toks AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1473,6 +1670,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _O_NGRAM_JACCARD_PAIRS,
         "embedding_near_dups": _O_EMBEDDING_NEAR_DUPS,
         "ivf_topk_cosine": _O_TOPK_COSINE,  # full-probe IVF ≡ exact top-k
+        "lsh_topk_cosine": _O_TOPK_COSINE,  # full-probe LSH ≡ exact top-k
+        "simhash_near_dups": _O_SIMHASH_NEAR_DUPS,
+        "resize_plan": _O_RESIZE_PLAN,
+        "streaming_validation": _O_STREAMING_VALIDATION,
+        "tdigest_price": _O_TDIGEST_PRICE,
+        "multimodal_features": _O_MULTIMODAL_FEATURES,
         "minhash_near_dups": _O_MINHASH_NEAR_DUPS,
         "near_dup_clusters": _O_NEAR_DUP_CLUSTERS,
         "streaming_windowed_metrics": _O_STREAMING_WINDOWED_METRICS,

@@ -146,11 +146,14 @@ def resize_plan(media: DataFrame, *, max_px: int = 512) -> DataFrame:
         F.lit(float(max_px)) / F.greatest(h, F.lit(1)),
         F.lit(1.0),
     )
+    # floor(x + 0.5) == HALF_UP for positive dims, and (unlike round())
+    # evaluates identically across engines — the IEEE formula is the same
+    # everywhere, so an external SQL oracle reproduces it bit-for-bit
     return media.filter(F.col("meta.media_type") == "image").select(
         "media_ref",
         w.alias("width"),
         h.alias("height"),
-        F.round(w * scale).cast("int").alias("target_width"),
-        F.round(h * scale).cast("int").alias("target_height"),
+        F.floor(w * scale + 0.5).cast("int").alias("target_width"),
+        F.floor(h * scale + 0.5).cast("int").alias("target_height"),
         (scale < 1.0).alias("needs_resize"),
     )

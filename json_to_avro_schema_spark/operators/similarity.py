@@ -124,9 +124,18 @@ def lsh_topk(
         plane = _hyperplane(dim, h, seed)
         if sum(a * b for a, b in zip(q_list, plane)) > 0:
             qb |= 1 << h
+    # probe set = every bucket within probe_hamming bit flips of the query
+    # bucket (C(bits, ≤r) masks — tiny for practical bits); probe_hamming =
+    # bits covers all 2^bits buckets, degrading exactly to brute force
+    from itertools import combinations
+
     probes = [qb]
-    if probe_hamming >= 1:
-        probes += [qb ^ (1 << h) for h in range(bits)]
+    for r in range(1, min(probe_hamming, bits) + 1):
+        for flip in combinations(range(bits), r):
+            m = 0
+            for h in flip:
+                m |= 1 << h
+            probes.append(qb ^ m)
 
     qcol = F.array(*[F.lit(x) for x in q_list])
     sim = cosine(F.col(vec_col).cast("array<double>"), qcol).alias("cos_sim")
