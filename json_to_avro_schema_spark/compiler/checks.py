@@ -215,10 +215,25 @@ def _container_keyword_predicates(
                 F.forall(expr, lambda e: element_predicate(items, e, f"{path}[]"))
             )
         if isinstance(s.items, tuple):
-            raise SpecCompileError(
-                "Unimplemented: index by index array validation isn't supported "
-                f"yet at {path}"
-            )
+            # positional (tuple-form) items on an array carrier: index k is
+            # constrained only when the array is long enough (draft-6:
+            # shorter arrays pass) — beyond the reference, which errors here
+            # (Transpiler.scala:290)
+            n_tuple = len(s.items)
+            for k, it in enumerate(s.items):
+                preds.append(
+                    F.when(F.size(expr) <= F.lit(k), F.lit(True)).otherwise(
+                        element_predicate(it, F.element_at(expr, k + 1), f"{path}[{k}]")
+                    )
+                )
+            if s.additional_items is False:
+                preds.append(F.size(expr) <= F.lit(n_tuple))
+            elif s.additional_items is not None and s.additional_items is not True:
+                ai = s.additional_items
+                rest = F.filter(expr, lambda e, i: i >= F.lit(n_tuple))
+                preds.append(
+                    F.forall(rest, lambda e: element_predicate(ai, e, f"{path}[+]"))
+                )
         if s.contains is not None:
             contains = s.contains
             preds.append(
@@ -265,6 +280,17 @@ def _container_keyword_predicates(
                     lambda v: element_predicate(sub_s, v, f"{path}.<p>"),
                 )
             )
+
+    if isinstance(dtype, T.StructType) and isinstance(s.items, tuple) and not s.properties:
+        # heterogeneous tuple carried as fixed-width struct (i0..iN): each
+        # position validates its own field; a null field = absent position,
+        # which draft-6 allows, so node_predicate's gate applies. minItems
+        # translates to the first minItems positions being present.
+        for k, it in enumerate(s.items):
+            preds.append(node_predicate(it, expr[f"i{k}"], f"{path}[{k}]"))
+        if s.min_items > 0:
+            for k in range(min(s.min_items, len(s.items))):
+                preds.append(expr[f"i{k}"].isNotNull())
 
     if isinstance(dtype, T.StructType) and s.properties:
         for name, sub in s.properties.items():

@@ -109,6 +109,12 @@ class CompiledPlan:
     vector_checks: List[VectorCheckCfg] = dc_field(default_factory=list)
     stats_columns: List[str] = dc_field(default_factory=list)
     unchecked_paths: List[str] = dc_field(default_factory=list)
+    # accumulative additionalProperties (draft-6-correct; the reference's
+    # own Roadmap flags its exclusive behavior as a bug): extra DATA columns
+    # beyond the declared properties are validated at schema-bind time
+    root_additional_properties: Optional[Any] = None
+    root_pattern_properties: Dict[str, Any] = dc_field(default_factory=dict)
+    root_declared_properties: Tuple[str, ...] = ()
 
     def check_names(self) -> List[str]:
         return [c.name for c in self.row_checks]
@@ -116,6 +122,89 @@ class CompiledPlan:
     def with_row_checks(self, *checks: RowCheck) -> "CompiledPlan":
         self.row_checks.extend(checks)
         return self
+
+    def bind_schema(self, schema: T.StructType) -> "CompiledPlan":
+        """Materialize checks that need the ACTUAL data schema: root-level
+        accumulative ``additionalProperties`` / ``patternProperties``.
+
+        For every data column not declared in ``properties``: a column
+        matching a patternProperties regex validates against that sub-spec;
+        otherwise additionalProperties applies (False ⇒ the column must be
+        null, i.e. the key must be absent). Declared properties keep their
+        own checks — both keyword families apply on the same object, which
+        is the draft-6 semantics the reference's Roadmap concedes it lacks.
+        Returns a new plan; the input plan is untouched."""
+        import re as _re
+
+        if self.root_additional_properties is None and not self.root_pattern_properties:
+            return self
+        declared = set(self.root_declared_properties)
+        extra_checks: List[RowCheck] = []
+        for f in schema.fields:
+            name = f.name
+            if name in declared or name.startswith("__"):
+                continue
+            matched = False
+            for pat, sub in self.root_pattern_properties.items():
+                if _re.search(pat, name):
+                    matched = True
+                    extra_checks.append(
+                        RowCheck(
+                            name=sanitize_check_name(
+                                f"{name}__pattern_conforms", self.spec_name
+                            ),
+                            path=f"$.{name}",
+                            description=(
+                                f"undeclared column '{name}' matches "
+                                f"patternProperties /{pat}/ and conforms"
+                            ),
+                            factory=(
+                                lambda n=name, s=sub: node_predicate(
+                                    s, F.col(n), f"$.{n}"
+                                )
+                            ),
+                        )
+                    )
+            if matched:
+                continue
+            ap = self.root_additional_properties
+            if ap is None or ap is True:
+                continue
+            if ap is False:
+                extra_checks.append(
+                    RowCheck(
+                        name=sanitize_check_name(
+                            f"{name}__additional_forbidden", self.spec_name
+                        ),
+                        path=f"$.{name}",
+                        description=(
+                            f"additionalProperties: false — undeclared column "
+                            f"'{name}' must be absent (null)"
+                        ),
+                        factory=(lambda n=name: F.col(n).isNull()),
+                    )
+                )
+            else:
+                extra_checks.append(
+                    RowCheck(
+                        name=sanitize_check_name(
+                            f"{name}__additional_conforms", self.spec_name
+                        ),
+                        path=f"$.{name}",
+                        description=(
+                            f"undeclared column '{name}' conforms to "
+                            "additionalProperties"
+                        ),
+                        factory=(
+                            lambda n=name, s=ap: node_predicate(s, F.col(n), f"$.{n}")
+                        ),
+                    )
+                )
+        if not extra_checks:
+            return self
+        import dataclasses as _dc
+
+        return _dc.replace(self, row_checks=self.row_checks + extra_checks)
 
 
 def spec_name_from_id(root_id: str) -> str:
@@ -152,6 +241,13 @@ def compile_document(
         spec_hash=spec_hash,
         expected_schema=_root_schema(spec),
         unchecked_paths=inlined.unchecked_paths,
+        root_additional_properties=(
+            spec.additional_properties if spec.properties else None
+        ),
+        root_pattern_properties=(
+            dict(spec.pattern_properties) if spec.properties else {}
+        ),
+        root_declared_properties=tuple(spec.properties.keys()),
     )
     _compile_row_checks(spec, plan)
     _compile_extensions(doc, plan)
@@ -294,6 +390,8 @@ def _assert_string_enums(s: JSchema, path: str) -> None:
     children += [(f"{path}.def[{k}]", c) for k, c in s.definitions.items()]
     if s.items is not None and not isinstance(s.items, tuple):
         children.append((f"{path}[]", s.items))
+    if isinstance(s.items, tuple):
+        children += [(f"{path}[{k}]", c) for k, c in enumerate(s.items)]
     children += [(f"{path}^{i}", c) for i, c in enumerate(s.one_of)]
     children += [(f"{path}&{i}", c) for i, c in enumerate(s.all_of)]
     children += [(f"{path}|{i}", c) for i, c in enumerate(s.any_of)]

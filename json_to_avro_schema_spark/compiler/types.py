@@ -191,10 +191,7 @@ def _single_type(s: ConstraintSpec, t: str, path: str) -> T.DataType:
         return T.StringType()
     if t == "array":
         if s.is_positional_items:
-            raise SpecCompileError(
-                "Unimplemented: index by index array validation isn't supported "
-                f"yet at {path}"
-            )
+            return _tuple_carrier(s, path)
         elem = s.items if s.items is not None else True
         return T.ArrayType(carrier_type(elem, f"{path}[]"), True)
     if t == "object":
@@ -208,6 +205,41 @@ def _single_type(s: ConstraintSpec, t: str, path: str) -> T.DataType:
             )
         return T.MapType(T.StringType(), T.BinaryType(), True)
     raise SpecCompileError(f"Invalid type: {t}")
+
+
+def _tuple_carrier(s: ConstraintSpec, path: str) -> T.DataType:
+    """Positional (tuple-form) ``items`` — beyond the reference, which
+    errors here (Transpiler.scala:290 'Unimplemented: index by index array
+    validation'). Homogeneous item carriers keep the natural ArrayType
+    carrier (per-index predicates via element_at); heterogeneous tuples
+    carry as a fixed-width struct ``(i0..iN)``, one nullable field per
+    position (absent position = null field, mirroring draft-6's
+    shorter-arrays-allowed rule). ``additionalItems`` on the struct carrier
+    is vacuous (fixed width); on the array carrier it is enforced in
+    checks.py."""
+    carriers = [carrier_type(it, f"{path}[{k}]") for k, it in enumerate(s.items)]
+    if not carriers:
+        return T.ArrayType(T.BinaryType(), True)
+    if all(c == carriers[0] for c in carriers[1:]):
+        ai = s.additional_items
+        if ai is not None and ai not in (True, False):
+            extra = carrier_type(ai, f"{path}[+]")
+            if extra != carriers[0]:
+                # mixed element carriers once additionalItems admits a
+                # different type → fall through to the struct carrier only
+                # if the tuple itself is bounded; an unbounded mixed array
+                # has no Spark carrier
+                raise SpecCompileError(
+                    f"additionalItems carrier {extra.simpleString()} differs "
+                    f"from tuple item carrier {carriers[0].simpleString()} at "
+                    f"{path} — an unbounded mixed-type array has no Spark "
+                    "carrier; make the types coincide or set "
+                    "additionalItems: false"
+                )
+        return T.ArrayType(carriers[0], True)
+    return T.StructType(
+        [T.StructField(f"i{k}", c, True) for k, c in enumerate(carriers)]
+    )
 
 
 def _record_type(s: ConstraintSpec, path: str) -> T.StructType:

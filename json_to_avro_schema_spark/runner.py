@@ -267,6 +267,9 @@ def run_validation(
     problems = schema_conformance(df.schema, plan.expected_schema)
     if problems and enforce_schema:
         raise SchemaMismatchError(problems)
+    # accumulative additionalProperties / patternProperties: undeclared data
+    # columns get their own checks, materialized against the actual schema
+    plan = plan.bind_schema(df.schema)
     original_columns = list(df.columns)
     checked = apply_row_checks(df, plan, part_key=part_key)
     return ValidationResult(

@@ -106,6 +106,8 @@ def running_partition_verdicts(
     running totals in the same long form as ``runner.partition_verdicts``.
     Output mode must be ``update``.
     """
+    if not already_checked:
+        plan = plan.bind_schema(stream_df.schema)
     checked = stream_df if already_checked else apply_row_checks(stream_df, plan)
     check_cols: List[str] = [CHECK_PREFIX + c.name for c in plan.row_checks]
     check_names: List[str] = [c.name for c in plan.row_checks]

@@ -26,7 +26,7 @@ def validate_stream(
 ) -> DataFrame:
     """Stateless streaming projection: original columns + check columns +
     __row_pass. Works in append mode on any streaming source."""
-    return apply_row_checks(stream_df, plan)
+    return apply_row_checks(stream_df, plan.bind_schema(stream_df.schema))
 
 
 def stream_to_sinks(
@@ -44,6 +44,7 @@ def stream_to_sinks(
     original_columns = [
         c for c in stream_df.columns
     ]
+    plan = plan.bind_schema(stream_df.schema)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         checked = apply_row_checks(batch_df, plan)

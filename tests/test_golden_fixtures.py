@@ -411,9 +411,13 @@ def test_error_fixtures():
         compile_document(_root("E", required="a"))
     with pytest.raises(SpecParseError, match="required must be a string"):
         compile_document(_root("E", required=[1]))
-    with pytest.raises(SpecCompileError, match="index by index"):
-        compile_document(_root("E", properties={
-            "a": {"type": "array", "items": [{"type": "string"}]}}))
+    # documented deviation: the reference errors on tuple-form items
+    # (Transpiler.scala:290); the engine compiles them (per-index predicates
+    # — see test_keyword_checks.py::test_positional_items_*)
+    tuple_plan = compile_document(_root("E", properties={
+        "a": {"type": "array", "items": [{"type": "string"}]}}))
+    a_field = [f for f in tuple_plan.expected_schema.fields if f.name == "a"][0]
+    assert isinstance(a_field.dataType, T.ArrayType)
     with pytest.raises(SpecCompileError, match="no valid schemas"):
         compile_document(_root("E", properties={"a": False}))
     with pytest.raises(SpecCompileError, match="non-string enums"):

@@ -202,3 +202,125 @@ def test_nested_struct_dotted_paths(spark):
     assert _failing_ids(
         spark, doc, rows, "id long, o struct<inner:long>"
     ) == {2, 3}
+
+
+def test_positional_items_homogeneous(spark):
+    """Tuple-form items on a homogeneous carrier (array<long>): per-index
+    predicates + additionalItems schema — beyond the reference, which
+    errors at Transpiler.scala:290."""
+    doc = _spec({
+        "t": {
+            "type": "array",
+            "items": [
+                {"type": "integer", "minimum": 0},
+                {"type": "integer", "maximum": 10},
+            ],
+            "additionalItems": {"type": "integer", "multipleOf": 5},
+        },
+    })
+    rows = [
+        (1, [1, 2]),          # pass
+        (2, [-1, 2]),         # index 0 < minimum
+        (3, [1, 11]),         # index 1 > maximum
+        (4, [1]),             # shorter arrays pass (draft-6)
+        (5, [1, 2, 15, 20]),  # additional items are multiples of 5
+        (6, [1, 2, 7]),       # additional item not multiple of 5
+        (7, None),            # null array passes (optional)
+        (8, []),              # empty passes
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, t array<long>") == {2, 3, 6}
+
+
+def test_positional_items_additional_false(spark):
+    doc = _spec({
+        "t": {
+            "type": "array",
+            "items": [{"type": "integer"}, {"type": "integer"}],
+            "additionalItems": False,
+        },
+    })
+    rows = [
+        (1, [1, 2]),
+        (2, [1, 2, 3]),  # too long
+        (3, [1]),
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, t array<long>") == {2}
+
+
+def test_positional_items_heterogeneous_struct_carrier(spark):
+    """Heterogeneous tuple → fixed-width struct carrier (i0: long,
+    i1: string); minItems requires the first positions present."""
+    from pyspark.sql import types as T
+
+    doc = _spec({
+        "t": {
+            "type": "array",
+            "minItems": 1,
+            "items": [
+                {"type": "integer", "minimum": 0},
+                {"type": "string", "minLength": 2},
+            ],
+        },
+    })
+    plan = compile_document(doc)
+    t_field = [f for f in plan.expected_schema.fields if f.name == "t"][0]
+    assert isinstance(t_field.dataType, T.StructType)
+    assert [f.name for f in t_field.dataType.fields] == ["i0", "i1"]
+
+    rows = [
+        (1, (3, "ab")),      # pass
+        (2, (-1, "ab")),     # i0 < minimum
+        (3, (3, "a")),       # i1 too short
+        (4, (3, None)),      # absent position passes
+        (5, (None, "ab")),   # minItems=1: position 0 must be present
+    ]
+    schema = "id long, t struct<i0: long, i1: string>"
+    assert _failing_ids(spark, doc, rows, schema) == {2, 3, 5}
+
+
+def test_accumulative_additional_properties_schema(spark):
+    """Draft-6-correct accumulative behavior (the reference's Roadmap
+    flags its exclusive behavior as a known bug): declared properties keep
+    their checks AND undeclared data columns validate against
+    additionalProperties."""
+    doc = {
+        "$id": "x://t/Acc",
+        "type": "object",
+        "properties": {"id": {"type": "integer"},
+                       "a": {"type": "integer", "minimum": 0}},
+        "additionalProperties": {"type": "string", "minLength": 3},
+    }
+    rows = [
+        (1, 5, "abc"),    # pass
+        (2, -1, "abc"),   # declared property fails
+        (3, 5, "ab"),     # additional column fails its schema
+        (4, 5, None),     # absent additional value passes
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, a long, x string") == {2, 3}
+
+
+def test_accumulative_additional_properties_false(spark):
+    doc = {
+        "$id": "x://t/AccF",
+        "type": "object",
+        "properties": {"id": {"type": "integer"}},
+        "additionalProperties": False,
+    }
+    rows = [(1, None), (2, "boo")]  # any non-null undeclared value fails
+    assert _failing_ids(spark, doc, rows, "id long, x string") == {2}
+
+
+def test_root_pattern_properties_on_columns(spark):
+    doc = {
+        "$id": "x://t/Pat",
+        "type": "object",
+        "properties": {"id": {"type": "integer"}},
+        "patternProperties": {"^m_": {"type": "integer", "minimum": 0}},
+        "additionalProperties": False,
+    }
+    rows = [
+        (1, 5, None),     # m_x ok, extra absent
+        (2, -1, None),    # m_x fails pattern-spec
+        (3, 5, "boo"),    # non-matching extra forbidden
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, m_x long, other string") == {2, 3}
