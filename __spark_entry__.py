@@ -1553,11 +1553,25 @@ def _q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.col("doc_id") + 10_000_000
     )
     both = docs.unionAll(dup)
-    cands = dd.simhash_near_duplicates(both, max_hamming=0)
+    # materialize the (tiny) candidate set once — it feeds three plan
+    # branches below, and its lineage holds the whole simhash pipeline
+    cands = dd.simhash_near_duplicates(both, max_hamming=0).localCheckpoint(
+        eager=True
+    )
+    # verify only the candidate docs: semi-join prunes the corpus before
+    # the token-bag sort is computed (candidates are a handful of rows)
+    ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
     toks = F.array_sort(
         F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     )
-    bags = both.select(F.col("doc_id").alias("id"), toks.alias("bag"))
+    bags = (
+        both.join(F.broadcast(ids), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("id"), toks.alias("bag"))
+    )
     return (
         cands.join(bags.withColumnRenamed("bag", "bag_a"), cands.id_a == bags.id)
         .drop("id")

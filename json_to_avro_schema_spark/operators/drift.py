@@ -107,14 +107,19 @@ def drift_report(
         )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
-    cur = {
-        r["bucket"]: r["n"]
-        for r in histogram(current, column, bins=bins, lo=lo, hi=hi).collect()
-    }
-    base = {
-        r["bucket"]: r["n"]
-        for r in histogram(baseline, column, bins=bins, lo=lo, hi=hi).collect()
-    }
+    # the two sides are independent jobs — submit them concurrently so
+    # drift wall-time is one histogram, not two in sequence
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cur = pool.submit(
+            lambda: histogram(current, column, bins=bins, lo=lo, hi=hi).collect()
+        )
+        f_base = pool.submit(
+            lambda: histogram(baseline, column, bins=bins, lo=lo, hi=hi).collect()
+        )
+        cur = {r["bucket"]: r["n"] for r in f_cur.result()}
+        base = {r["bucket"]: r["n"] for r in f_base.result()}
     p = _to_probs(cur, bins, eps)
     q = _to_probs(base, bins, eps)
     s = psi(p, q)
@@ -174,8 +179,13 @@ def categorical_drift_report(
     hash agg, shuffle one row per category); the divergence arithmetic runs
     driver-side on ≤|categories| values — same contract as the numeric path.
     """
-    cur = {r["value"]: r["n"] for r in category_counts(current, column).collect()}
-    base = {r["value"]: r["n"] for r in category_counts(baseline, column).collect()}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cur = pool.submit(lambda: category_counts(current, column).collect())
+        f_base = pool.submit(lambda: category_counts(baseline, column).collect())
+        cur = {r["value"]: r["n"] for r in f_cur.result()}
+        base = {r["value"]: r["n"] for r in f_base.result()}
     cats = sorted(set(cur) | set(base), key=repr)
     idx = {c: i for i, c in enumerate(cats)}
     k = len(cats)
