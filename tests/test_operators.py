@@ -250,3 +250,63 @@ def test_x_vector_and_categorical_drift_table_checks(spark):
     assert emb["kind"] == "vector" and emb["n_bad"] == 4 and not emb["pass"]
     cat = out["cat_drift"]
     assert cat["kind"] == "drift" and cat["pass"]
+
+
+def test_iceberg_gate_and_partition_enumeration(spark):
+    """sources/iceberg.py: the parquet fallback path — read_table by path,
+    partition enumeration via distinct, and the clean gate error for table
+    identifiers when no Iceberg runtime is present."""
+    import pytest as _pytest
+
+    from json_to_avro_schema_spark.sources.iceberg import (
+        iceberg_available,
+        partition_keys,
+        read_table,
+    )
+
+    df = read_table(spark, "/root/testdata/sf0.001/nation.parquet")
+    assert df.count() == 25
+
+    keyed = df.withColumnRenamed("n_regionkey", "part_key")
+    keys = partition_keys(spark, keyed)
+    assert sorted(keys) == [0, 1, 2, 3, 4]
+
+    if not iceberg_available(spark):  # true in this container
+        with _pytest.raises(RuntimeError, match="Iceberg runtime"):
+            read_table(spark, "db.documents")
+
+
+def test_lsh_topk_stored_bucket_column(spark):
+    """lsh_topk(bucket_col=...): a materialized bucket column (same
+    bits/seed) must return exactly the computed-bucket results, with the
+    probe filter landing on the stored column (scan-prunable)."""
+    import numpy as np
+
+    from json_to_avro_schema_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[0].tolist()
+
+    computed = lsh_topk(df, q, k=5, bits=6, probe_hamming=2)
+    stored = df.withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), 16, bits=6, seed=42)
+    )
+    via_stored = lsh_topk(
+        stored, q, k=5, bits=6, probe_hamming=2, bucket_col="bucket"
+    )
+    assert [tuple(r) for r in computed.collect()] == [
+        tuple(r) for r in via_stored.collect()
+    ]
+    # sanity: the stored column materialized a bucket for every row (the
+    # equality above already proves the probe filter used it correctly)
+    assert stored.filter(F.col("bucket").isNotNull()).count() == 300
