@@ -364,6 +364,45 @@ SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids FROM kept
 """
 
 
+def _q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact dedup (continuous-ingestion shape): docs with
+    doc_id < 250 form the historical fingerprint index; the new batch is
+    the full corpus plus planted clones. Kept = rows not already indexed,
+    one min-id representative per fingerprint inside the batch."""
+    docs = load_table(spark, sf, "documents")
+    index = docs.filter(F.col("doc_id") < 250).select(
+        tx.fingerprint(F.col("text")).alias("fingerprint")
+    ).distinct()
+    clones = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    batch = docs.unionAll(clones)
+    kept = dd.dedup_exact_incremental(batch, index)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+    )
+
+
+_O_DEDUP_INCREMENTAL = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+  FROM documents
+), idx AS (
+  SELECT DISTINCT k FROM norm WHERE doc_id < 250
+), batch AS (
+  SELECT doc_id, k FROM norm
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, k FROM norm WHERE doc_id % 100 = 0
+), fresh AS (
+  SELECT doc_id, k FROM batch WHERE k NOT IN (SELECT k FROM idx)
+), kept AS (
+  SELECT min(doc_id) AS doc_id FROM fresh GROUP BY k
+)
+SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids FROM kept
+"""
+
+
 def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -588,6 +627,60 @@ SELECT round(sum(p * ln(p / q)), 5) AS kl,
        round(sum((p - q) * ln(p / q)), 5) AS psi,
        sum((p - q) * ln(p / q)) < 0.2 AS pass
 FROM pn JOIN qn USING (bucket)
+"""
+
+
+def _q_psi_drift_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition KL/PSI drift verdicts, FULLY distributed (no driver
+    math): one histogram agg per side keyed on (part, bucket), dense grid
+    via explode(sequence), divergence as array HOFs per partition — the
+    shape 10^5+ Iceberg partitions need (operators/drift.py:
+    partitioned_drift_verdicts)."""
+    li = load_table(spark, sf, "lineitem")
+    cur = li.filter(F.col("l_orderkey") % 2 == 0)
+    base = li.filter(F.col("l_orderkey") % 2 == 1)
+    out = dr.partitioned_drift_verdicts(
+        cur, base, "l_extendedprice",
+        by="l_returnflag", bins=16, lo=_DRIFT_LO, hi=_DRIFT_HI, eps=1e-6,
+    )
+    return out.select(
+        "part_key", "n_current", "n_baseline",
+        F.round("kl", 5).alias("kl"), F.round("psi", 5).alias("psi"), "pass",
+    ).orderBy("part_key")
+
+
+def _o_psi_drift_by_flag() -> str:
+    w = (_DRIFT_HI - _DRIFT_LO) / 16
+    hist = (
+        "SELECT l_returnflag AS part_key, "
+        f"least(greatest(CAST(floor((l_extendedprice - {_DRIFT_LO}) / {w}) AS INT), 0), 15) AS bucket, "
+        "count(*) AS n FROM lineitem "
+        "WHERE l_extendedprice IS NOT NULL AND l_orderkey % 2 = {par} GROUP BY 1, 2"
+    )
+    return f"""
+WITH cur AS ({hist.format(par=0)}),
+bas AS ({hist.format(par=1)}),
+parts AS (SELECT part_key FROM cur UNION SELECT part_key FROM bas),
+grid AS (SELECT part_key, unnest(range(16)) AS bucket FROM parts),
+j AS (SELECT g.part_key, g.bucket,
+             coalesce(c.n, 0) AS nc, coalesce(b.n, 0) AS nb
+      FROM grid g LEFT JOIN cur c USING (part_key, bucket)
+                  LEFT JOIN bas b USING (part_key, bucket)),
+t AS (SELECT part_key, sum(nc) AS tc, sum(nb) AS tb FROM j GROUP BY 1),
+s AS (SELECT j.part_key,
+             greatest(CASE WHEN t.tc > 0 THEN nc * 1.0 / t.tc ELSE 1.0/16 END, 1e-6) AS sp,
+             greatest(CASE WHEN t.tb > 0 THEN nb * 1.0 / t.tb ELSE 1.0/16 END, 1e-6) AS sq
+      FROM j JOIN t USING (part_key)),
+z AS (SELECT part_key, sum(sp) AS zp, sum(sq) AS zq FROM s GROUP BY 1),
+n AS (SELECT s.part_key, sp / zp AS p, sq / zq AS q
+      FROM s JOIN z USING (part_key))
+SELECT n.part_key,
+       (SELECT CAST(tc AS BIGINT) FROM t WHERE t.part_key = n.part_key) AS n_current,
+       (SELECT CAST(tb AS BIGINT) FROM t WHERE t.part_key = n.part_key) AS n_baseline,
+       round(sum(p * ln(p / q)), 5) AS kl,
+       round(sum((p - q) * ln(p / q)), 5) AS psi,
+       sum((p - q) * ln(p / q)) < 0.2 AS pass
+FROM n GROUP BY n.part_key ORDER BY part_key
 """
 
 
@@ -1619,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_totals": _q_token_totals,
         "exact_dup_groups": _q_exact_dup_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
+        "dedup_incremental": _q_dedup_incremental,
         "topk_cosine": _q_topk_cosine,
         "approx_unique_lineitem": _q_approx_unique_lineitem,
         "lang_detect_docs": _q_lang_detect_docs,
@@ -1626,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "fingerprint_distinct": _q_fingerprint_distinct,
         "psi_drift_price": _q_psi_drift_price,
+        "psi_drift_by_flag": _q_psi_drift_by_flag,
         "categorical_drift": _q_categorical_drift,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1673,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         "token_totals": _O_TOKEN_TOTALS,
         "exact_dup_groups": _O_EXACT_DUP_GROUPS,
         "dedup_exact_keep": _O_DEDUP_EXACT_KEEP,
+        "dedup_incremental": _O_DEDUP_INCREMENTAL,
         "topk_cosine": _O_TOPK_COSINE,
         "approx_unique_lineitem": _O_APPROX_UNIQUE_LINEITEM,
         "lang_detect_docs": _o_lang_detect_docs(),
@@ -1680,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _O_BPE_TOKEN_STATS,
         "fingerprint_distinct": _O_FINGERPRINT_DISTINCT,
         "psi_drift_price": _o_psi_drift_price(),
+        "psi_drift_by_flag": _o_psi_drift_by_flag(),
         "categorical_drift": _O_CATEGORICAL_DRIFT,
         "ngram_jaccard_pairs": _O_NGRAM_JACCARD_PAIRS,
         "embedding_near_dups": _O_EMBEDDING_NEAR_DUPS,

@@ -74,6 +74,37 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return with_fp.join(keepers, ["__fp", id_col], "left_semi").drop("__fp")
 
 
+def dedup_exact_incremental(
+    df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental exact dedup for continuous ingestion: drop rows whose
+    normalized-text fingerprint already exists in the historical ``index``
+    (a table with a ``fingerprint_col`` column — e.g. the output of prior
+    batches), then keep one representative (min id) per fingerprint within
+    the batch itself.
+
+    Returns the kept rows WITH their fingerprint column, so a pipeline
+    appends ``kept.select(fingerprint_col)`` to the index for the next
+    batch. Shapes: one anti-join against the index (broadcast when the
+    batch side dwarfs it, shuffle-join on the uniformly-hashed fingerprint
+    otherwise — skew-free by construction) + the standard min-id semi-join
+    inside the batch. No window functions, no driver state.
+    """
+    with_fp = df.select(
+        "*", fingerprint(F.col(text_col)).alias(fingerprint_col)
+    )
+    fresh = with_fp.join(
+        index.select(fingerprint_col), fingerprint_col, "left_anti"
+    )
+    keepers = fresh.groupBy(fingerprint_col).agg(F.min(id_col).alias(id_col))
+    return fresh.join(keepers, [fingerprint_col, id_col], "left_semi")
+
+
 # ---------------------------------------------------------------- shingles
 
 def _shingles(col: Column, k: int) -> Column:

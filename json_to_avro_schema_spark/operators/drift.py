@@ -154,6 +154,97 @@ def drift_verdict(
     return rep.kl, rep.psi, rep.ok
 
 
+def partitioned_drift_verdicts(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    by: str,
+    bins: int = 32,
+    lo: float,
+    hi: float,
+    psi_threshold: float = 0.2,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-partition KL/PSI drift verdicts, FULLY distributed.
+
+    The scalar :func:`drift_report` collects two ≤bins histograms and does
+    the divergence arithmetic on the driver — fine for one verdict, a
+    driver bottleneck at 10^5+ Iceberg partitions. Here the whole
+    computation stays in the cluster: one histogram aggregation per side
+    keyed on ``(by, bucket)``, a dense per-partition bucket grid via
+    ``explode(sequence(...))`` (no crossJoin), and the smoothing /
+    normalization / divergence math as array HOFs over a sort_array'd
+    ≤bins collect_list per partition — codegen'd, deterministic order,
+    one output row per partition.
+
+    Output: (part_key, n_current, n_baseline, kl, psi, pass). Partitions
+    present on either side are reported (absent side = all-eps histogram).
+    """
+    hc = histogram(current, column, bins=bins, lo=lo, hi=hi, by=by)
+    hb = histogram(baseline, column, bins=bins, lo=lo, hi=hi, by=by)
+    parts = (
+        hc.select("part_key").union(hb.select("part_key")).distinct()
+    )
+    grid = parts.select(
+        "part_key",
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bucket"),
+    )
+    j = (
+        grid.join(hc.withColumnRenamed("n", "nc"), ["part_key", "bucket"], "left")
+        .join(hb.withColumnRenamed("n", "nb"), ["part_key", "bucket"], "left")
+        .select(
+            "part_key",
+            "bucket",
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    rows = F.sort_array(F.collect_list(F.struct("bucket", "nc", "nb")))
+    per = j.groupBy("part_key").agg(rows.alias("rows"))
+
+    def _tot(field: str):
+        return F.aggregate(
+            "rows", F.lit(0).cast("long"), lambda a, x: a + x[field]
+        )
+
+    per = per.withColumn("tc", _tot("nc")).withColumn("tb", _tot("nb"))
+
+    def _probs(field: str, total):
+        # raw share (uniform when the side is empty) → eps floor → renorm
+        raw = F.transform(
+            "rows",
+            lambda x: F.when(
+                total > 0, x[field].cast("double") / total
+            ).otherwise(F.lit(1.0 / bins)),
+        )
+        smoothed = F.transform(raw, lambda v: F.greatest(v, F.lit(float(eps))))
+        z = F.aggregate(smoothed, F.lit(0.0), lambda a, v: a + v)
+        return F.transform(smoothed, lambda v: v / z)
+
+    per = per.withColumn("p", _probs("nc", F.col("tc"))).withColumn(
+        "q", _probs("nb", F.col("tb"))
+    )
+    kl = F.aggregate(
+        F.zip_with("p", "q", lambda p, q: p * F.log(p / q)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    psi_c = F.aggregate(
+        F.zip_with("p", "q", lambda p, q: (p - q) * F.log(p / q)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return per.select(
+        "part_key",
+        F.col("tc").alias("n_current"),
+        F.col("tb").alias("n_baseline"),
+        kl.alias("kl"),
+        psi_c.alias("psi"),
+        (psi_c < F.lit(psi_threshold)).alias("pass"),
+    )
+
+
 def category_counts(
     df: DataFrame, column: str, *, by: Optional[str] = None
 ) -> DataFrame:

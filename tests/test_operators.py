@@ -310,3 +310,38 @@ def test_lsh_topk_stored_bucket_column(spark):
     # sanity: the stored column materialized a bucket for every row (the
     # equality above already proves the probe filter used it correctly)
     assert stored.filter(F.col("bucket").isNotNull()).count() == 300
+
+
+def test_partitioned_drift_matches_scalar_path(spark):
+    """partitioned_drift_verdicts (fully distributed, array-HOF math) must
+    agree with the driver-math drift_report per partition."""
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.operators.drift import (
+        drift_report,
+        partitioned_drift_verdicts,
+    )
+
+    rows = [(i, float(i % 50), "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    cur = df.filter(F.col("id") % 4 != 0)   # shifted mix per group
+    base = df.filter(F.col("id") % 4 == 0)
+
+    dist = {
+        r["part_key"]: r
+        for r in partitioned_drift_verdicts(
+            cur, base, "v", by="g", bins=10, lo=0.0, hi=50.0
+        ).collect()
+    }
+    assert set(dist) == {"a", "b"}
+    for g in ("a", "b"):
+        rep = drift_report(
+            cur.filter(F.col("g") == g), base.filter(F.col("g") == g),
+            "v", bins=10, lo=0.0, hi=50.0,
+        )
+        got = dist[g]
+        assert abs(got["kl"] - rep.kl) < 1e-9
+        assert abs(got["psi"] - rep.psi) < 1e-9
+        assert got["pass"] == rep.ok
+        assert got["n_current"] == rep.n_current
+        assert got["n_baseline"] == rep.n_baseline

@@ -321,3 +321,25 @@ def test_embedding_near_dups_auto_bits(spark):
     df, _ = _embeddings(spark)
     pairs = embedding_near_duplicates(df, threshold=0.99)  # bits auto-scaled
     assert any((r["id_a"], r["id_b"]) == (0, 1) for r in pairs.collect())
+
+
+def test_dedup_exact_incremental(spark):
+    from json_to_avro_schema_spark.operators.dedup import dedup_exact_incremental
+    from json_to_avro_schema_spark.operators.text import fingerprint
+
+    history = spark.createDataFrame(
+        [(1, "seen before text content")], "doc_id long, text string"
+    ).select(fingerprint(F.col("text")).alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before text content"),     # already indexed -> dropped
+            (11, "brand new text number one"),
+            (12, "brand new text number one"),    # intra-batch dup -> one kept
+            (13, "another new document"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup_exact_incremental(batch, history)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [11, 13]
+    assert "fingerprint" in kept.columns  # callers append these to the index
