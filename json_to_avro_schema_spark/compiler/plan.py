@@ -19,7 +19,7 @@ root (no JSON-Schema counterpart — these are the north-rule operators):
     "x-unique": [{"name": ..., "columns": ["doc_id"]}]
     "x-ref":    [{"name": ..., "columns": [...], "refTable": ..., "refColumns": [...]}]
     "x-drift":  [{"name": ..., "column": ..., "bins": 32, "min": ..., "max": ...,
-                  "categorical": false}]
+                  "categorical": false, "by": "<partition column>"}]
     "x-vector": [{"name": ..., "column": "embedding", "dim": 64,
                   "normMin": 0.9, "normMax": 1.1}]
     "x-stats":  ["col", ...] | true
@@ -83,6 +83,10 @@ class DriftCheckCfg:
     lo: Optional[float] = None
     hi: Optional[float] = None
     categorical: bool = False
+    # Optional partition-key column: one KL/PSI verdict PER distinct value,
+    # computed fully distributed (operators/drift.partitioned_drift_verdicts)
+    # instead of one global driver-side verdict.
+    by: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -430,6 +434,7 @@ def _compile_extensions(doc: Dict[str, Any], plan: CompiledPlan) -> None:
                 lo=d.get("min"),
                 hi=d.get("max"),
                 categorical=bool(d.get("categorical", False)),
+                by=d.get("by"),
             )
         )
     for v in doc.get("x-vector", []) or []:

@@ -130,10 +130,35 @@ def run_table_checks(
         r = ri.ri_verdict(
             df, parent, list(rc.columns), list(rc.ref_columns)
         ).collect()[0]
-        return (rc.name, "ref", int(r["n_rows"]), int(r["n_dangling"]),
-                bool(r["pass"]))
+        return [(rc.name, "ref", int(r["n_rows"]), int(r["n_dangling"]),
+                 bool(r["pass"]))]
 
     def _run_drift(dc, base):
+        if dc.by and not dc.categorical:
+            # per-partition verdicts, fully distributed; one verdict row per
+            # distinct `by` value (bounded by partition count, never row
+            # count). lo/hi default to the union min/max when the spec omits
+            # them — declare them at scale to keep this single-scan.
+            lo, hi = dc.lo, dc.hi
+            if lo is None or hi is None:
+                r = (
+                    df.select(F.col(dc.column).alias("v"))
+                    .union(base.select(F.col(dc.column).alias("v")))
+                    .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+                    .collect()[0]
+                )
+                lo = float(r["lo"]) if lo is None else lo
+                hi = float(r["hi"]) if hi is None else hi
+            per = dr.partitioned_drift_verdicts(
+                df, base, dc.column,
+                by=dc.by, bins=dc.bins, lo=lo, hi=hi,
+                psi_threshold=psi_threshold,
+            ).collect()
+            return [
+                (f"{dc.name}[{p['part_key']}]", "drift",
+                 int(p["n_current"]), 0 if p["pass"] else 1, bool(p["pass"]))
+                for p in sorted(per, key=lambda p: str(p["part_key"]))
+            ]
         if dc.categorical:
             rep = dr.categorical_drift_report(
                 df, base, dc.column, psi_threshold=psi_threshold
@@ -143,8 +168,8 @@ def run_table_checks(
                 df, base, dc.column,
                 bins=dc.bins, lo=dc.lo, hi=dc.hi, psi_threshold=psi_threshold,
             )
-        return (dc.name, "drift", rep.n_current, 0 if rep.ok else 1,
-                bool(rep.ok))
+        return [(dc.name, "drift", rep.n_current, 0 if rep.ok else 1,
+                 bool(rep.ok))]
 
     for rc in plan.ref_checks:
         if rc.ref_table not in ref_tables:
@@ -166,7 +191,7 @@ def run_table_checks(
             else:
                 tasks.append(pool.submit(_run_drift, dc, base))
         fr = fused_fut.result() if fused_fut is not None else None
-        task_rows = [t.result() for t in tasks]
+        task_rows = [row for t in tasks for row in t.result()]
 
     if fr is not None:
         n_rows = int(fr["__n_rows"])

@@ -170,6 +170,46 @@ def test_run_table_checks_unified_verdicts(spark):
         run_table_checks(spark, df, plan2)
 
 
+def test_table_checks_partitioned_drift_by(spark):
+    """x-drift with `by` compiles to the distributed per-partition path:
+    one verdict row per partition key, agreeing with the scalar verdict."""
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.operators.drift import drift_report
+    from json_to_avro_schema_spark.table_checks import run_table_checks
+
+    doc = {
+        "$id": "x://t/TCP", "type": "object",
+        "properties": {"id": {"type": "integer"}, "v": {"type": "number"},
+                       "g": {"type": "string"}},
+        "x-drift": [{"name": "dv", "column": "v", "bins": 10,
+                     "min": 0.0, "max": 50.0, "by": "g"}],
+    }
+    plan = compile_document(doc)
+    assert plan.drift_checks[0].by == "g"
+
+    rows = [(i, float(i % 50), "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    cur = df.filter(F.col("id") % 4 != 0)
+    base = df.filter(F.col("id") % 4 == 0)
+
+    out = {
+        r["check_name"]: r
+        for r in run_table_checks(
+            spark, cur, plan, drift_baselines={"dv": base}
+        ).collect()
+    }
+    assert set(out) == {"dv[a]", "dv[b]"}
+    for g in ("a", "b"):
+        rep = drift_report(
+            cur.filter(F.col("g") == g), base.filter(F.col("g") == g),
+            "v", bins=10, lo=0.0, hi=50.0,
+        )
+        assert out[f"dv[{g}]"]["pass"] == rep.ok
+        assert out[f"dv[{g}]"]["n_rows"] == rep.n_current
+
+
 def test_verdict_rollup_levels_and_totals(spark):
     from pyspark.sql import functions as F
 
