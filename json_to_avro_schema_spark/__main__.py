@@ -1,9 +1,14 @@
 """CLI entrypoint — the ``spark-submit --py-files`` shape the north rule
 mandates::
 
-    spark-submit --py-files engine.zip -m json_to_avro_schema_spark \
+    spark-submit --master <cluster> --py-files engine.zip \
+        scripts/submit_job.py spec.json \
         [-n/--namespace NS] --table <parquet-or-iceberg> --out <dir> \
-        [--checkpoint <dir>] [--run-id ID] [--part-key-col part_key] spec.json
+        [--checkpoint <dir>] [--run-id ID] [--part-key-col part_key]
+
+(``scripts/submit_job.py`` shims to :func:`main` — spark-submit runs script
+files, not ``-m`` modules; ``python -m json_to_avro_schema_spark`` works
+locally. ``scripts/make_pyfiles.py`` builds engine.zip.)
 
 Arg handling mirrors the reference CLI (``[-n/--namespace ns] inputFile``,
 /root/reference/src/main/scala/Application.scala:47-61): result to stdout,

@@ -23,9 +23,16 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    builder = SparkSession.builder
+    # Under spark-submit the JVM gateway already exists and --master/--conf
+    # from the submit command must win; setting .master() here would silently
+    # force local mode on a real cluster. PYSPARK_GATEWAY_PORT is only set
+    # when the python driver was launched by spark-submit's PythonRunner.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not under_submit:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app)
+        builder.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
