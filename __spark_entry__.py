@@ -1186,6 +1186,24 @@ def _q_ivf_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def _q_ivf_indexed_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF over CELL-PARTITIONED storage (ivf_write_index →
+    partitionBy(__cell) parquet; search reads only the probed cell
+    directories via partition pruning — the 100-TB layout). Full probe here
+    ⇒ every cell read ⇒ ≡ brute force, so the exact-top-k oracle applies;
+    the pruning itself is pinned in
+    tests/test_pipeline_ops.py::test_ivf_indexed_prunes_partitions."""
+    import tempfile
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = sim.ivf_train_centroids(emb, k=8, iters=2)
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    sim.ivf_write_index(emb, path, cents)
+    out = sim.ivf_topk_indexed(spark, path, list(q), cents, k=10, nprobe=8)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Media plumbing end-to-end: binary payloads + typed metadata through
     the mapInPandas decode/feature-extract path (deterministic fake codec —
@@ -1743,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "lsh_topk_cosine": _q_lsh_topk_cosine,
         "ivf_topk_cosine": _q_ivf_topk_cosine,
+        "ivf_indexed_topk_cosine": _q_ivf_indexed_topk_cosine,
         "multimodal_features": _q_multimodal_features,
         "resize_plan": _q_resize_plan,
         "checkpoint_resume": _q_checkpoint_resume,
@@ -1781,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _O_NGRAM_JACCARD_PAIRS,
         "embedding_near_dups": _O_EMBEDDING_NEAR_DUPS,
         "ivf_topk_cosine": _O_TOPK_COSINE,  # full-probe IVF ≡ exact top-k
+        "ivf_indexed_topk_cosine": _O_TOPK_COSINE,  # full probe ≡ exact
         "lsh_topk_cosine": _O_TOPK_COSINE,  # full-probe LSH ≡ exact top-k
         "simhash_near_dups": _O_SIMHASH_NEAR_DUPS,
         "resize_plan": _O_RESIZE_PLAN,

@@ -409,6 +409,101 @@ def run_scaling_multiproc(
     }
 
 
+def _cluster_child(n_exec: int, cores: int) -> None:
+    """One timed validation under ``local-cluster[n_exec, cores, mem]`` —
+    REAL multi-executor Spark: the driver JVM plus n_exec separate executor
+    JVMs (own heap each), tasks dispatched over RPC, shuffle over netty.
+    This is the exact runtime shape `spark-submit --py-files` deploys on a
+    standalone cluster, minus the network between machines. Warm run then
+    measured run, same protocol as --scaling-child."""
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.runner import verdicts_with_violation_count
+    from json_to_avro_schema_spark.session import get_spark
+    from json_to_avro_schema_spark.sources.synthetic import (
+        documents_iv_rich_spec,
+        documents_iv_spec,
+    )
+
+    os.environ.setdefault("SPARK_HOME", "/opt/spark")
+    mem_mb = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_G", "2")) * cores * 1024
+    total = n_exec * cores
+    spark = get_spark(
+        app=f"cluster{n_exec}x{cores}", cpus=total,
+        master=f"local-cluster[{n_exec},{cores},{mem_mb}]",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spec_kind = os.environ.get("SPARK_GRAFT_SCALE_SPEC", "rich")
+    plan = compile_document(
+        documents_iv_rich_spec() if spec_kind == "rich" else documents_iv_spec()
+    )
+
+    def run() -> int:
+        verd, obs = verdicts_with_violation_count(
+            spark.read.parquet(SCALE_DATA), plan
+        )
+        verd.collect()
+        return int(obs.get["n_rows"])
+
+    run()  # warmup: page cache + codegen + executor registration
+    t0 = time.perf_counter()
+    n = run()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"executors": n_exec, "cores": cores, "sec": dt,
+                      "docs": n, "docs_per_sec": n / dt}))
+
+
+def run_scaling_cluster(
+    n_small: int | None = None, n_large: int | None = None, cores: int = 2
+) -> dict:
+    """N vs 4N *executors* under local-cluster: separate executor JVMs with
+    real task dispatch + netty shuffle (vs --scaling-multiproc's independent
+    single-JVM shards, which model executors but bypass Spark's scheduler).
+    Default 1 vs 4 executors × 2 cores (2 vs 8 total) — the band below this
+    VM's DRAM-bandwidth ceiling (BENCH/BASELINE.md); the platform, not the
+    engine, caps wider configs. Min of trials absorbs hypervisor noise."""
+    n_small = n_small or int(os.environ.get("SPARK_GRAFT_CLUSTER_SMALL", "1"))
+    n_large = n_large or int(os.environ.get("SPARK_GRAFT_CLUSTER_LARGE", "4"))
+    if not os.path.exists(SCALE_DATA):
+        subprocess.run(
+            [sys.executable, __file__, "--scaling-gen"],
+            check=True, cwd=REPO, timeout=1800,
+        )
+    results = {}
+    for n_exec in (n_small, n_large):
+        best = None
+        for _ in range(max(SCALE_TRIALS, 2)):
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-cluster-child",
+                 str(n_exec), str(cores)],
+                capture_output=True, text=True, cwd=REPO, timeout=1800,
+                env={**os.environ,
+                     # driver heap stays modest; executor heaps are sized
+                     # inside the child (mem-per-core × cores each)
+                     "SPARK_DRIVER_MEMORY": "4g"},
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        results[n_exec] = best
+    tput_s = results[n_small]["docs_per_sec"]
+    tput_l = results[n_large]["docs_per_sec"]
+    ratio = n_large / n_small
+    efficiency = (tput_l / tput_s) / ratio
+    return {
+        "mode": "local-cluster-executors",
+        "cores_per_executor": cores,
+        "n_docs": results[n_large]["docs"],
+        f"exec{n_small}_sec": round(results[n_small]["sec"], 2),
+        f"exec{n_large}_sec": round(results[n_large]["sec"], 2),
+        f"exec{n_small}_docs_per_sec": round(tput_s, 1),
+        f"exec{n_large}_docs_per_sec": round(tput_l, 1),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "meets_target": efficiency >= 0.8,
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-gen":
         _scaling_gen()
@@ -416,6 +511,10 @@ if __name__ == "__main__":
         _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-shard":
         _shard_child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-cluster-child":
+        _cluster_child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-cluster":
+        print(json.dumps(run_scaling_cluster()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-multiproc":
         print(json.dumps(run_scaling_multiproc()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":

@@ -239,19 +239,78 @@ def ivf_topk(
     closest to the query; exact cosine inside. Complements lsh_topk —
     IVF adapts to the data distribution, LSH needs no training pass."""
     q = [float(x) for x in query]
-
-    def cos_py(a: Sequence[float], b: Sequence[float]) -> float:
-        num = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return num / (na * nb) if na and nb else 0.0
-
-    order = sorted(range(len(centroids)), key=lambda i: -cos_py(q, centroids[i]))
-    probes = order[:nprobe]
+    probes = _probe_cells(q, centroids, nprobe)
     qcol = F.array(*[F.lit(x) for x in q])
     sim = cosine(F.col(vec_col).cast("array<double>"), qcol).alias("cos_sim")
     return (
         ivf_assign(df, centroids, vec_col=vec_col)
+        .filter(F.col("__cell").isin(probes))
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _cos_py(a: Sequence[float], b: Sequence[float]) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return num / (na * nb) if na and nb else 0.0
+
+
+def _probe_cells(
+    q: Sequence[float], centroids: List[List[float]], nprobe: int
+) -> List[int]:
+    order = sorted(
+        range(len(centroids)), key=lambda i: -_cos_py(q, centroids[i])
+    )
+    return order[:nprobe]
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    centroids: List[List[float]],
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: assign each vector to its cell and write
+    the table ``partitionBy("__cell")``. This is the storage layout that
+    makes IVF *prune* at scale — a search touches only the ``nprobe``
+    probed cell directories (Hive partition pruning at planning time), so
+    scan cost is O(N·nprobe/k) instead of a full pass with a post-filter.
+    One-time cost; the assignment is a codegen'd projection."""
+    (
+        ivf_assign(df, centroids, vec_col=vec_col)
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    centroids: List[List[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k over a cell-partitioned index written by
+    :func:`ivf_write_index`. The ``__cell IN (probes)`` predicate is a
+    partition filter — Spark enumerates only the probed directories; the
+    un-probed cells are never read (verify: ``.inputFiles()`` lists files
+    from ≤ nprobe partitions). Same results as :func:`ivf_topk` on the
+    source table with identical centroids/nprobe."""
+    q = [float(x) for x in query]
+    probes = _probe_cells(q, centroids, nprobe)
+    qcol = F.array(*[F.lit(x) for x in q])
+    sim = cosine(F.col(vec_col).cast("array<double>"), qcol).alias("cos_sim")
+    return (
+        spark.read.parquet(path)
         .filter(F.col("__cell").isin(probes))
         .select(F.col(id_col), sim)
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))

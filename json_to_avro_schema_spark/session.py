@@ -18,7 +18,11 @@ def get_spark(
     app: str = "json_to_avro_schema_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cpus]`` (e.g.
+    ``local-cluster[4,2,4096]`` for true multi-executor JVMs in the
+    sandbox); ``cpus`` still sizes shuffle partitions."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -30,7 +34,7 @@ def get_spark(
     # when the python driver was launched by spark-submit's PythonRunner.
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     if not under_submit:
-        builder = builder.master(f"local[{cpus}]")
+        builder = builder.master(master or f"local[{cpus}]")
     builder = (
         builder.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

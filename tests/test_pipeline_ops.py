@@ -175,6 +175,51 @@ def test_ivf_topk_matches_brute_force(spark):
     assert len(some) == 10 and len(set(some) & set(exact)) >= 5
 
 
+def test_ivf_indexed_prunes_partitions(spark, tmp_path):
+    """ivf_write_index + ivf_topk_indexed: identical results to the
+    unindexed path, and the probe filter actually prunes — only the probed
+    cell directories are read from the index."""
+    from json_to_avro_schema_spark.operators.similarity import (
+        _probe_cells,
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_train_centroids,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    cents = ivf_train_centroids(emb, k=8, iters=2)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, cents)
+
+    for nprobe in (3, 8):
+        direct = [
+            tuple(r) for r in ivf_topk(emb, q, cents, k=10, nprobe=nprobe).collect()
+        ]
+        indexed = [
+            tuple(r)
+            for r in ivf_topk_indexed(
+                spark, path, q, cents, k=10, nprobe=nprobe
+            ).collect()
+        ]
+        assert indexed == direct
+
+    # pruning evidence: the probe predicate lands in the scan's
+    # PartitionFilters (planning-time directory pruning), not a post-scan
+    # Filter over all cells
+    probes = sorted(_probe_cells(q, cents, 3))
+    spark.read.parquet(path).createOrReplaceTempView("ivf_index_v")
+    plan = "\n".join(
+        r[0] for r in spark.sql(
+            "EXPLAIN FORMATTED SELECT vec_id FROM ivf_index_v "
+            f"WHERE __cell IN ({','.join(str(p) for p in probes)})"
+        ).collect()
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "__cell" in pf[0] and "IN" in pf[0], plan
+
+
 def test_verdicts_with_violation_count_single_scan(spark):
     from pyspark.sql import functions as F
 
