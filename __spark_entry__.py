@@ -1613,6 +1613,59 @@ def _q_streaming_running_verdicts(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_minhash_incremental_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-ingestion near-dup: the historical corpus's LSH band rows
+    are materialized once (minhash_write_index, partitioned by band); a new
+    batch (clones of every 100th doc under fresh ids) is joined against the
+    stored index WITHOUT rescanning historical text, then candidates are
+    verified by exact shingle Jaccard ≥ 0.9. Batch-internal pairs keep
+    id_a < id_b; batch-vs-history pairs keep the batch id in id_a. Oracled
+    by DuckDB brute force over the same split; the stored-index ≡ one-shot
+    equivalence is pinned in
+    tests/test_pipeline_ops.py::test_minhash_incremental_index_equivalence."""
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    path = tempfile.mkdtemp(prefix="mh_index_") + "/index"
+    dd.minhash_write_index(docs, path, bands=4)
+    cands = dd.minhash_incremental_candidates(spark, path, batch, bands=4)
+    both = docs.unionAll(batch)
+    pairs = dd.ngram_jaccard(cands, both).filter(F.col("jaccard") >= 0.9)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 5).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+_O_MINHASH_INCREMENTAL_DUPS = """
+WITH hist AS (
+  SELECT doc_id, text FROM documents
+), batch AS (
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+), unioned AS (
+  SELECT * FROM hist UNION ALL SELECT * FROM batch
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(length(text) - 4, 0) + 1),
+    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+  FROM unioned WHERE length(text) >= 20
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS j
+  FROM sh a JOIN sh b
+    ON a.doc_id >= 10000000
+   AND a.doc_id != b.doc_id
+   AND (b.doc_id < 10000000 OR a.doc_id < b.doc_id)
+)
+SELECT id_a, id_b, round(j, 5) AS jaccard
+FROM p WHERE j >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, DuckDB-oracled against brute-force
     shingle Jaccard: both engines are deterministic and the LSH bands
@@ -1751,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_set_ops": _q_verdict_set_ops,
         "table_checks_lineitem": _q_table_checks_lineitem,
         "minhash_near_dups": _q_minhash_near_dups,
+        "minhash_incremental_dups": _q_minhash_incremental_dups,
         "near_dup_clusters": _q_near_dup_clusters,
         "streaming_windowed_metrics": _q_streaming_windowed_metrics,
         # engine-native / non-SQL-expressible (rows-only checks)
@@ -1808,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_price": _O_TDIGEST_PRICE,
         "multimodal_features": _O_MULTIMODAL_FEATURES,
         "minhash_near_dups": _O_MINHASH_NEAR_DUPS,
+        "minhash_incremental_dups": _O_MINHASH_INCREMENTAL_DUPS,
         "near_dup_clusters": _O_NEAR_DUP_CLUSTERS,
         "streaming_windowed_metrics": _O_STREAMING_WINDOWED_METRICS,
         "vector_stats": _O_VECTOR_STATS,

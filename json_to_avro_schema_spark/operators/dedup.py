@@ -128,6 +128,130 @@ def minhash_signature(col: Column, *, k: int = 5, num_hashes: int = 32) -> Colum
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_len: int = 20,
+) -> DataFrame:
+    """(id, band, bh) LSH band rows — the joinable representation of a
+    corpus's minhash signatures (bands rows per doc, two longs each).
+    Shared by the one-shot self-join (:func:`minhash_lsh_candidates`) and
+    the stored-index incremental path (:func:`minhash_write_index` /
+    :func:`minhash_incremental_candidates`)."""
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), k=k, num_hashes=num_hashes)
+    base = (
+        _spread(df.filter(F.length(text_col) >= min_len))
+        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+    )
+    return base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+
+
+def minhash_write_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_len: int = 20,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's LSH band rows as the historical near-dup
+    index: parquet partitioned by ``band``. Continuous-ingestion contract:
+    after deduplicating a batch, append its band rows (``mode="append"``)
+    so the next batch sees it. The index costs two longs per (doc, band) —
+    ~128 B/doc raw at 8 bands, far smaller than the documents and highly
+    parquet-compressible — and the incremental join never rescans
+    historical TEXT, only these fixed-width rows."""
+    (
+        minhash_band_rows(
+            df, text_col, id_col,
+            k=k, num_hashes=num_hashes, bands=bands, min_len=min_len,
+        )
+        .write.mode(mode)
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def minhash_incremental_candidates(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_len: int = 20,
+    max_bucket_size: Optional[int] = 10_000,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against the historical index
+    (plus within-batch pairs): (id_a, id_b) where id_a is a batch doc and
+    id_b a batch-or-historical doc, id_a != id_b (ids must be globally
+    unique across batches; batch-internal pairs keep id_a < id_b).
+
+    The join is batch-bands × (index-bands ∪ batch-bands) on (band, bh) —
+    scan cost per batch is O(batch + index-bands-touched), never a rescan
+    of historical text. Same degenerate-bucket cap as
+    :func:`minhash_lsh_candidates`, applied to the COMBINED bucket
+    (an exact-dup mega-group split across history and batch still
+    explodes a bucket; run exact dedup incrementally first)."""
+    new_rows = minhash_band_rows(
+        batch, text_col, id_col,
+        k=k, num_hashes=num_hashes, bands=bands, min_len=min_len,
+    ).persist()
+    idx_rows = spark.read.parquet(index_path).select("id", "band", "bh")
+    all_rows = idx_rows.unionByName(new_rows)
+    if max_bucket_size is not None:
+        small = (
+            all_rows.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        new_rows = new_rows.join(small, ["band", "bh"], "left_semi")
+        all_rows = all_rows.join(small, ["band", "bh"], "left_semi")
+    left = new_rows.alias("l")
+    right = all_rows.alias("r")
+    new_ids = new_rows.select("id").distinct()
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("l.id") != F.col("r.id"))
+        # batch-internal pairs would appear twice ((a,b) and (b,a)): keep
+        # the ordered one; batch-vs-history keeps batch id on the left
+        .join(
+            new_ids.select(F.col("id").alias("__rid")),
+            F.col("r.id") == F.col("__rid"), "left",
+        )
+        .filter(F.col("__rid").isNull() | (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -151,26 +275,10 @@ def minhash_lsh_candidates(
     :func:`dedup_exact` first; that is the documented contract). Pass
     ``None`` to disable the cap.
     """
-    r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), k=k, num_hashes=num_hashes)
-    base = (
-        _spread(df.filter(F.length(text_col) >= min_len))
-        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+    band_rows = minhash_band_rows(
+        df, text_col, id_col,
+        k=k, num_hashes=num_hashes, bands=bands, min_len=min_len,
     )
-    band_rows = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select("id", "e.band", "e.bh")
     # the band table is tiny (bands rows per doc, two longs each) but its
     # lineage re-runs the full minhash projection; persist so the self-join
     # computes signatures once, not once per side

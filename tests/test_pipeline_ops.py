@@ -321,6 +321,51 @@ def test_lsh_mega_bucket_guard(spark):
     assert len(sh) < 10_000
 
 
+def test_minhash_incremental_index_equivalence(spark, tmp_path):
+    """Stored-index incremental LSH ≡ one-shot LSH: candidates(full) =
+    candidates(history) ∪ incremental(batch | index(history)), with the
+    incremental side never re-reading historical text. Also: appending the
+    batch's band rows lets the NEXT batch match against it."""
+    from json_to_avro_schema_spark.operators.dedup import (
+        minhash_incremental_candidates,
+        minhash_lsh_candidates,
+        minhash_write_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cut = 250
+    history = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+
+    def pairset(df_pairs):
+        return {
+            tuple(sorted((r["id_a"], r["id_b"])))
+            for r in df_pairs.collect()
+        }
+
+    full = pairset(minhash_lsh_candidates(docs))
+    hist = pairset(minhash_lsh_candidates(history))
+
+    path = str(tmp_path / "minhash_index")
+    minhash_write_index(history, path)
+    inc = pairset(minhash_incremental_candidates(spark, path, batch))
+    assert hist | inc == full
+    assert hist.isdisjoint(inc)
+
+    # continuous ingestion: after appending the batch, a re-presented batch
+    # doc matches its own historical copy
+    minhash_write_index(batch, path, mode="append")
+    clone_id = int(batch.agg(F.min("doc_id")).first()[0])
+    clone_text = docs.filter(F.col("doc_id") == clone_id).first()["text"]
+    next_batch = spark.createDataFrame(
+        [(1_000_000, clone_text)], "doc_id long, text string"
+    )
+    nxt = minhash_incremental_candidates(spark, path, next_batch)
+    assert (1_000_000, clone_id) in {
+        (r["id_a"], r["id_b"]) for r in nxt.collect()
+    }
+
+
 def test_simhash_null_safe(spark):
     df = spark.createDataFrame(
         [(1, "hello world tokens here"), (2, None), (3, "")],
