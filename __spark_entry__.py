@@ -32,6 +32,10 @@ from json_to_avro_schema_spark.operators import text as tx
 from json_to_avro_schema_spark.operators import uniqueness as uq
 from json_to_avro_schema_spark.operators.tdigest import tdigest_quantiles
 from json_to_avro_schema_spark.runner import run_validation
+from json_to_avro_schema_spark.sources.derived_spans import (
+    span_sequence_key,
+    spans_from_documents,
+)
 from json_to_avro_schema_spark.sources.synthetic import (
     documents_iv_spec,
     generate_documents_iv,
@@ -412,7 +416,8 @@ def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 _O_TOPK_COSINE = """
 SELECT e.vec_id,
-       round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+       round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE),
+             4) AS cos_sim
 FROM embeddings e,
      (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
@@ -1764,6 +1769,133 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------------------
+# Interleaved-span queries over a DERIVED spans table: documents.text is
+# split into fixed-width text spans (+ a media span every 3rd doc) with
+# arithmetic only (sources/derived_spans.py), so DuckDB can re-derive the
+# identical table and the north rule's span-sequence equality invariant
+# (kind, text, media_ref, order) becomes a hard value-hash oracle — unlike
+# the engine-synthetic documents_iv table, which DuckDB cannot see.
+
+
+def _q_span_seq_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc canonical span-sequence key: byte-for-byte agreement with
+    the SQL re-derivation proves span construction AND the sequence
+    invariant (field order, null sentinels, array order) end-to-end."""
+    docs = load_table(spark, sf, "documents")
+    d = spans_from_documents(docs)
+    return d.select(
+        "doc_id", span_sequence_key(F.col("spans")).alias("span_seq")
+    ).orderBy("doc_id")
+
+
+_O_SPAN_SEQ_KEYS = """
+WITH base AS (
+  SELECT doc_id, text,
+         greatest(CAST(ceil(length(text) / 100.0) AS INT), 1) AS n
+  FROM documents
+), sp AS (
+  SELECT doc_id,
+    list_transform(range(0, n), i ->
+      'text' || chr(1) || substr(text, CAST(i*100+1 AS INT), 100)
+             || chr(1) || chr(0) || chr(1) || CAST(i AS VARCHAR))
+    || CASE WHEN doc_id % 3 = 0
+         THEN ['media' || chr(1) || chr(0) || chr(1) || 'm-'
+               || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+               || chr(1) || CAST(n AS VARCHAR)]
+         ELSE [] END AS parts
+  FROM base
+)
+SELECT doc_id, list_aggregate(parts, 'string_agg', chr(2)) AS span_seq
+FROM sp ORDER BY doc_id
+"""
+
+
+def _q_span_kind_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-kind span statistics over the exploded interleaved table (the
+    real operator shape: explode → hash agg); the oracle computes the same
+    totals from the derivation arithmetic."""
+    docs = load_table(spark, sf, "documents")
+    ex = spans_from_documents(docs).select(
+        "doc_id", F.explode("spans").alias("s")
+    )
+    return (
+        ex.groupBy(F.col("s.kind").alias("kind"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum(F.coalesce(F.length("s.text"), F.lit(0))).alias(
+                "total_text_chars"
+            ),
+            F.count_distinct("s.media_ref").alias("n_distinct_refs"),
+        )
+        .orderBy("kind")
+    )
+
+
+_O_SPAN_KIND_STATS = """
+WITH base AS (
+  SELECT doc_id, greatest(CAST(ceil(length(text) / 100.0) AS INT), 1) AS n,
+         length(text) AS chars FROM documents
+)
+SELECT 'media' AS kind, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS total_text_chars,
+       CAST(count(DISTINCT doc_id % 100000000) AS BIGINT) AS n_distinct_refs
+FROM base WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'text', CAST(sum(n) AS BIGINT), CAST(count(DISTINCT doc_id) AS BIGINT),
+       CAST(sum(chars) AS BIGINT), CAST(0 AS BIGINT)
+FROM base
+ORDER BY kind
+"""
+
+
+_DERIVED_SPANS_SPEC = {
+    "$id": "http://engine.local/DerivedSpans",
+    "type": "object",
+    "properties": {
+        "doc_id": {"type": "integer"},
+        "spans": {
+            "type": "array",
+            "items": {
+                "properties": {
+                    "kind": {"type": "string"},
+                    "text": {"type": ["string", "null"]},
+                    "media_ref": {"type": ["string", "null"]},
+                    "offset": {"type": "integer", "x-bits": 32},
+                }
+            },
+            "x-monotonicIncreasing": ["offset"],
+        },
+    },
+    "required": ["doc_id", "spans"],
+}
+
+
+def _q_span_monotonic_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPILED spec pipeline catching planted span-order corruption:
+    every 9th doc's offsets are reversed at derivation; the spec's
+    x-monotonicIncreasing check (single-pass aggregate accumulator,
+    compiler/checks.py monotonic_increasing) must flag exactly the docs
+    where the reversal is observable (≥ 2 spans) — SQL-derivable from the
+    derivation arithmetic."""
+    docs = load_table(spark, sf, "documents")
+    bad = spans_from_documents(docs, corrupt_every=9)
+    plan = compile_document(_DERIVED_SPANS_SPEC)
+    res = run_validation(spark, bad, plan)
+    return res.violations.select("doc_id").orderBy("doc_id")
+
+
+_O_SPAN_MONOTONIC_VIOLATIONS = """
+SELECT doc_id FROM documents
+WHERE doc_id % 9 = 0
+  AND (greatest(CAST(ceil(length(text) / 100.0) AS INT), 1)
+       + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) >= 2
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # §2.3 table-level checks (SQL-expressible, DuckDB-oracled)
@@ -1805,6 +1937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checks_lineitem": _q_table_checks_lineitem,
         "minhash_near_dups": _q_minhash_near_dups,
         "minhash_incremental_dups": _q_minhash_incremental_dups,
+        # interleaved-span operators over the SQL-derivable spans table
+        "span_seq_keys": _q_span_seq_keys,
+        "span_kind_stats": _q_span_kind_stats,
+        "span_monotonic_violations": _q_span_monotonic_violations,
         "near_dup_clusters": _q_near_dup_clusters,
         "streaming_windowed_metrics": _q_streaming_windowed_metrics,
         # engine-native / non-SQL-expressible (rows-only checks)
@@ -1863,6 +1999,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _O_MULTIMODAL_FEATURES,
         "minhash_near_dups": _O_MINHASH_NEAR_DUPS,
         "minhash_incremental_dups": _O_MINHASH_INCREMENTAL_DUPS,
+        "span_seq_keys": _O_SPAN_SEQ_KEYS,
+        "span_kind_stats": _O_SPAN_KIND_STATS,
+        "span_monotonic_violations": _O_SPAN_MONOTONIC_VIOLATIONS,
         "near_dup_clusters": _O_NEAR_DUP_CLUSTERS,
         "streaming_windowed_metrics": _O_STREAMING_WINDOWED_METRICS,
         "vector_stats": _O_VECTOR_STATS,

@@ -366,6 +366,44 @@ def test_minhash_incremental_index_equivalence(spark, tmp_path):
     }
 
 
+def test_derived_spans_shape_and_corruption(spark):
+    """documents → interleaved derivation: chunking, media placement,
+    planted offset reversal, and the sequence key's null sentinel (a text
+    span with empty text differs from a media span with empty ref)."""
+    from json_to_avro_schema_spark.sources.derived_spans import (
+        span_sequence_key,
+        spans_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 250), (1, ""), (9, "y" * 150)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["spans"]
+        for r in spans_from_documents(docs).collect()
+    }
+    assert [s["offset"] for s in rows[0]] == [0, 1, 2, 3]  # 3 text + media
+    assert rows[0][-1]["kind"] == "media"
+    assert rows[0][-1]["media_ref"] == "m-00000000"
+    assert len(rows[1]) == 1  # empty text still yields one (empty) chunk
+    assert rows[1][0]["text"] == ""  # 1 % 3 != 0 → no media span
+    assert [s["kind"] for s in rows[9]] == ["text", "text", "media"]
+
+    bad = {
+        r["doc_id"]: [s["offset"] for s in r["spans"]]
+        for r in spans_from_documents(docs, corrupt_every=9).collect()
+    }
+    assert bad[9] == [2, 1, 0]
+    assert bad[0] == [3, 2, 1, 0]  # 0 % 9 == 0 → corrupted too
+    assert bad[1] == [0]  # untouched control
+
+    keys = spans_from_documents(docs).select(
+        span_sequence_key(F.col("spans")).alias("k")
+    ).collect()
+    assert len({r["k"] for r in keys}) == 3  # all sequences distinct
+
+
 def test_simhash_null_safe(spark):
     df = spark.createDataFrame(
         [(1, "hello world tokens here"), (2, None), (3, "")],
