@@ -35,11 +35,11 @@ from json_to_avro_schema_spark.runner import run_validation
 from json_to_avro_schema_spark.sources.derived_spans import (
     span_sequence_key,
     spans_from_documents,
+    with_part_key,
 )
 from json_to_avro_schema_spark.sources.synthetic import (
     documents_iv_spec,
     generate_documents_iv,
-    generate_media_assets,
 )
 from json_to_avro_schema_spark.sources.tables import load_table
 
@@ -1110,29 +1110,36 @@ SELECT (SELECT count(*) FROM (SELECT * FROM disc EXCEPT ALL SELECT * FROM tax)) 
 """
 
 
-# ------------------------- non-SQL-expressible (rows-only checks) --------
-
-def _q_documents_iv_verdicts(spark: SparkSession, sf: str) -> DataFrame:
-    plan = compile_document(documents_iv_spec())
-    df = generate_documents_iv(spark, 10_000, violation_pct=5)
-    return run_validation(spark, df, plan).verdicts.orderBy("part_key", "check_name")
-
-
-def _q_documents_iv_violations(spark: SparkSession, sf: str) -> DataFrame:
-    plan = compile_document(documents_iv_spec())
-    df = generate_documents_iv(spark, 10_000, violation_pct=5)
-    v = run_validation(spark, df, plan).violations
-    return v.select("doc_id", "part_key", F.to_json("spans").alias("spans_json"),
-                    F.array_join("failed_checks", ",").alias("failed")).orderBy("doc_id")
-
+# ------------------------- engine-native paths ---------------------------
 
 def _q_span_ri_dangling(spark: SparkSession, sf: str) -> DataFrame:
-    docs = generate_documents_iv(spark, 10_000, violation_pct=5)
-    assets = generate_media_assets(spark)
-    refs = ri.exploded_span_refs(docs)
+    """Referential integrity over exploded media spans: the assets table
+    is the derived ref set MINUS every 15th doc's asset, so the dangling
+    count is pure arithmetic for the oracle. Broadcast anti-join shape
+    (operators/referential.py)."""
+    docs = load_table(spark, sf, "documents")
+    d = spans_from_documents(docs)
+    refs = ri.exploded_span_refs(d)
+    assets = (
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 15 != 0))
+        .select(
+            F.concat(
+                F.lit("m-"),
+                F.lpad((F.col("doc_id") % 100_000_000).cast("string"), 8, "0"),
+            ).alias("media_ref")
+        )
+    )
     return ri.ri_verdict(refs, assets, ["media_ref"]).select(
         "n_rows", "n_dangling", "pass"
     )
+
+
+_O_SPAN_RI_DANGLING = """
+SELECT CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 15 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
+       (sum(CASE WHEN doc_id % 15 = 0 THEN 1 ELSE 0 END) = 0) AS pass
+FROM documents
+"""
 
 
 def _q_tdigest_price(spark: SparkSession, sf: str) -> DataFrame:
@@ -1319,17 +1326,17 @@ def _q_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
         run_with_checkpoint,
     )
 
-    plan = compile_document(documents_iv_spec())
-    df = generate_documents_iv(spark, 10_000, violation_pct=5)
-    parts = sorted(r["part_key"] for r in df.select("part_key").distinct().collect())
-    half = parts[: len(parts) // 2]
-
+    plan = compile_document(_DERIVED_SPANS_SPEC)
+    df = _derived_corrupted(spark, sf)
+    # part_key is "00".."63" (doc_id % 64), zero-padded so lexicographic
+    # < "32" is numeric < 32 — the processed/resumed counts are modulo
+    # arithmetic over documents, hence SQL-derivable
     tmp = tempfile.mkdtemp(prefix="ckpt_resume_")
     try:
         store = CheckpointStore(os.path.join(tmp, "state"))
         out_dir = os.path.join(tmp, "out")
         first = run_with_checkpoint(
-            spark, df.filter(F.col("part_key").isin(half)), plan, store,
+            spark, df.filter(F.col("part_key") < "32"), plan, store,
             "run-1", out_dir,
         )
         second = run_with_checkpoint(spark, df, plan, store, "run-1", out_dir)
@@ -1338,20 +1345,33 @@ def _q_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
             spark.read.parquet(os.path.join(out_dir, "verdicts"))
             .select("part_key").distinct().count()
         )
+        n_parts = df.select("part_key").distinct().count()
         return spark.createDataFrame(
             [(
-                len(parts),
+                n_parts,
                 first.n_partitions_processed,
                 second.n_partitions_resumed,
                 second.n_partitions_processed,
                 third.n_partitions_resumed,
                 verdict_parts,
             )],
-            "n_parts int, first_processed int, second_resumed int, "
-            "second_processed int, third_resumed int, verdict_parts int",
+            "n_parts long, first_processed long, second_resumed long, "
+            "second_processed long, third_resumed long, verdict_parts long",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_O_CHECKPOINT_RESUME = """
+WITH p AS (SELECT DISTINCT doc_id % 64 AS pk FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN pk < 32 THEN 1 ELSE 0 END) AS BIGINT) AS first_processed,
+       CAST(sum(CASE WHEN pk < 32 THEN 1 ELSE 0 END) AS BIGINT) AS second_resumed,
+       CAST(sum(CASE WHEN pk >= 32 THEN 1 ELSE 0 END) AS BIGINT) AS second_processed,
+       CAST(count(*) AS BIGINT) AS third_resumed,
+       CAST(count(*) AS BIGINT) AS verdict_parts
+FROM p
+"""
 
 
 _STREAM_EVENTS_SPEC = {
@@ -1582,12 +1602,12 @@ def _q_streaming_running_verdicts(spark: SparkSession, sf: str) -> DataFrame:
         running_partition_verdicts,
     )
 
-    plan = compile_document(documents_iv_spec())
-    docs = generate_documents_iv(spark, 5_000, violation_pct=5)
+    plan = compile_document(_DERIVED_SPANS_SPEC)
+    docs = _derived_corrupted(spark, sf)
     tmp = tempfile.mkdtemp(prefix="stateful_q_")
     try:
         src = os.path.join(tmp, "src")
-        seq = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+        seq = F.col("doc_id")
         docs.filter(seq % 2 == 0).coalesce(1).write.mode("append").parquet(src)
         docs.filter(seq % 2 == 1).coalesce(1).write.mode("append").parquet(src)
         schema = spark.read.parquet(src).schema
@@ -1860,9 +1880,12 @@ _DERIVED_SPANS_SPEC = {
             "type": "array",
             "items": {
                 "properties": {
-                    "kind": {"type": "string"},
+                    "kind": {"type": "string", "enum": ["text", "media"]},
                     "text": {"type": ["string", "null"]},
-                    "media_ref": {"type": ["string", "null"]},
+                    "media_ref": {
+                        "type": ["string", "null"],
+                        "pattern": "^m-[0-9]{8}$",
+                    },
                     "offset": {"type": "integer", "x-bits": 32},
                 }
             },
@@ -1892,6 +1915,114 @@ SELECT doc_id FROM documents
 WHERE doc_id % 9 = 0
   AND (greatest(CAST(ceil(length(text) / 100.0) AS INT), 1)
        + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) >= 2
+ORDER BY doc_id
+"""
+
+
+def _derived_corrupted(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship-shaped input, fully SQL-derivable: interleaved spans
+    with three arithmetic corruption families planted (offset reversal
+    every 9th doc, bad media ref every 21st, null spans every 11th) and a
+    modulo part_key — so the COMPLETE validation pipeline (compile spec →
+    per-partition verdicts + violation rows with byte-exact span sequences)
+    gets a hard DuckDB value-hash oracle."""
+    docs = load_table(spark, sf, "documents")
+    return with_part_key(
+        spans_from_documents(
+            docs, corrupt_every=9, bad_ref_every=21, null_spans_every=11
+        )
+    )
+
+
+# shared failure arithmetic for the derived corrupted table: per doc,
+# which compiled check fails (mirrors derived_spans.py planting exactly)
+_O_DERIVED_F = """
+WITH f AS (
+  SELECT doc_id,
+         greatest(CAST(ceil(length(text) / 100.0) AS INT), 1) AS n,
+         greatest(CAST(ceil(length(text) / 100.0) AS INT), 1)
+           + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS total,
+         (doc_id % 3 = 0) AS has_media,
+         (doc_id % 11 = 0) AS null_spans,
+         (doc_id % 11 <> 0) AND (
+           (doc_id % 9 = 0
+            AND greatest(CAST(ceil(length(text) / 100.0) AS INT), 1)
+                + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END >= 2)
+           OR (doc_id % 3 = 0 AND doc_id % 21 = 0)
+         ) AS conforms_fail,
+         text
+  FROM documents
+)
+"""
+
+
+def _q_derived_validation_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end flagship pipeline, oracled: compiled spec (required +
+    nested enum/pattern/bits + x-monotonicIncreasing) over the corrupted
+    derived table → per-partition verdicts. One scan, fused agg."""
+    plan = compile_document(_DERIVED_SPANS_SPEC)
+    res = run_validation(spark, _derived_corrupted(spark, sf), plan)
+    return res.verdicts.orderBy("part_key", "check_name")
+
+
+_O_DERIVED_VALIDATION_VERDICTS = _O_DERIVED_F + """
+, per AS (
+  SELECT lpad(CAST(doc_id % 64 AS VARCHAR), 2, '0') AS part_key,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN null_spans THEN 1 ELSE 0 END) AS BIGINT) AS req_fail,
+         CAST(sum(CASE WHEN conforms_fail THEN 1 ELSE 0 END) AS BIGINT) AS conf_fail
+  FROM f GROUP BY 1
+)
+SELECT part_key, c.check_name, n_rows,
+       CASE c.check_name WHEN 'spans__required' THEN req_fail
+                         WHEN 'spans__conforms' THEN conf_fail
+                         ELSE CAST(0 AS BIGINT) END AS n_fail,
+       (CASE c.check_name WHEN 'spans__required' THEN req_fail
+                          WHEN 'spans__conforms' THEN conf_fail
+                          ELSE CAST(0 AS BIGINT) END = 0) AS pass
+FROM per CROSS JOIN (VALUES ('doc_id__conforms'), ('doc_id__required'),
+                            ('spans__conforms'), ('spans__required')) c(check_name)
+ORDER BY part_key, check_name
+"""
+
+
+def _q_derived_validation_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized violation rows from the same pipeline, with the span
+    sequence re-encoded as the canonical (kind, text, media_ref, order)
+    key — the north rule's byte-for-byte invariant as a value hash."""
+    plan = compile_document(_DERIVED_SPANS_SPEC)
+    res = run_validation(spark, _derived_corrupted(spark, sf), plan)
+    return res.violations.select(
+        "doc_id", "part_key",
+        span_sequence_key(F.col("spans")).alias("span_seq"),
+        F.array_join("failed_checks", ",").alias("failed"),
+    ).orderBy("doc_id")
+
+
+_O_DERIVED_VALIDATION_VIOLATIONS = _O_DERIVED_F + """
+, sp AS (
+  SELECT doc_id, null_spans, conforms_fail,
+    CASE WHEN null_spans THEN NULL ELSE
+      list_aggregate(
+        list_transform(range(0, n), i ->
+          'text' || chr(1) || substr(text, CAST(i*100+1 AS INT), 100)
+                 || chr(1) || chr(0) || chr(1)
+                 || CAST(CASE WHEN doc_id % 9 = 0 THEN total-1-i ELSE i END AS VARCHAR))
+        || CASE WHEN has_media
+             THEN ['media' || chr(1) || chr(0) || chr(1)
+                   || CASE WHEN doc_id % 21 = 0 THEN 'x!BAD'
+                      ELSE 'm-' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') END
+                   || chr(1)
+                   || CAST(CASE WHEN doc_id % 9 = 0 THEN total-1-n ELSE n END AS VARCHAR)]
+             ELSE [] END,
+        'string_agg', chr(2))
+    END AS span_seq
+  FROM f
+)
+SELECT doc_id, lpad(CAST(doc_id % 64 AS VARCHAR), 2, '0') AS part_key, span_seq,
+       CASE WHEN null_spans THEN 'spans__required'
+            ELSE 'spans__conforms' END AS failed
+FROM sp WHERE null_spans OR conforms_fail
 ORDER BY doc_id
 """
 
@@ -1943,9 +2074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_monotonic_violations": _q_span_monotonic_violations,
         "near_dup_clusters": _q_near_dup_clusters,
         "streaming_windowed_metrics": _q_streaming_windowed_metrics,
-        # engine-native / non-SQL-expressible (rows-only checks)
-        "documents_iv_verdicts": _q_documents_iv_verdicts,
-        "documents_iv_violations": _q_documents_iv_violations,
+        # flagship pipeline, fully oracled over the derived corrupted table
+        # (the engine-native generate_documents_iv twin stays in entry()
+        # and pytest's golden/byte-equality suites)
+        "derived_validation_verdicts": _q_derived_validation_verdicts,
+        "derived_validation_violations": _q_derived_validation_violations,
         "span_ri_dangling": _q_span_ri_dangling,
         "tdigest_price": _q_tdigest_price,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -2012,4 +2145,10 @@ def oracle_sql() -> dict[str, str]:
         "cube_verdicts": _O_CUBE_VERDICTS,
         "verdict_set_ops": _O_VERDICT_SET_OPS,
         "table_checks_lineitem": _o_table_checks_lineitem(),
+        "derived_validation_verdicts": _O_DERIVED_VALIDATION_VERDICTS,
+        "derived_validation_violations": _O_DERIVED_VALIDATION_VIOLATIONS,
+        "span_ri_dangling": _O_SPAN_RI_DANGLING,
+        "checkpoint_resume": _O_CHECKPOINT_RESUME,
+        # final stateful-stream state ≡ batch totals over the full input
+        "streaming_running_verdicts": _O_DERIVED_VALIDATION_VERDICTS,
     }

@@ -20,12 +20,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: media_ref value planted by ``bad_ref_every`` — fails ``^m-[0-9]{8}$``.
+BAD_REF = "x!BAD"
+
+
 def spans_from_documents(
     docs: DataFrame,
     *,
     chunk: int = 100,
     media_every: int = 3,
     corrupt_every: Optional[int] = None,
+    bad_ref_every: Optional[int] = None,
+    null_spans_every: Optional[int] = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -34,9 +40,15 @@ def spans_from_documents(
     span whose ref is derived from the id (zero-padded to the reference's
     ``m-[0-9]{8}`` shape).
 
-    ``corrupt_every`` plants offset-order violations: every N-th doc gets
-    its offsets reversed — detectable by the spec's x-monotonicIncreasing
-    check for any doc with ≥ 2 spans, and SQL-derivable for the oracle.
+    Arithmetic corruption planting (each SQL-derivable for the oracle):
+
+    - ``corrupt_every``: every N-th doc gets its offsets reversed —
+      x-monotonicIncreasing violation for any doc with ≥ 2 spans.
+    - ``bad_ref_every``: every N-th doc's media span (if it has one) gets
+      ``BAD_REF`` as its ref — a ``pattern`` violation. Pick a multiple of
+      ``media_every`` so every selected doc actually carries a media span.
+    - ``null_spans_every``: every N-th doc's spans column is NULL — a
+      ``required`` violation (applied last, overriding the other two).
     """
     did = F.col(id_col)
     txt = F.col(text_col)
@@ -52,12 +64,15 @@ def spans_from_documents(
             i.cast("int").alias("offset"),
         ),
     )
+    ref = F.concat(
+        F.lit("m-"), F.lpad((did % 100_000_000).cast("string"), 8, "0")
+    )
+    if bad_ref_every is not None:
+        ref = F.when(did % bad_ref_every == 0, F.lit(BAD_REF)).otherwise(ref)
     media_span = F.struct(
         F.lit("media").alias("kind"),
         F.lit(None).cast("string").alias("text"),
-        F.concat(
-            F.lit("m-"), F.lpad((did % 100_000_000).cast("string"), 8, "0")
-        ).alias("media_ref"),
+        ref.alias("media_ref"),
         n.cast("int").alias("offset"),
     )
     spans = F.when(
@@ -75,7 +90,20 @@ def spans_from_documents(
             ),
         )
         spans = F.when(did % corrupt_every == 0, reversed_spans).otherwise(spans)
+    if null_spans_every is not None:
+        spans = F.when(did % null_spans_every == 0, F.lit(None)).otherwise(
+            spans
+        )
     return docs.select(did.alias("doc_id"), spans.alias("spans"))
+
+
+def with_part_key(derived: DataFrame, *, n_parts: int = 64) -> DataFrame:
+    """Zero-padded modulo partition key ("00".."63") — lexicographic order
+    equals numeric order, and ``doc_id % n_parts`` is SQL-derivable."""
+    return derived.withColumn(
+        "part_key",
+        F.format_string("%02d", (F.col("doc_id") % n_parts).cast("int")),
+    )
 
 
 def span_sequence_key(spans: Column) -> Column:
