@@ -85,9 +85,12 @@ def run_bench() -> dict:
     flagship_validation(spark, N_DOCS_BENCH, path)
     flagship_cold_sec = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    n_docs = flagship_validation(spark, N_DOCS_BENCH, path)
-    flagship_sec = time.perf_counter() - t0
+    warm_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_docs = flagship_validation(spark, N_DOCS_BENCH, path)
+        warm_runs.append(time.perf_counter() - t0)
+    flagship_sec = sorted(warm_runs)[1]
     timings["flagship_validation"] = round(flagship_sec, 3)
 
     qs = entrymod.queries()
@@ -132,12 +135,22 @@ def run_bench() -> dict:
         ("table_checks_lineitem", qs["table_checks_lineitem"]),
         ("simhash_near_dups", qs["simhash_near_dups"]),
         ("topk_price_by_flag", qs["topk_price_by_flag"]),
+        # the fully-oracled flagship pipeline over the derived interleaved
+        # table (compile spec -> verdicts; violations timed via its twin)
+        ("derived_validation_verdicts", qs["derived_validation_verdicts"]),
+        ("minhash_near_dups", qs["minhash_near_dups"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # median of 3 timed runs: single-shot numbers on this VM carry
+        # 2-5x noise spikes (hypervisor/GC), which poisoned round-to-round
+        # comparisons; the median is stable to <10%
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     return {
