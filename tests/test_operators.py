@@ -82,6 +82,35 @@ def test_referential_integrity_tpch(spark):
     assert v["pass"] and v["n_dangling"] == 0
 
 
+def test_ri_auto_broadcast_plan_shapes(spark):
+    """'auto' force-broadcasts a small parent (deterministic small-dim plan)
+    but falls back to a shuffle join — never a driver-side collect of the
+    parent — once the estimated key set exceeds the threshold (the
+    10^12-row-parent shape; AQE may still convert at runtime from actuals)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+    small = ri_violations(li, orders, ["l_orderkey"], ["o_orderkey"])
+    plan_small = small._jdf.queryExecution().toString()
+    assert "ResolvedHint" in plan_small or "Broadcast" in plan_small
+
+    big = ri_violations(
+        li, orders, ["l_orderkey"], ["o_orderkey"],
+        broadcast_threshold_bytes=0,
+    )
+    plan_big = big._jdf.queryExecution().toString()
+    # no broadcast HINT injected by us; the physical join on a
+    # 0-byte threshold estimate must be a shuffle join
+    assert "ResolvedHint" not in plan_big
+
+    # both plans return identical results
+    assert small.count() == big.count() == 0
+
+    with pytest.raises(ValueError):
+        ri_violations(li, orders, ["l_orderkey"], ["o_orderkey"],
+                      broadcast_parent="sometimes")
+
+
 def test_histogram_conserves_mass(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     h = histogram(df, "l_extendedprice", bins=16)
