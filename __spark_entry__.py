@@ -407,6 +407,51 @@ SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids FROM kept
 """
 
 
+def _q_colocated_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exchange-free incremental exact dedup over BUCKETED storage: corpus
+    and historical fingerprint index are both written bucketBy(fingerprint),
+    so the anti-join is bucket-local (zero Exchange — plan pinned in
+    tests/test_bucketed.py). Docs with doc_id < 250 form the index; output
+    aggregates the not-yet-indexed set."""
+    import os
+
+    from json_to_avro_schema_spark.sources.bucketed import (
+        dedup_exact_colocated,
+        write_bucketed,
+    )
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "fingerprint", tx.fingerprint(F.col("text"))
+    )
+    index = docs.filter(F.col("doc_id") < 250).select("fingerprint").distinct()
+    base = f"/tmp/colocated_{os.path.basename(sf.rstrip('/'))}"
+    write_bucketed(
+        docs, "colocated_corpus", base + "/corpus", ["fingerprint"], n_buckets=8
+    )
+    write_bucketed(
+        index, "colocated_index", base + "/index", ["fingerprint"], n_buckets=8
+    )
+    fresh = dedup_exact_colocated(spark, "colocated_corpus", "colocated_index")
+    return fresh.agg(
+        F.count(F.lit(1)).alias("n_fresh"),
+        F.sum("doc_id").alias("sum_fresh_ids"),
+    )
+
+
+_O_COLOCATED_DEDUP = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+  FROM documents
+), idx AS (
+  SELECT DISTINCT k FROM norm WHERE doc_id < 250
+), fresh AS (
+  SELECT doc_id FROM norm WHERE k NOT IN (SELECT k FROM idx)
+)
+SELECT count(*) AS n_fresh, CAST(sum(doc_id) AS BIGINT) AS sum_fresh_ids
+FROM fresh
+"""
+
+
 def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -2047,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_incremental": _q_dedup_incremental,
+        "colocated_dedup": _q_colocated_dedup,
         "topk_cosine": _q_topk_cosine,
         "approx_unique_lineitem": _q_approx_unique_lineitem,
         "lang_detect_docs": _q_lang_detect_docs,
@@ -2111,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_groups": _O_EXACT_DUP_GROUPS,
         "dedup_exact_keep": _O_DEDUP_EXACT_KEEP,
         "dedup_incremental": _O_DEDUP_INCREMENTAL,
+        "colocated_dedup": _O_COLOCATED_DEDUP,
         "topk_cosine": _O_TOPK_COSINE,
         "approx_unique_lineitem": _O_APPROX_UNIQUE_LINEITEM,
         "lang_detect_docs": _o_lang_detect_docs(),
