@@ -452,6 +452,88 @@ FROM fresh
 """
 
 
+def _q_sample_split_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/test split of the documents table: key-stable
+    (same doc -> same side on any cluster/partitioning, no per-task RNG),
+    shuffle-free, and exactly re-derivable in ANSI SQL via the portable
+    md5-prefix bucket (operators/sampling.py)."""
+    from json_to_avro_schema_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        train_test_split(docs, "doc_id", 0.25, seed="s42")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("split")
+    )
+
+
+def _o_sample_split_docs() -> str:
+    from json_to_avro_schema_spark.operators.sampling import (
+        HASH_SPACE,
+        bucket_sql,
+    )
+
+    thr = int(round(0.25 * HASH_SPACE))
+    b = bucket_sql("doc_id", seed="s42")
+    return f"""
+SELECT CASE WHEN {b} < {thr} THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q_stratified_sample_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum key-stable downsampling (keep all errors, thin the
+    high-volume event types) — one shuffle-free filter; the CASE threshold
+    and md5 bucket are re-derived verbatim in the oracle."""
+    from json_to_avro_schema_spark.operators.sampling import stratified_sample
+
+    ev = load_table(spark, sf, "events")
+    out = stratified_sample(
+        ev,
+        "event_type",
+        {"error": 1.0, "click": 0.2, "view": 0.05},
+        "event_id",
+        seed="s7",
+        default_fraction=0.5,
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _o_stratified_sample_events() -> str:
+    from json_to_avro_schema_spark.operators.sampling import (
+        HASH_SPACE,
+        bucket_sql,
+    )
+
+    def t(f: float) -> int:
+        return int(round(f * HASH_SPACE))
+
+    b = bucket_sql("event_id", seed="s7")
+    return f"""
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM events
+WHERE {b} < CASE event_type
+            WHEN 'error' THEN {t(1.0)}
+            WHEN 'click' THEN {t(0.2)}
+            WHEN 'view' THEN {t(0.05)}
+            ELSE {t(0.5)} END
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -2093,6 +2175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_incremental": _q_dedup_incremental,
         "colocated_dedup": _q_colocated_dedup,
+        "sample_split_docs": _q_sample_split_docs,
+        "stratified_sample_events": _q_stratified_sample_events,
         "topk_cosine": _q_topk_cosine,
         "approx_unique_lineitem": _q_approx_unique_lineitem,
         "lang_detect_docs": _q_lang_detect_docs,
@@ -2158,6 +2242,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_keep": _O_DEDUP_EXACT_KEEP,
         "dedup_incremental": _O_DEDUP_INCREMENTAL,
         "colocated_dedup": _O_COLOCATED_DEDUP,
+        "sample_split_docs": _o_sample_split_docs(),
+        "stratified_sample_events": _o_stratified_sample_events(),
         "topk_cosine": _O_TOPK_COSINE,
         "approx_unique_lineitem": _O_APPROX_UNIQUE_LINEITEM,
         "lang_detect_docs": _o_lang_detect_docs(),

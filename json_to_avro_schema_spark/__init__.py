@@ -20,6 +20,12 @@ from .errors import (
     SpecParseError,
     SpecResolutionError,
 )
+from .operators.sampling import (
+    deterministic_sample,
+    deterministic_topn_sample,
+    stratified_sample,
+    train_test_split,
+)
 from .runner import (
     ValidationResult,
     run_validation,
@@ -42,11 +48,15 @@ __all__ = [
     "SpecResolutionError",
     "ValidationResult",
     "compile_document",
+    "deterministic_sample",
+    "deterministic_topn_sample",
     "get_spark",
     "run_table_checks",
     "run_validation",
     "run_with_checkpoint",
     "sample_violations",
+    "stratified_sample",
+    "train_test_split",
     "verdicts_from_violations",
     "verdicts_with_violation_count",
 ]

@@ -1,0 +1,123 @@
+"""Deterministic, key-stable sampling and split operators.
+
+A training-data pipeline needs samples and held-out splits that are
+REPRODUCIBLE: the same document must land on the same side of a split on
+every run, on any cluster size, under any partitioning — which rules out
+``df.sample()`` (per-task RNG seeded by partition id: repartitioning or a
+task retry changes the sample). Everything here instead derives membership
+from a portable hash of ``(seed, key)``:
+
+    bucket(key) = conv(substring(md5(seed || key), 1, 8), 16, 10)
+
+a uniform value in ``[0, 2^32)`` that ANSI engines reproduce exactly
+(DuckDB: ``CAST('0x' || substring(md5(..), 1, 8) AS BIGINT)``), so every
+operator in this module is SQL-oracle-able. Properties that fall out:
+
+* **shuffle-free**: sampling is a codegen'd ``filter`` — embarrassingly
+  parallel, no data movement, scales linearly to any corpus size;
+* **stable**: membership depends only on (seed, key) — task retries,
+  AQE re-plans and cluster resizes cannot change the sample;
+* **nested**: the 10 % sample is a strict subset of the 20 % sample for
+  the same seed (thresholds on one bucket value), so growing a sample
+  never invalidates work done on a smaller one;
+* **disjoint by construction**: train/test partition the bucket space.
+
+Reference analog: none (the reference validates one in-memory schema,
+README.md:100-104); this extends SURVEY.md §2.3's pipeline-extra surface.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# bucket space: first 8 hex chars of md5 -> [0, 2^32)
+HASH_SPACE = 1 << 32
+
+
+def sample_bucket(key: Column, seed: str = "") -> Column:
+    """Uniform bucket in ``[0, 2^32)`` from a portable hash of (seed, key).
+
+    ``md5`` (not ``xxhash64``) on purpose: its hex form is bit-identical
+    across engines, so oracles can re-derive membership exactly.
+    """
+    h = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(round(fraction * HASH_SPACE))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, *, seed: str = ""
+) -> DataFrame:
+    """Key-stable Bernoulli sample: keep rows whose bucket falls below
+    ``fraction`` of the hash space. Pure filter — no shuffle, no RNG."""
+    thr = _threshold(fraction)
+    return df.filter(sample_bucket(F.col(key_col), seed) < F.lit(thr))
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float,
+    *,
+    seed: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('test' | 'train') partitioning the rows by
+    bucket threshold. Every row appears in exactly one side; membership is
+    stable across runs and cluster layouts."""
+    thr = _threshold(test_fraction)
+    bucket = sample_bucket(F.col(key_col), seed)
+    return df.withColumn(
+        split_col,
+        F.when(bucket < F.lit(thr), F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    *,
+    seed: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum key-stable sampling (e.g. downsample boilerplate-heavy
+    sources harder). Strata absent from ``fractions`` use
+    ``default_fraction``. Still one shuffle-free filter: the threshold is a
+    CASE over the stratum column, the bucket is computed once."""
+    thr: Column = F.lit(_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thr = (
+            F.when(F.col(strata_col) == F.lit(stratum), F.lit(_threshold(frac)))
+            .otherwise(thr)
+        )
+    return df.filter(sample_bucket(F.col(key_col), seed) < thr)
+
+
+def deterministic_topn_sample(
+    df: DataFrame, key_col: str, n: int, *, seed: str = ""
+) -> DataFrame:
+    """Exact-N uniform sample without replacement: the N globally smallest
+    buckets (hash ties broken by key). Physically a TakeOrdered — each
+    partition keeps its local top-N, the driver merges N·P candidates —
+    no global sort, no full shuffle."""
+    bucket = sample_bucket(F.col(key_col), seed)
+    return df.orderBy(bucket.asc(), F.col(key_col).asc()).limit(n)
+
+
+def bucket_sql(key_sql: str, seed: str = "") -> str:
+    """The oracle-side rendering of :func:`sample_bucket` for ANSI engines
+    (DuckDB syntax), kept next to the Spark form so they can't drift."""
+    return (
+        f"CAST(('0x' || substring(md5('{seed}' || CAST({key_sql} AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT)"
+    )

@@ -1,0 +1,144 @@
+"""Deterministic sampling: key-stable membership must survive reruns,
+repartitioning, and seed nesting — the reproducibility contract
+``df.sample()`` (per-task RNG) cannot give."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from json_to_avro_schema_spark.operators.sampling import (  # noqa: E402
+    HASH_SPACE,
+    bucket_sql,
+    deterministic_sample,
+    deterministic_topn_sample,
+    sample_bucket,
+    stratified_sample,
+    train_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    return spark.range(20_000).withColumnRenamed("id", "doc_id")
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_sample_is_stable_and_partition_independent(spark, keys_df):
+    a = _ids(deterministic_sample(keys_df, "doc_id", 0.2, seed="s1"))
+    b = _ids(deterministic_sample(keys_df, "doc_id", 0.2, seed="s1"))
+    c = _ids(
+        deterministic_sample(keys_df.repartition(7), "doc_id", 0.2, seed="s1")
+    )
+    assert a == b == c
+    assert abs(len(a) / 20_000 - 0.2) < 0.02
+
+
+def test_different_seeds_differ(spark, keys_df):
+    a = _ids(deterministic_sample(keys_df, "doc_id", 0.2, seed="s1"))
+    b = _ids(deterministic_sample(keys_df, "doc_id", 0.2, seed="s2"))
+    assert a != b
+
+
+def test_samples_nest_by_fraction(spark, keys_df):
+    small = _ids(deterministic_sample(keys_df, "doc_id", 0.1, seed="s1"))
+    big = _ids(deterministic_sample(keys_df, "doc_id", 0.3, seed="s1"))
+    assert small < big
+
+
+def test_split_partitions_rows_exactly(spark, keys_df):
+    split = train_test_split(keys_df, "doc_id", 0.25, seed="s1")
+    counts = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["test"] + counts["train"] == 20_000
+    assert abs(counts["test"] / 20_000 - 0.25) < 0.02
+    # the test side IS the same-seed sample (one hash, thresholded)
+    assert _ids(split.filter(F.col("split") == "test")) == _ids(
+        deterministic_sample(keys_df, "doc_id", 0.25, seed="s1")
+    )
+
+
+def test_stratified_respects_per_stratum_fractions(spark, keys_df):
+    df = keys_df.withColumn(
+        "src", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+    )
+    out = stratified_sample(
+        df, "src", {"a": 0.5, "b": 0.1}, "doc_id", seed="s1"
+    )
+    counts = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["a"] / 10_000 - 0.5) < 0.03
+    assert abs(counts["b"] / 10_000 - 0.1) < 0.03
+    # default_fraction=0: unlisted strata are dropped entirely
+    none = stratified_sample(df, "src", {"a": 0.5}, "doc_id", seed="s1")
+    assert none.filter(F.col("src") == "b").count() == 0
+
+
+def test_topn_exact_size_and_deterministic(spark, keys_df):
+    a = deterministic_topn_sample(keys_df, "doc_id", 500, seed="s1")
+    assert a.count() == 500
+    b = _ids(
+        deterministic_topn_sample(
+            keys_df.repartition(5), "doc_id", 500, seed="s1"
+        )
+    )
+    assert _ids(a) == b
+    # equals the 500 smallest buckets computed independently
+    expected = {
+        r["doc_id"]
+        for r in keys_df.select(
+            "doc_id", sample_bucket(F.col("doc_id"), "s1").alias("b")
+        )
+        .orderBy("b", "doc_id")
+        .limit(500)
+        .collect()
+    }
+    assert _ids(a) == expected
+
+
+def test_bucket_matches_duckdb_oracle(spark, keys_df):
+    """The Spark bucket and the oracle-side SQL rendering must agree
+    bit-for-bit — this is what makes every sampling operator oracle-able."""
+    got = {
+        r["doc_id"]: r["b"]
+        for r in keys_df.limit(200)
+        .select("doc_id", sample_bucket(F.col("doc_id"), "s42").alias("b"))
+        .collect()
+    }
+    con = duckdb.connect()
+    expr = bucket_sql("r", seed="s42")
+    want = dict(
+        con.execute(
+            f"SELECT r, {expr} FROM range(200) t(r)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bad_fraction_rejected(spark, keys_df):
+    with pytest.raises(ValueError):
+        deterministic_sample(keys_df, "doc_id", 1.5)
+
+
+def test_sample_filter_plan_has_no_shuffle(spark, keys_df):
+    plan = (
+        deterministic_sample(keys_df, "doc_id", 0.2, seed="s1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
