@@ -41,7 +41,7 @@ from json_to_avro_schema_spark.sources.synthetic import (
     documents_iv_spec,
     generate_documents_iv,
 )
-from json_to_avro_schema_spark.sources.tables import load_table
+from json_to_avro_schema_spark.sources.tables import load_table, spread_to_cores
 
 N_DOCS_ENTRY = 20_000
 
@@ -262,7 +262,7 @@ FROM lineitem
 
 
 def _q_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
     c = F.col("text")
     return (
         docs.select(
@@ -294,7 +294,7 @@ FROM toks ORDER BY doc_id LIMIT 2000
 
 
 def _q_token_totals(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
     return (
         docs.groupBy("lang")
         .agg(
@@ -603,7 +603,9 @@ _SW_SQL = {
 
 
 def _q_lang_detect_docs(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    # interpreted HOF scoring is the per-row cost; spread a few-partition
+    # input across cores first (no-op at scale, see spread_to_cores)
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
     return (
         docs.select(tx.detect_language(F.col("text")).alias("lang_detected"))
         .groupBy("lang_detected")
@@ -649,6 +651,7 @@ def _q_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     # floor-based half-up rounding: both engines apply the identical IEEE
     # formula to the identical double, so decimal ties can't diverge the way
     # Spark's BigDecimal HALF_UP vs DuckDB's round() do
+    docs = spread_to_cores(docs)
     q4 = F.floor(tx.quality_score(F.col("text")) * 10000 + 0.5) / 10000
     return (
         docs.select("doc_id", q4.alias("quality"))
@@ -682,7 +685,7 @@ FROM comp ORDER BY doc_id LIMIT 2000
 
 
 def _q_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
     return (
         docs.groupBy("lang")
         .agg(
@@ -703,7 +706,7 @@ FROM documents GROUP BY lang ORDER BY lang
 def _q_fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """xxhash64 fingerprint cardinality == normalized-text cardinality
     (collision-free at this scale) — oracles the dedup key itself."""
-    docs = load_table(spark, sf, "documents")
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
     return docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct(tx.fingerprint(F.col("text"))).alias("n_distinct_fp"),

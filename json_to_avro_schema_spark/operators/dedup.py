@@ -29,27 +29,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.tables import spread_to_cores as _spread
 from .text import fingerprint
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure the signature-heavy projection downstream uses every core.
-
-    Small inputs (few parquet files) arrive in 1-2 partitions, serializing
-    an expensive per-row expression onto 1-2 tasks; repartition up to the
-    default parallelism. No-op (no added shuffle) for big inputs, whose
-    partition count already exceeds the core count.
-    """
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:  # non-file-backed plans can't report files
-        n_files = 0
-    if n_files >= cores:
-        # file scan already fans out at least core-wide; a repartition here
-        # would only add a shuffle
-        return df
-    return df.repartition(cores)
 
 
 # ------------------------------------------------------------------ exact
