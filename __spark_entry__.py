@@ -1188,22 +1188,28 @@ ORDER BY gid, l_returnflag, l_linestatus
 
 
 def _q_topk_price_by_flag(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-partition top-K sampling (SURVEY.md §2.3 'Window functions'):
-    Window.partitionBy + row_number ≤ k — the violation-sampling shape."""
-    from pyspark.sql import Window
+    """Per-partition top-K sampling (SURVEY.md §2.3 'Window functions') via
+    the skew-proof salted two-phase window (operators/topk.py): a plain
+    Window.partitionBy(l_returnflag) would sort the whole table on 3 tasks
+    — one per flag — at any cluster size. Results are exactly the plain
+    window's (pinned in tests/test_topk.py); the oracle stays the
+    straightforward SQL window."""
+    from json_to_avro_schema_spark.operators.topk import grouped_topk
 
-    li = load_table(spark, sf, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    return (
-        li.select(
-            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
-            F.row_number().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= 5)
-        .orderBy("l_returnflag", "rk")
-    )
+    return grouped_topk(
+        li,
+        ["l_returnflag"],
+        [
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        ["l_orderkey", "l_linenumber"],
+        5,
+    ).orderBy("l_returnflag", "rk")
 
 
 _O_TOPK_PRICE_BY_FLAG = """

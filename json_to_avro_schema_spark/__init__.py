@@ -26,6 +26,7 @@ from .operators.sampling import (
     stratified_sample,
     train_test_split,
 )
+from .operators.topk import grouped_topk
 from .runner import (
     ValidationResult,
     run_validation,
@@ -51,6 +52,7 @@ __all__ = [
     "deterministic_sample",
     "deterministic_topn_sample",
     "get_spark",
+    "grouped_topk",
     "run_table_checks",
     "run_validation",
     "run_with_checkpoint",

@@ -92,8 +92,23 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum key-stable sampling (e.g. downsample boilerplate-heavy
     sources harder). Strata absent from ``fractions`` use
-    ``default_fraction``. Still one shuffle-free filter: the threshold is a
-    CASE over the stratum column, the bucket is computed once."""
+    ``default_fraction``. Small maps compile to a CASE over the stratum
+    column — one shuffle-free filter; large maps (per-domain fractions can
+    run to thousands of strata, where a literal CASE chain bloats the plan)
+    broadcast-join a threshold lookup table instead — still no shuffle of
+    ``df``."""
+    if len(fractions) > 64:
+        spark = df.sparkSession
+        lookup = spark.createDataFrame(
+            [(s, _threshold(f)) for s, f in sorted(fractions.items())],
+            f"{strata_col} string, __thr long",
+        )
+        joined = df.join(F.broadcast(lookup), [strata_col], "left")
+        thr = F.coalesce(F.col("__thr"), F.lit(_threshold(default_fraction)))
+        return (
+            joined.filter(sample_bucket(F.col(key_col), seed) < thr)
+            .select(*df.columns)  # joins hoist the key; keep caller's order
+        )
     thr: Column = F.lit(_threshold(default_fraction))
     for stratum, frac in sorted(fractions.items()):
         thr = (

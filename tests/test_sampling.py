@@ -88,6 +88,28 @@ def test_stratified_respects_per_stratum_fractions(spark, keys_df):
     assert none.filter(F.col("src") == "b").count() == 0
 
 
+def test_stratified_large_map_broadcast_path_equivalent(spark, keys_df):
+    """>64 strata switches to the broadcast-lookup path; membership must be
+    identical to the CASE path for the shared strata."""
+    df = keys_df.withColumn(
+        "src", F.concat(F.lit("s"), (F.col("doc_id") % 100).cast("string"))
+    )
+    big = {f"s{i}": 0.3 if i % 2 == 0 else 0.05 for i in range(100)}
+    out_big = stratified_sample(df, "src", big, "doc_id", seed="s1")
+    # CASE path over the same two fractions, restricted to two strata
+    small = {"s0": 0.3, "s1": 0.05}
+    out_small = stratified_sample(
+        df.filter(F.col("src").isin("s0", "s1")),
+        "src",
+        small,
+        "doc_id",
+        seed="s1",
+    )
+    a = _ids(out_big.filter(F.col("src").isin("s0", "s1")))
+    assert a == _ids(out_small)
+    assert out_big.columns == df.columns
+
+
 def test_topn_exact_size_and_deterministic(spark, keys_df):
     a = deterministic_topn_sample(keys_df, "doc_id", 500, seed="s1")
     assert a.count() == 500
