@@ -4,10 +4,19 @@ checkpoint with per-partition lineage + metrics").
 State model — one row per (run_id, part_key) written **after** that
 partition's sinks commit:
 
-    run_id, part_key, spec_name, spec_hash, n_rows, n_fail, completed_at
+    run_id, part_key, spec_name, spec_hash, n_rows, n_fail, completed_at,
+    state_json
 
 Resume = enumerate the input's partitions, **anti-join** the completed set,
 validate only the remainder (SURVEY.md §3 lifecycle).
+
+``state_json`` carries the partition's serialized t-digest sketch when the
+caller names a ``sketch_col`` (north rule: "validation state (sketches,
+partition lineage, metrics) is checkpointed"): per-partition digests are
+built deterministically (operators/tdigest.keyed_digests) and persisted
+with the lineage row, so corpus-wide quantiles after any number of
+crash/resume cycles come from :func:`merged_state_digest` — merging the
+stored partials, never rescanning completed partitions' data.
 
 Atomicity & idempotence:
   * violation/verdict sinks are written with *dynamic partition overwrite*
@@ -37,7 +46,7 @@ from .runner import ValidationResult, run_validation
 
 STATE_SCHEMA = (
     "run_id string, part_key string, spec_name string, spec_hash string, "
-    "n_rows long, n_fail long, completed_at timestamp"
+    "n_rows long, n_fail long, completed_at timestamp, state_json string"
 )
 
 
@@ -54,9 +63,12 @@ class CheckpointStore:
     def read_state(self, spark: SparkSession) -> DataFrame:
         p = self._state_path()
         try:
-            return spark.read.parquet(p)
+            df = spark.read.parquet(p)
         except Exception:
             return spark.createDataFrame([], STATE_SCHEMA)
+        if "state_json" not in df.columns:  # pre-sketch state tables
+            df = df.withColumn("state_json", F.lit(None).cast("string"))
+        return df
 
     def completed_partitions(
         self, spark: SparkSession, run_id: str, spec_hash: str
@@ -92,9 +104,17 @@ def run_with_checkpoint(
     out_dir: str,
     *,
     part_key_col: str = "part_key",
+    sketch_col: Optional[str] = None,
+    sketch_delta: float = 100.0,
 ) -> CheckpointedRun:
     """Validate only the partitions not yet completed for (run_id, spec_hash);
-    sink violations + verdicts partitioned by part_key; then commit state."""
+    sink violations + verdicts partitioned by part_key; then commit state.
+
+    ``sketch_col``: numeric column to sketch per partition (t-digest). The
+    serialized digest rides the state row (``state_json``), so resumed runs
+    keep completed partitions' sketches without rescanning them — merge
+    them all with :func:`merged_state_digest`. One extra pass over the
+    PENDING rows only (grouped by the partition key)."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     all_parts = df.select(part_key_col).distinct()
@@ -138,20 +158,58 @@ def run_with_checkpoint(
     verdicts.write.mode("overwrite").partitionBy(part_key_col).parquet(verd_path)
 
     # state rows AFTER both sinks committed (per-partition metrics = lineage)
-    metrics = (
+    base = (
         spark.read.parquet(verd_path)
         .join(F.broadcast(pending), part_key_col, "left_semi")
         .groupBy(part_key_col)
         .agg(F.max("n_rows").alias("n_rows"), F.sum("n_fail").alias("n_fail"))
-        .select(
-            F.lit(run_id).alias("run_id"),
-            F.col(part_key_col).alias("part_key"),
-            F.lit(plan.spec_name).alias("spec_name"),
-            F.lit(plan.spec_hash).alias("spec_hash"),
-            "n_rows",
-            "n_fail",
-            F.current_timestamp().alias("completed_at"),
-        )
+    )
+    if sketch_col is not None:
+        from .operators.tdigest import keyed_digests
+
+        sketches = keyed_digests(sub, sketch_col, part_key_col, delta=sketch_delta)
+        base = base.join(sketches, part_key_col, "left")
+    else:
+        base = base.withColumn("state_json", F.lit(None).cast("string"))
+    metrics = base.select(
+        F.lit(run_id).alias("run_id"),
+        F.col(part_key_col).alias("part_key"),
+        F.lit(plan.spec_name).alias("spec_name"),
+        F.lit(plan.spec_hash).alias("spec_hash"),
+        "n_rows",
+        "n_fail",
+        F.current_timestamp().alias("completed_at"),
+        "state_json",
     )
     store.mark_completed(spark, metrics)
     return CheckpointedRun(run_id, n_total, n_total - n_pending, n_pending, res)
+
+
+def merged_state_digest(
+    spark: SparkSession, store: CheckpointStore, run_id: str, spec_hash: str
+):
+    """Corpus-wide quantile sketch from the PERSISTED per-partition digests —
+    zero data rescan, however many crash/resume cycles produced the rows.
+
+    Partials are deduplicated per part_key and merged in sorted part_key
+    order, so the result is identical whether the state rows came from one
+    run or a run interrupted at any partition boundary (pinned in
+    tests/test_checkpoint.py::test_sketch_state_resume_merge).
+    """
+    from .operators.tdigest import TDigest
+
+    rows = (
+        store.read_state(spark)
+        .filter((F.col("run_id") == run_id) & (F.col("spec_hash") == spec_hash))
+        .filter(F.col("state_json").isNotNull())
+        .select("part_key", "state_json")
+        .collect()
+    )
+    out = TDigest.empty()
+    seen = set()
+    for r in sorted(rows, key=lambda r: r["part_key"]):
+        if r["part_key"] in seen:  # retried state append — first row wins
+            continue
+        seen.add(r["part_key"])
+        out = out.merge(TDigest.from_json(r["state_json"]))
+    return out

@@ -30,7 +30,18 @@ from .types import carrier_type, is_null_arm, union_arms
 
 DOUBLE_EPS = 1e-9
 
-# named ``format`` registry → regex (semantic formats per draft-6 §8.3)
+# named ``format`` registry → regex (semantic formats per draft-6 §8.3).
+#
+# DOCUMENTED DEVIATION — regex dialect: ``pattern`` and these format regexes
+# execute as Java regexes (Spark ``rlike``), while draft-6 §6.8 specifies
+# ECMA-262. The dialects agree on the constructs specs actually use
+# (character classes, anchors, quantifiers, alternation); they diverge on
+# exotica (ECMA lacks possessive quantifiers, Java lacks ECMA's \cX forms).
+# The reference has the same open TODO (JsonSchemaParser.scala:263-265 —
+# "ECMA 262 regex validation"), so this parity gap is shared and disclosed,
+# not silent. The ipv6/uri-reference entries are pragmatic shapes (draft-6
+# formats are assertions "SHOULD" be best-effort); json-pointer is the
+# exact RFC 6901 grammar.
 FORMAT_REGEX = {
     "date-time": r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:?\d{2})?$",
     "date": r"^\d{4}-\d{2}-\d{2}$",
@@ -38,7 +49,21 @@ FORMAT_REGEX = {
     "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
     "hostname": r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$",
     "ipv4": r"^((25[0-5]|2[0-4]\d|[01]?\d?\d)\.){3}(25[0-5]|2[0-4]\d|[01]?\d?\d)$",
+    "ipv6": (
+        r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+        r"|:(:[0-9A-Fa-f]{1,4}){1,7}"
+        r"|([0-9A-Fa-f]{1,4}:){1,6}(:[0-9A-Fa-f]{1,4}){1,1}"
+        r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+        r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+        r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+        r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
+        r"|::)$"
+    ),
     "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:",
+    "uri-reference": r"^([A-Za-z][A-Za-z0-9+.-]*:)?\S*$",
+    "json-pointer": r"^(/([^/~]|~[01])*)*$",
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
 }
 

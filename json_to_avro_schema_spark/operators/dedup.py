@@ -35,14 +35,54 @@ from .text import fingerprint
 
 # ------------------------------------------------------------------ exact
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(fingerprint, n_docs, doc_ids) for every exact-duplicate group."""
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sample_ids: int = 16,
+) -> DataFrame:
+    """(fingerprint, n_docs, min_id, doc_ids_sample) for every
+    exact-duplicate group.
+
+    ``doc_ids_sample`` is the group's ``sample_ids`` SMALLEST member ids —
+    a bounded exact sample, NOT the full membership: a boilerplate
+    fingerprint duplicated 10^6 times must not build one row holding 10^6
+    ids (an executor-OOM shape). The sample is a two-phase top-K: each
+    input partition keeps its local K smallest, the final merge keeps the
+    global K — per-group state is bounded by K × partitions-holding-the-
+    key instead of group size. Full membership, when needed, is a
+    semi-join of ``df`` against the returned fingerprints (the same
+    pattern :func:`dedup_exact` uses).
+    """
     fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    partial = (
+        df.select(F.col(id_col).alias("__id"), fp)
+        .groupBy("fingerprint", F.spark_partition_id().alias("__p"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.slice(
+                F.sort_array(F.collect_list("__id")), 1, sample_ids
+            ).alias("__ids"),
+        )
+    )
     return (
-        df.select(F.col(id_col), fp)
-        .groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        partial.groupBy("fingerprint")
+        .agg(
+            F.sum("__n").alias("n_docs"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("__ids"))),
+                1,
+                sample_ids,
+            ).alias("doc_ids_sample"),
+        )
         .filter(F.col("n_docs") > 1)
+        .select(
+            "fingerprint",
+            "n_docs",
+            F.element_at("doc_ids_sample", 1).alias("min_id"),
+            "doc_ids_sample",
+        )
     )
 
 
@@ -152,6 +192,16 @@ def minhash_band_rows(
     ).select("id", "e.band", "e.bh")
 
 
+def _minhash_scheme(k: int, num_hashes: int, bands: int) -> str:
+    """Stored-index format marker: hashing scheme version + the parameters
+    that must match between writer and reader. v2 = hash-shingle-once then
+    rehash per permutation (see :func:`minhash_signature`); an index written
+    under a different scheme or different (k, H, b) yields band hashes that
+    NEVER collide with fresh ones — silently zero candidates — so the reader
+    fails loudly on mismatch instead."""
+    return f"mh2/k{k}/h{num_hashes}/b{bands}"
+
+
 def minhash_write_index(
     df: DataFrame,
     path: str,
@@ -170,12 +220,17 @@ def minhash_write_index(
     so the next batch sees it. The index costs two longs per (doc, band) —
     ~128 B/doc raw at 8 bands, far smaller than the documents and highly
     parquet-compressible — and the incremental join never rescans
-    historical TEXT, only these fixed-width rows."""
+    historical TEXT, only these fixed-width rows.
+
+    A constant ``scheme`` column (RLE — compresses to ~nothing) versions
+    the stored format; the incremental reader refuses an index written
+    under a different hashing scheme or parameters."""
     (
         minhash_band_rows(
             df, text_col, id_col,
             k=k, num_hashes=num_hashes, bands=bands, min_len=min_len,
         )
+        .withColumn("scheme", F.lit(_minhash_scheme(k, num_hashes, bands)))
         .write.mode(mode)
         .partitionBy("band")
         .parquet(path)
@@ -210,7 +265,24 @@ def minhash_incremental_candidates(
         batch, text_col, id_col,
         k=k, num_hashes=num_hashes, bands=bands, min_len=min_len,
     ).persist()
-    idx_rows = spark.read.parquet(index_path).select("id", "band", "bh")
+    idx = spark.read.parquet(index_path)
+    expected = _minhash_scheme(k, num_hashes, bands)
+    if "scheme" not in idx.columns:
+        raise ValueError(
+            f"minhash index at {index_path} has no scheme marker (written "
+            f"by a pre-versioning build); its band hashes are not "
+            f"comparable with {expected} — rebuild it with "
+            f"minhash_write_index"
+        )
+    stored = idx.select("scheme").first()
+    if stored is not None and stored["scheme"] != expected:
+        raise ValueError(
+            f"minhash index scheme mismatch at {index_path}: stored "
+            f"{stored['scheme']!r}, query expects {expected!r} — band "
+            f"hashes from different schemes never collide (silent zero "
+            f"candidates); rebuild the index or match the parameters"
+        )
+    idx_rows = idx.select("id", "band", "bh")
     all_rows = idx_rows.unionByName(new_rows)
     if max_bucket_size is not None:
         small = (

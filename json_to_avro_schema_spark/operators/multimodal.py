@@ -16,7 +16,6 @@ per-row Python.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -75,14 +74,60 @@ def synthesize_media_table(spark, n: int = 1000, *, seed: int = 42) -> DataFrame
     )
 
 
-def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic unit-norm 'embedding' from the payload bytes (sha256
-    expansion) — the stand-in for a real encoder."""
-    d = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((d * ((dim * 4) // len(d) + 1))[: dim * 4], dtype=np.uint32)
-    v = raw.astype(np.float64) / 2**32 - 0.5
-    n = np.linalg.norm(v)
-    return (v / n if n else v).astype(np.float32)
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 wraps like C)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x = x * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _payload_seeds(payloads: list) -> np.ndarray:
+    """One uint64 seed per payload, fully vectorized: the byte streams are
+    concatenated once, position-weighted, and reduced per row with
+    ``np.add.reduceat`` — no per-row Python in the numeric work (same
+    pattern as the simhash bit-vote UDF). None ⇒ seed 0 (masked upstream).
+    """
+    n = len(payloads)
+    lens = np.array([0 if p is None else len(p) for p in payloads], dtype=np.int64)
+    seeds = np.zeros(n, dtype=np.uint64)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz):
+        flat = np.frombuffer(
+            b"".join(payloads[i] for i in nz), dtype=np.uint8
+        ).astype(np.uint64)
+        starts = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        pos = np.arange(len(flat), dtype=np.uint64) - np.repeat(
+            starts, lens[nz]
+        ).astype(np.uint64)
+        contrib = (flat + np.uint64(1)) * _splitmix(pos)
+        seeds[nz] = _splitmix(
+            np.add.reduceat(contrib, starts) + lens[nz].astype(np.uint64)
+        )
+    return seeds
+
+
+def _fake_features_batch(
+    seeds: np.ndarray, n_frames: np.ndarray, dim: int = FEATURE_DIM
+) -> np.ndarray:
+    """(N, dim) float32 frame-mean features: per (row, frame) a
+    deterministic unit-norm vector expanded from the row seed, averaged
+    over that row's first ``n_frames`` frames. One numpy pipeline over the
+    whole (N, max_frames, dim) block — zero per-row Python."""
+    n = len(seeds)
+    fmax = int(n_frames.max()) if n else 1
+    lane = _splitmix(np.arange(fmax * dim, dtype=np.uint64) + np.uint64(1))
+    x = _splitmix(seeds[:, None, None] ^ lane.reshape(1, fmax, dim))
+    v = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53) - 0.5
+    norms = np.linalg.norm(v, axis=2, keepdims=True)
+    unit = v / np.where(norms == 0.0, 1.0, norms)
+    mask = (np.arange(fmax)[None, :, None] < n_frames[:, None, None])
+    mean = unit.sum(axis=1, where=mask) / np.maximum(n_frames, 1)[:, None]
+    return mean.astype(np.float32)
 
 
 def extract_features(
@@ -94,7 +139,10 @@ def extract_features(
     """Decode → feature-extract over mapInPandas (Arrow batches).
 
     real_codecs=True is the integration point for actual PIL/ffmpeg decode —
-    deliberately NotImplemented in this container.
+    deliberately NotImplemented in this container. The deterministic fake
+    codec is vectorized end-to-end (segmented byte hash + splitmix lane
+    expansion, all numpy over the Arrow batch), so the bench cost of this
+    operator measures the plumbing, not a Python loop.
     """
     if real_codecs:
         raise NotImplementedError(
@@ -107,30 +155,32 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            feats, frames, oks = [], [], []
-            for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                if payload is None:
-                    feats.append(None)
-                    frames.append(0)
-                    oks.append(False)
-                    continue
-                mt = meta["media_type"] if meta is not None else None
-                n_frames = frames_per_video if mt == "video" else 1
-                # frame sampling: feature = mean of per-frame fake features
-                fs = [
-                    _fake_feature(bytes(payload) + i.to_bytes(2, "big"))
-                    for i in range(n_frames)
-                ]
-                feats.append(np.mean(fs, axis=0).astype(np.float32).tolist())
-                frames.append(n_frames)
-                oks.append(True)
+            payloads = [
+                bytes(p) if p is not None else None for p in pdf["payload"]
+            ]
+            mtypes = pd.Series(
+                [m["media_type"] if m is not None else None for m in pdf["meta"]],
+                index=pdf.index, dtype=object,
+            )
+            ok = np.array([p is not None for p in payloads], dtype=bool)
+            n_frames = np.where(
+                ok & (mtypes == "video").to_numpy(dtype=bool),
+                frames_per_video,
+                np.where(ok, 1, 0),
+            ).astype(np.int64)
+            feats_arr = _fake_features_batch(
+                _payload_seeds(payloads), np.maximum(n_frames, 1)
+            )
+            feats = [
+                feats_arr[i].tolist() if ok[i] else None for i in range(len(pdf))
+            ]
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
-                    "media_type": [m["media_type"] if m is not None else None for m in pdf["meta"]],
+                    "media_type": mtypes,
                     "feature": feats,
-                    "frames_sampled": frames,
-                    "decode_ok": oks,
+                    "frames_sampled": n_frames,
+                    "decode_ok": ok,
                 }
             )
 

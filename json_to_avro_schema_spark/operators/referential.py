@@ -28,6 +28,14 @@ from pyspark.sql import functions as F
 # optimized-plan size estimate for the deduped key projection fits the
 # threshold. Forcing broadcast of a 10^12-row parent OOMs the driver; "auto"
 # keeps the small-dim fast path without that failure mode.
+#
+# "auto" caveats (behavior change from the round-1 force-broadcast default):
+# the estimate comes from a full Catalyst analyze+optimize of the keys plan
+# (one driver-side planning pass per call — cheap next to the job, but not
+# free), and NON-FILE-BACKED parents (in-memory DataFrames, views without
+# stats) estimate at defaultSizeInBytes — effectively huge — so they take the
+# shuffle path pre-AQE. Callers with known-small in-memory dims should pass
+# broadcast_parent=True to keep the deterministic broadcast plan.
 AUTO_BROADCAST_BYTES = 64 * 1024 * 1024
 
 BroadcastMode = Union[bool, str]

@@ -28,6 +28,7 @@ README.md:100-104); this extends SURVEY.md §2.3's pipeline-extra surface.
 
 from __future__ import annotations
 
+import re
 from typing import Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -36,14 +37,34 @@ from pyspark.sql import functions as F
 # bucket space: first 8 hex chars of md5 -> [0, 2^32)
 HASH_SPACE = 1 << 32
 
+# seeds are restricted to identifier-ish chars so the SQL rendering in
+# bucket_sql can embed them as a plain string literal (no quote escaping,
+# no injection surface) and the Spark and oracle forms can never drift
+_SEED_RE = re.compile(r"[A-Za-z0-9_.\-]*\Z")
+
+
+def _check_seed(seed: str) -> str:
+    if not _SEED_RE.match(seed):
+        raise ValueError(
+            f"seed must match [A-Za-z0-9_.-]*, got {seed!r} — it is "
+            "embedded verbatim in both the Spark hash and the SQL oracle"
+        )
+    return seed
+
 
 def sample_bucket(key: Column, seed: str = "") -> Column:
     """Uniform bucket in ``[0, 2^32)`` from a portable hash of (seed, key).
 
     ``md5`` (not ``xxhash64``) on purpose: its hex form is bit-identical
     across engines, so oracles can re-derive membership exactly.
+
+    Null keys hash to NULL, so every comparison against a threshold is
+    false: :func:`deterministic_sample` and :func:`stratified_sample` DROP
+    null-key rows, and :func:`train_test_split` routes them to 'train'
+    (the ``otherwise`` arm) — callers needing null keys sampled must
+    coalesce them to a sentinel first.
     """
-    h = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    h = F.md5(F.concat(F.lit(_check_seed(seed)), key.cast("string")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
@@ -131,8 +152,10 @@ def deterministic_topn_sample(
 
 def bucket_sql(key_sql: str, seed: str = "") -> str:
     """The oracle-side rendering of :func:`sample_bucket` for ANSI engines
-    (DuckDB syntax), kept next to the Spark form so they can't drift."""
+    (DuckDB syntax), kept next to the Spark form so they can't drift.
+    Seeds are validated to the quote-free charset (see ``_check_seed``),
+    so the literal interpolation below cannot break or inject SQL."""
     return (
-        f"CAST(('0x' || substring(md5('{seed}' || CAST({key_sql} AS VARCHAR)),"
-        f" 1, 8)) AS BIGINT)"
+        f"CAST(('0x' || substring(md5('{_check_seed(seed)}' || "
+        f"CAST({key_sql} AS VARCHAR)), 1, 8)) AS BIGINT)"
     )

@@ -192,37 +192,42 @@ def ivf_train_centroids(
 ) -> List[List[float]]:
     """Deterministic mini k-means for IVF coarse quantization.
 
-    Standard IVF practice: the coarse quantizer trains on a BOUNDED
-    deterministic sample (smallest ``train_sample`` ids via TakeOrdered —
-    never a full-table collect), so training cost is independent of table
-    size; only the final assignment pass touches all rows. Init = the k
-    vectors with the smallest ids (no RNG, bit-reproducible); each
-    iteration is one pass over the sample: assign (projection) → per-cell
-    mean. Driver holds only k×dim floats.
+    Standard IVF practice (what FAISS does): the coarse quantizer trains on
+    a BOUNDED deterministic sample (smallest ``train_sample`` ids via
+    TakeOrdered — never a full-table collect), so training cost is
+    independent of table size; only the final assignment pass touches all
+    rows. The sample is collected once and the k-means iterations run
+    driver-side in numpy — at 50k×128 floats that is ~25 MB and
+    milliseconds per iteration, vs one Spark job (with a k×dim-literal
+    codegen'd plan) per iteration for a cluster round-trip that computes
+    the same k×dim floats. Init = the k vectors with the smallest ids
+    (no RNG, bit-reproducible); empty cells keep their previous centroid.
     """
-    sample = df.orderBy(id_col).limit(train_sample).select(id_col, vec_col)
-    init = [
-        list(r[vec_col])
-        for r in sample.orderBy(id_col).limit(k).select(vec_col).collect()
-    ]
-    centroids = [[float(x) for x in v] for v in init]
-    dim = len(centroids[0]) if centroids else 0
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col)
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        return []
+    x = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    centroids = x[: min(k, len(x))].copy()
     for _ in range(iters):
-        assigned = ivf_assign(sample, centroids, vec_col=vec_col)
-        sums = assigned.groupBy("__cell").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.aggregate(
-                F.collect_list(F.col(vec_col).cast("array<double>")),
-                F.array(*[F.lit(0.0)] * dim),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias("s"),
-        ).collect()
-        new = list(centroids)
-        for r in sums:
-            if r["n"] > 0 and r["__cell"] >= 0:
-                new[r["__cell"]] = [x / r["n"] for x in r["s"]]
-        centroids = new
-    return centroids
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300
+        )
+        # argmax keeps the FIRST max — same lowest-index tiebreak as the
+        # previous Column-chain implementation
+        cells = np.argmax(xn @ cn.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[cells == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in centroids]
 
 
 def ivf_topk(

@@ -193,6 +193,37 @@ def partial_digests(
     return src.mapInPandas(build, schema=PARTIAL_SCHEMA)
 
 
+def keyed_digests(
+    df: DataFrame, column: str, key_col: str, *, delta: float = 100.0
+) -> DataFrame:
+    """One deterministic t-digest per ``key_col`` group, serialized for the
+    checkpoint state table: (key_col, state_json).
+
+    Built with ``applyInPandas`` over the FULL group, so the digest depends
+    only on the group's values — ``TDigest.of`` sorts internally, making the
+    result bit-reproducible across runs, partitionings, and task retries.
+    That determinism is what lets a crash/resume run's persisted sketches
+    compare EQUAL to a single-shot run's (see checkpoint.merged_state_digest).
+    The shuffle key is the checkpoint partition key — the same granularity
+    the state table stores, so each group is one state row.
+    """
+    import pandas as pd
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        d = TDigest.of(
+            pdf[column].to_numpy(dtype="float64", na_value=np.nan), delta
+        )
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "state_json": [d.to_json()]}
+        )
+
+    return (
+        df.select(key_col, column)
+        .groupBy(key_col)
+        .applyInPandas(build, schema=f"{key_col} string, state_json string")
+    )
+
+
 def tdigest_quantiles(
     df: DataFrame,
     column: str,

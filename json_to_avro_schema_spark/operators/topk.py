@@ -46,6 +46,12 @@ def grouped_topk(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    clash = {"__salt", "__lrk", rank_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"grouped_topk working/output columns {sorted(clash)} already "
+            f"exist on the input — rename them or pass a different rank_col"
+        )
     spark = df.sparkSession
     s = num_salts or spark.sparkContext.defaultParallelism
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in tiebreak_cols]), F.lit(s))

@@ -48,9 +48,19 @@ def duplicate_keys(
     """Exact duplicate keys via salted two-phase aggregation.
 
     Output: key columns + ``dup_count`` (total occurrences, always ≥ 2).
+
+    The salt is derived from the key columns plus the physical partition id
+    — deterministic (no ``monotonically_increasing_id`` / RNG), so a
+    partial-stage retry re-produces identical partials, and a hot key's
+    occurrences still split across partitions (each partition's copy of the
+    key lands in ONE salt bucket, different partitions in different
+    buckets — the skew absorption the salt exists for). Counts are exact
+    regardless: phase 2 re-sums per key.
     """
     cols = list(columns)
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    salt = F.pmod(
+        F.xxhash64(*cols, F.spark_partition_id()), F.lit(salt_buckets)
+    )
     partial = (
         df.select(*cols)
         .withColumn("__salt", salt)

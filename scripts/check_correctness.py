@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import json
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -87,8 +88,10 @@ def main() -> int:
             n_noora += 1
             results[name] = {"err": "no_oracle"}
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf).toPandas()
+            t_spark = time.monotonic() - t0
             odf = con.execute(oracles[name]).fetchdf()
             # duckdb fetchdf maps HUGEINT->float64 silently; detect via
             # a strict dtype-kind comparison after column sort
@@ -105,9 +108,15 @@ def main() -> int:
                 "dtype_kinds": [kinds_s, kinds_o] if not hm else None,
                 "spark_rows": len(s),
                 "oracle_rows": len(o),
+                "spark_sec": round(t_spark, 3),
+                "total_sec": round(time.monotonic() - t0, 3),
             }
             if rows and schema and hm:
                 n_green += 1
+                print(
+                    f"ok   {name}: spark={t_spark:.2f}s "
+                    f"total={time.monotonic() - t0:.2f}s"
+                )
             else:
                 n_red += 1
                 print(f"RED  {name}: rows={rows} schema={schema} hash={hm}")

@@ -60,6 +60,62 @@ def test_checkpoint_partial_resume(spark, tmp_path):
     assert per_part.filter(F.col("count") > 1).count() == 0
 
 
+def test_sketch_state_resume_merge(spark, tmp_path):
+    """North rule: sketches are checkpointed state. A crash+resume run's
+    persisted per-partition t-digests, merged, must EQUAL a single-shot
+    build — completed partitions are never re-sketched, none are lost."""
+    from json_to_avro_schema_spark.checkpoint import merged_state_digest
+    from json_to_avro_schema_spark.operators.tdigest import (
+        TDigest,
+        keyed_digests,
+    )
+
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 2000, violation_pct=5).withColumn(
+        "n_spans", F.coalesce(F.size("spans"), F.lit(0)).cast("double")
+    )
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+
+    keys = sorted(r["part_key"] for r in df.select("part_key").distinct().collect())
+    half = keys[: len(keys) // 2]
+    run_with_checkpoint(
+        spark, df.filter(F.col("part_key").isin(half)), plan, store,
+        "runS", out, sketch_col="n_spans",
+    )
+    run_with_checkpoint(
+        spark, df, plan, store, "runS", out, sketch_col="n_spans"
+    )
+
+    state = store.read_state(spark).filter(F.col("run_id") == "runS")
+    rows = state.collect()
+    assert len(rows) == len(keys)
+    assert all(r["state_json"] is not None for r in rows)
+
+    resumed = merged_state_digest(spark, store, "runS", plan.spec_hash)
+    direct = TDigest.empty()
+    for r in sorted(
+        keyed_digests(df, "n_spans", "part_key").collect(),
+        key=lambda r: r["part_key"],
+    ):
+        direct = direct.merge(TDigest.from_json(r["state_json"]))
+    assert resumed.n == direct.n == df.count()
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert resumed.quantile(q) == direct.quantile(q)
+
+
+def test_sketchless_runs_keep_null_state(spark, tmp_path):
+    """Default (no sketch_col) writes a null state_json — and old state
+    tables without the column read back padded, not crashing."""
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 500, violation_pct=0)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    run_with_checkpoint(spark, df, plan, store, "runN", str(tmp_path / "out"))
+    state = store.read_state(spark)
+    assert "state_json" in state.columns
+    assert state.filter(F.col("state_json").isNotNull()).count() == 0
+
+
 def test_spec_change_invalidates_completion(spark, tmp_path):
     df = generate_documents_iv(spark, 1000, violation_pct=0)
     store = CheckpointStore(str(tmp_path / "ckpt"))

@@ -66,6 +66,29 @@ def test_string_length_pattern_format(spark):
     assert _failing_ids(spark, doc, rows, "id long, s string, e string") == {2, 3, 4, 5}
 
 
+def test_format_ipv6_uri_reference_json_pointer(spark):
+    doc = _spec({
+        "v6": {"type": "string", "format": "ipv6"},
+        "ur": {"type": "string", "format": "uri-reference"},
+        "jp": {"type": "string", "format": "json-pointer"},
+    })
+    ok = ("::1", "../rel/path?q=1", "/a/b~0c/0")
+    rows = [
+        (1, "2001:db8::1", "https://h/p", ""),            # pass (all forms)
+        (2, *ok),                                         # pass
+        (3, "fe80:0:0:0:0:0:0:1", "#frag", "/m~1n"),      # pass (full + escapes)
+        (4, "12345::1", ok[1], ok[2]),                    # >4 hex digits
+        (5, "not-an-ip", ok[1], ok[2]),                   # junk v6
+        (6, ok[0], "has space", ok[2]),                   # whitespace in ref
+        (7, ok[0], ok[1], "missing-slash"),               # pointer w/o leading /
+        (8, ok[0], ok[1], "/bad~2escape"),                # invalid ~ escape
+        (9, None, None, None),                            # optional: nulls pass
+    ]
+    assert _failing_ids(
+        spark, doc, rows, "id long, v6 string, ur string, jp string"
+    ) == {4, 5, 6, 7, 8}
+
+
 def test_array_keywords(spark):
     doc = _spec({
         "xs": {"type": "array", "minItems": 1, "maxItems": 3,

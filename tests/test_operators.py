@@ -63,6 +63,18 @@ def test_uniqueness_exact_and_approx(spark):
     assert abs(a["approx_duplicates"] - exact_dups) <= max(40, 0.1 * v["n_rows"])
 
 
+def test_duplicate_keys_repartition_invariant(spark):
+    """The salt is content-derived (key cols + partition id), never RNG or
+    monotonically_increasing_id: results are identical under any physical
+    partitioning (pattern: tests/test_sampling.py partition-independence)."""
+    df = spark.range(1000).selectExpr("id % 100 AS k")
+    a = duplicate_keys(df, ["k"]).orderBy("k").collect()
+    b = duplicate_keys(df.repartition(7), ["k"]).orderBy("k").collect()
+    c = duplicate_keys(df.coalesce(1), ["k"]).orderBy("k").collect()
+    assert a == b == c
+    assert len(a) == 100 and all(r["dup_count"] == 10 for r in a)
+
+
 def test_referential_integrity_spans(spark):
     docs = generate_documents_iv(spark, 3000, violation_pct=10)
     assets = generate_media_assets(spark)

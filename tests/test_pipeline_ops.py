@@ -54,10 +54,28 @@ def test_text_analyze(spark):
 def test_exact_dedup(spark):
     docs = _docs(spark)
     groups = exact_duplicates(docs).collect()
-    assert len(groups) == 1 and groups[0]["doc_ids"] == [1, 2]
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["min_id"] == 1
+    assert groups[0]["doc_ids_sample"] == [1, 2]
     kept = dedup_exact(docs)
     assert kept.count() == 5
     assert kept.filter("doc_id = 2").count() == 0  # min-id representative kept
+
+
+def test_exact_duplicates_bounded_sample(spark):
+    """A mega-group (one fingerprint duplicated 100k×) must come back as ONE
+    row whose id payload is capped at sample_ids — never the full list."""
+    n = 100_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id", "'same boilerplate text' AS text"
+    )
+    rows = exact_duplicates(docs, sample_ids=16).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == n
+    assert r["min_id"] == 0
+    assert r["doc_ids_sample"] == list(range(16))  # exact smallest-K
 
 
 def test_minhash_near_dup(spark):
