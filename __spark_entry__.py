@@ -1198,11 +1198,13 @@ ORDER BY gid, l_returnflag, l_linestatus
 
 def _q_topk_price_by_flag(spark: SparkSession, sf: str) -> DataFrame:
     """Per-partition top-K sampling (SURVEY.md §2.3 'Window functions') via
-    the skew-proof salted two-phase window (operators/topk.py): a plain
-    Window.partitionBy(l_returnflag) would sort the whole table on 3 tasks
-    — one per flag — at any cluster size. Results are exactly the plain
-    window's (pinned in tests/test_topk.py); the oracle stays the
-    straightforward SQL window."""
+    operators/topk.grouped_topk. Skew safety is Catalyst's rank-limit
+    pushdown: the executed plan carries a Partial WindowGroupLimit BELOW
+    the exchange, so each map task pre-prunes to its local top-K per flag
+    and the 3 post-shuffle flag groups see O(tasks × K) rows, not the whole
+    table (plan pinned in tests/test_topk.py; the manual salted two-phase
+    is kept as grouped_topk_salted for engines without the rewrite —
+    measured A/B in BENCH/BASELINE.md)."""
     from json_to_avro_schema_spark.operators.topk import grouped_topk
 
     li = load_table(spark, sf, "lineitem").select(
@@ -1931,46 +1933,29 @@ ORDER BY id_a, id_b
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash chunk-bucketed candidates at hamming 0, then exact
-    token-bag verification (the candidates→verify composition the minhash
-    path also uses). Hamming 0 guarantees recall of every identical-bag
-    pair, so the verified output is exactly the identical-token-multiset
-    pair set — SQL-derivable. (Unverified simhash output additionally
-    surfaces vote-collision near-dups; that approximate surface is pinned
-    by pytest, not the oracle.)"""
+    """SimHash chunk-bucketed candidates at hamming 0, with exact
+    token-bag verification FUSED into the bucket join: a 64-bit hash of
+    the sorted token bag is computed in the same scan as the signature,
+    carried through the chunk explode (8 bytes/band row), and compared at
+    pair time — no second corpus scan, no verify joins (the r2 version
+    spent three extra jobs on a semi-join + two bag joins). Hamming 0
+    guarantees recall of every identical-bag pair, so the verified output
+    is exactly the identical-token-multiset pair set — SQL-derivable.
+    (Unverified simhash output additionally surfaces vote-collision
+    near-dups; that approximate surface is pinned by pytest, not the
+    oracle.)"""
     docs = load_table(spark, sf, "documents")
     dup = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10_000_000
     )
     both = docs.unionAll(dup)
-    # materialize the (tiny) candidate set once — it feeds three plan
-    # branches below, and its lineage holds the whole simhash pipeline
-    cands = dd.simhash_near_duplicates(both, max_hamming=0).localCheckpoint(
-        eager=True
-    )
-    # verify only the candidate docs: semi-join prunes the corpus before
-    # the token-bag sort is computed (candidates are a handful of rows)
-    ids = (
-        cands.select(F.col("id_a").alias("doc_id"))
-        .union(cands.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
     toks = F.array_sort(
         F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     )
-    bags = (
-        both.join(F.broadcast(ids), "doc_id", "left_semi")
-        .select(F.col("doc_id").alias("id"), toks.alias("bag"))
+    pairs = dd.simhash_near_duplicates(
+        both, max_hamming=0, verify_col=F.xxhash64(F.to_json(toks))
     )
-    return (
-        cands.join(bags.withColumnRenamed("bag", "bag_a"), cands.id_a == bags.id)
-        .drop("id")
-        .join(bags.withColumnRenamed("bag", "bag_b"), cands.id_b == F.col("id"))
-        .drop("id")
-        .filter(F.col("bag_a") == F.col("bag_b"))
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
-    )
+    return pairs.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
 
 
 _O_SIMHASH_NEAR_DUPS = r"""

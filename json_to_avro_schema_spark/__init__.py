@@ -26,7 +26,7 @@ from .operators.sampling import (
     stratified_sample,
     train_test_split,
 )
-from .operators.topk import grouped_topk
+from .operators.topk import grouped_topk, grouped_topk_salted
 from .runner import (
     ValidationResult,
     run_validation,
@@ -53,6 +53,7 @@ __all__ = [
     "deterministic_topn_sample",
     "get_spark",
     "grouped_topk",
+    "grouped_topk_salted",
     "run_table_checks",
     "run_validation",
     "run_with_checkpoint",

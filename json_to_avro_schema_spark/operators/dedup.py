@@ -490,6 +490,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     min_len: int = 20,
     max_bucket_size: Optional[int] = 10_000,
+    verify_col: Optional[Column] = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming): pairs within hamming ≤ max_hamming.
 
@@ -499,14 +500,24 @@ def simhash_near_duplicates(
     ``max_bucket_size`` skips degenerate chunk buckets (exact-duplicate
     mega-groups would otherwise emit |group|² pairs in one bucket) — run
     :func:`dedup_exact` first on duplicate-heavy corpora. ``None`` disables.
+
+    ``verify_col``: optional exact-verification column (e.g. a 64-bit hash
+    of the sorted token bag) computed in the SAME scan as the signature and
+    carried through the chunk explode; candidate pairs additionally require
+    equality on it. This fuses verification into the bucket join — no
+    second corpus scan, no semi-join, and only 8 extra bytes per band row
+    shuffled instead of the token arrays (the composition the one-shot
+    verify-after variant needs three extra jobs for).
     """
     sig = simhash64(F.col(text_col)).alias("sig")
+    extra = [verify_col.alias("__vf")] if verify_col is not None else []
+    carry = ["sig"] + (["__vf"] if verify_col is not None else [])
     base = _spread(df.filter(F.length(text_col) >= min_len)).select(
-        F.col(id_col).alias("id"), sig
+        F.col(id_col).alias("id"), sig, *extra
     )
     chunks = base.persist().select(
         "id",
-        "sig",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -518,7 +529,7 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("e"),
-    ).select("id", "sig", "e.chunk", "e.cv")
+    ).select("id", *carry, "e.chunk", "e.cv")
     if max_bucket_size is not None:
         small = (
             chunks.groupBy("chunk", "cv")
@@ -528,10 +539,11 @@ def simhash_near_duplicates(
         )
         chunks = chunks.join(small, ["chunk", "cv"], "left_semi")
     l, r = chunks.alias("l"), chunks.alias("r")
+    joined = l.join(r, ["chunk", "cv"]).filter(F.col("l.id") < F.col("r.id"))
+    if verify_col is not None:
+        joined = joined.filter(F.col("l.__vf") == F.col("r.__vf"))
     pairs = (
-        l.join(r, ["chunk", "cv"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(
+        joined.select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),

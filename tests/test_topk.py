@@ -1,5 +1,7 @@
-"""Salted two-phase grouped top-K must equal the plain window exactly —
-the salting changes parallelism, never results."""
+"""Grouped top-K: the default path must carry Catalyst's Partial
+WindowGroupLimit (native two-phase, skew-proof); the manual salted fallback
+must equal the plain window exactly — salting changes parallelism, never
+results."""
 
 from __future__ import annotations
 
@@ -13,7 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from json_to_avro_schema_spark.operators.topk import grouped_topk  # noqa: E402
+from json_to_avro_schema_spark.operators.topk import (  # noqa: E402
+    grouped_topk,
+    grouped_topk_salted,
+)
 
 
 @pytest.fixture(scope="module")
@@ -43,8 +48,9 @@ def _rows(df):
     return sorted(map(tuple, df.select("grp", "val", "id", "rk").collect()))
 
 
-def test_matches_plain_window_with_ties(spark, skewed_df):
-    got = grouped_topk(
+@pytest.mark.parametrize("fn", [grouped_topk, grouped_topk_salted])
+def test_matches_plain_window_with_ties(spark, skewed_df, fn):
+    got = fn(
         skewed_df,
         ["grp"],
         [F.col("val").desc(), F.col("id")],
@@ -54,14 +60,13 @@ def test_matches_plain_window_with_ties(spark, skewed_df):
     assert _rows(got) == _rows(_plain(skewed_df, 7))
 
 
-def test_partition_independent_and_deterministic(spark, skewed_df):
+@pytest.mark.parametrize("fn", [grouped_topk, grouped_topk_salted])
+def test_partition_independent_and_deterministic(spark, skewed_df, fn):
     a = _rows(
-        grouped_topk(
-            skewed_df, ["grp"], [F.col("val").desc(), F.col("id")], ["id"], 5
-        )
+        fn(skewed_df, ["grp"], [F.col("val").desc(), F.col("id")], ["id"], 5)
     )
     b = _rows(
-        grouped_topk(
+        fn(
             skewed_df.repartition(13),
             ["grp"],
             [F.col("val").desc(), F.col("id")],
@@ -87,11 +92,40 @@ def test_bad_k_rejected(spark, skewed_df):
         grouped_topk(skewed_df, ["grp"], [F.col("val").desc()], ["id"], 0)
 
 
-def test_local_phase_fans_out(spark, skewed_df):
-    """The phase-1 window must partition by (group, salt) — visible in the
-    plan as a hashpartitioning on both — so the big sort is spread."""
+def test_working_column_clash_rejected(spark, skewed_df):
+    with pytest.raises(ValueError):
+        grouped_topk(
+            skewed_df.withColumn("rk", F.lit(1)),
+            ["grp"], [F.col("val").desc(), F.col("id")], ["id"], 5,
+        )
+    with pytest.raises(ValueError):
+        grouped_topk_salted(
+            skewed_df.withColumn("__salt", F.lit(1)),
+            ["grp"], [F.col("val").desc(), F.col("id")], ["id"], 5,
+        )
+
+
+def test_default_path_has_partial_window_group_limit(spark, skewed_df):
+    """The skew-safety claim of the default path IS this plan shape: a
+    Partial WindowGroupLimit below the exchange means map tasks pre-prune
+    to their local top-K — Catalyst's native two-phase (Spark ≥ 3.5)."""
     plan = (
         grouped_topk(
+            skewed_df, ["grp"], [F.col("val").desc(), F.col("id")], ["id"], 5
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+
+
+def test_salted_phase_fans_out(spark, skewed_df):
+    """The fallback's phase-1 window must partition by (group, salt) — the
+    big sort is spread even without the optimizer rewrite."""
+    plan = (
+        grouped_topk_salted(
             skewed_df, ["grp"], [F.col("val").desc(), F.col("id")], ["id"], 5
         )
         ._jdf.queryExecution()
