@@ -712,6 +712,96 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def _q_pii_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scan + redaction (operators/text.py:PII_PATTERNS): per-source
+    totals of email/phone/ipv4/ssn matches over text with deterministically
+    injected PII (the synthetic corpus has none), plus the invariant that
+    redaction removes every match (n_pii_after_redact = 0). All JVM regex,
+    one codegen'd projection — the standard pre-training privacy pass."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0, F.concat(
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com now")))
+        .when(d % 5 == 1, F.concat(
+            F.lit(" call 555-012-"),
+            F.lpad((d % 10000).cast("string"), 4, "0")))
+        .when(d % 5 == 2, F.concat(
+            F.lit(" host 10.0."), (d % 256).cast("string"), F.lit("."),
+            ((d * 7) % 256).cast("string"), F.lit(" up")))
+        .when(d % 5 == 3, F.concat(
+            F.lit(" ssn 123-45-"),
+            F.lpad((d % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(d % 10 == 0, F.lit(" cc admin@test.org")).otherwise(F.lit("")),
+    )
+    scanned = tx.pii_scan(docs.select("doc_id", "source", injected.alias("text")))
+    residual = sum(
+        (tx.pii_count(F.col("redacted"), k) for k in tx.PII_PATTERNS),
+        F.lit(0),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_phone").alias("n_phone"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum("n_ssn").alias("n_ssn"),
+            F.sum((F.col("n_pii") > 0).cast("long")).alias("docs_with_pii"),
+            F.sum(residual).alias("n_pii_after_redact"),
+        )
+        .orderBy("source")
+    )
+
+
+def _o_pii_docs() -> str:
+    from json_to_avro_schema_spark.operators.text import PII_PATTERNS
+
+    cnt = {
+        k: f"len(regexp_extract_all(text, '{p}'))"
+        for k, p in PII_PATTERNS.items()
+    }
+    redacted = "text"
+    for k, p in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{p}', '[{k.upper()}]', 'g')"
+    res = " + ".join(
+        f"len(regexp_extract_all(redacted, '{p}'))"
+        for p in PII_PATTERNS.values()
+    )
+    return f"""
+WITH inj AS (
+  SELECT source,
+    text || CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      WHEN 1 THEN ' call 555-012-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      WHEN 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up'
+      WHEN 3 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      ELSE '' END
+      || CASE WHEN doc_id % 10 = 0 THEN ' cc admin@test.org' ELSE '' END AS text
+  FROM documents
+), cnt AS (
+  SELECT source,
+         {cnt['email']} AS n_email, {cnt['phone']} AS n_phone,
+         {cnt['ipv4']} AS n_ipv4, {cnt['ssn']} AS n_ssn,
+         {redacted} AS redacted
+  FROM inj
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+       CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 + n_ssn > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum({res}) AS BIGINT) AS n_pii_after_redact
+FROM cnt GROUP BY source ORDER BY source
+"""
+
+
 def _q_fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """xxhash64 fingerprint cardinality == normalized-text cardinality
     (collision-free at this scale) — oracles the dedup key itself."""
@@ -2240,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_unique_lineitem": _q_approx_unique_lineitem,
         "lang_detect_docs": _q_lang_detect_docs,
         "quality_docs": _q_quality_docs,
+        "pii_docs": _q_pii_docs,
         "bpe_token_stats": _q_bpe_token_stats,
         "fingerprint_distinct": _q_fingerprint_distinct,
         "psi_drift_price": _q_psi_drift_price,
@@ -2307,6 +2398,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_unique_lineitem": _O_APPROX_UNIQUE_LINEITEM,
         "lang_detect_docs": _o_lang_detect_docs(),
         "quality_docs": _O_QUALITY_DOCS,
+        "pii_docs": _o_pii_docs(),
         "bpe_token_stats": _O_BPE_TOKEN_STATS,
         "fingerprint_distinct": _O_FINGERPRINT_DISTINCT,
         "psi_drift_price": _o_psi_drift_price(),

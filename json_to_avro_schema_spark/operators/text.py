@@ -108,3 +108,44 @@ def analyze(
         detect_language(c).alias("lang_detected"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# PII patterns, chosen for identical match semantics under Java regex
+# (Spark JVM regexp_count/regexp_replace) and RE2 (the DuckDB oracle):
+# no lookaround, no backreferences, alternation-free quantifiers — for
+# these, leftmost-first (Java) and leftmost-longest (RE2) coincide.
+# Dict order is the redaction order (emails first: their local parts may
+# contain digit runs the narrower patterns could otherwise clip).
+PII_PATTERNS: Dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Non-overlapping match count of one PII kind (JVM regexp_count)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its ``[KIND]`` token — a chain of four
+    JVM regexp_replace calls in one codegen'd projection, no Python."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One projection adding per-kind PII counts, a total, and the redacted
+    text — the standard pre-training privacy filter pass. All JVM regex in
+    a single codegen'd stage; at 100 TB this is a pure map with pushed-down
+    column pruning (only ``text_col`` plus whatever the caller selects)."""
+    c = F.col(text_col)
+    counts = [pii_count(c, k).alias(f"n_{k}") for k in PII_PATTERNS]
+    total = sum((pii_count(c, k) for k in PII_PATTERNS), F.lit(0))
+    return df.select(
+        "*", *counts, total.alias("n_pii"), redact_pii(c).alias("redacted")
+    )

@@ -489,3 +489,38 @@ def test_dedup_exact_incremental(spark):
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert ids == [11, 13]
     assert "fingerprint" in kept.columns  # callers append these to the index
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from json_to_avro_schema_spark.operators.text import (
+        PII_PATTERNS,
+        pii_count,
+        pii_scan,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "reach user12345@example.com and admin@test.org now"),
+        (2, "call 555-012-0042 today"),
+        (3, "host 10.0.37.214 up"),
+        (4, "ssn 123-45-6789 leaked"),
+        (5, "plain text no pii"),
+        (6, "mixed user@a.io 555-111-2222 9.9.9.9 000-00-0000"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_pii"] == 2
+    assert out[2]["n_phone"] == 1
+    assert out[3]["n_ipv4"] == 1
+    assert out[4]["n_ssn"] == 1
+    assert out[5]["n_pii"] == 0 and out[5]["redacted"] == rows[4][1]
+    assert out[6]["n_pii"] == 4
+    assert out[6]["redacted"] == "mixed [EMAIL] [PHONE] [IPV4] [SSN]"
+    # redaction removes every match (the invariant pii_docs oracles per-source)
+    residual = df.select(
+        sum(
+            (pii_count(redact_pii(F.col("text")), k) for k in PII_PATTERNS),
+            F.lit(0),
+        ).alias("n")
+    ).agg(F.sum("n").alias("total")).collect()[0]["total"]
+    assert residual == 0
