@@ -802,6 +802,108 @@ FROM cnt GROUP BY source ORDER BY source
 """
 
 
+def _q_repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style repetition signals (operators/text.py:
+    repetition_stats): per-source token totals, distinct-token totals,
+    top-token / top-bigram occurrence totals, and the count of
+    'repetitive' docs (top token > 10% of tokens) — the boilerplate
+    filter a pretraining pipeline runs before dedup. All integer
+    aggregates, so the fraction arithmetic is exact on both engines."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    stats = tx.repetition_stats(docs.select("doc_id", "source", "text"))
+    rep = (F.col("top_token_count") * 1.0 / F.col("n_tokens")) > 0.10
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_distinct_tokens").alias("sum_distinct"),
+            F.sum("top_token_count").alias("sum_top_token"),
+            F.sum("top_bigram_count").alias("sum_top_bigram"),
+            F.sum(rep.cast("long")).alias("repetitive_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_O_REPETITION_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS t
+  FROM documents
+), tok_counts AS (
+  SELECT doc_id, max(c) AS top_tok FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+), bi AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(0, len(t) - 1),
+                                  i -> t[i + 1] || ' ' || t[i + 2])
+              ELSE [] END AS bg
+  FROM toks
+), bi_counts AS (
+  SELECT doc_id, max(c) AS top_bi FROM (
+    SELECT doc_id, b, count(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS b FROM bi) GROUP BY doc_id, b
+  ) GROUP BY doc_id
+), base AS (
+  SELECT tk.doc_id, source, len(t) AS n, len(list_distinct(t)) AS nd,
+         coalesce(tc.top_tok, 0) AS top_tok, coalesce(bc.top_bi, 0) AS top_bi
+  FROM toks tk
+  LEFT JOIN tok_counts tc ON tk.doc_id = tc.doc_id
+  LEFT JOIN bi_counts bc ON tk.doc_id = bc.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens,
+       CAST(sum(nd) AS BIGINT) AS sum_distinct,
+       CAST(sum(top_tok) AS BIGINT) AS sum_top_token,
+       CAST(sum(top_bi) AS BIGINT) AS sum_top_bigram,
+       CAST(sum(CASE WHEN top_tok * 1.0 / n > 0.10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS repetitive_docs
+FROM base GROUP BY source ORDER BY source
+"""
+
+
+def _q_packed_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget shard packing (operators/packing.py): global running
+    token offsets via the distributed prefix-sum shape (per-partition
+    totals -> exclusive prefix -> parallel within-partition windows; the
+    naive global window would sort the whole table on ONE task). Oracled
+    against DuckDB's single-window formulation — bit-identical shard
+    assignment at any parallelism is the operator's contract."""
+    from json_to_avro_schema_spark.operators.packing import shard_manifest
+
+    # no spread_to_cores: packed_shards range-repartitions itself
+    docs = load_table(spark, sf, "documents")
+    with_tokens = docs.select(
+        "doc_id", tx.whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
+    return shard_manifest(with_tokens, "n_tokens", "doc_id", 5000)
+
+
+_O_PACKED_SHARDS = r"""
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x != '')) AS nt
+  FROM documents
+), packed AS (
+  SELECT doc_id, nt,
+         coalesce(sum(nt) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) // 5000 AS shard_id
+  FROM n
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_key, max(doc_id) AS last_key
+FROM packed GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 def _q_fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """xxhash64 fingerprint cardinality == normalized-text cardinality
     (collision-free at this scale) — oracles the dedup key itself."""
@@ -2331,6 +2433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect_docs": _q_lang_detect_docs,
         "quality_docs": _q_quality_docs,
         "pii_docs": _q_pii_docs,
+        "repetition_docs": _q_repetition_docs,
+        "packed_shards": _q_packed_shards,
         "bpe_token_stats": _q_bpe_token_stats,
         "fingerprint_distinct": _q_fingerprint_distinct,
         "psi_drift_price": _q_psi_drift_price,
@@ -2399,6 +2503,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_detect_docs": _o_lang_detect_docs(),
         "quality_docs": _O_QUALITY_DOCS,
         "pii_docs": _o_pii_docs(),
+        "repetition_docs": _O_REPETITION_DOCS,
+        "packed_shards": _O_PACKED_SHARDS,
         "bpe_token_stats": _O_BPE_TOKEN_STATS,
         "fingerprint_distinct": _O_FINGERPRINT_DISTINCT,
         "psi_drift_price": _o_psi_drift_price(),

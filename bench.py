@@ -132,6 +132,8 @@ def run_bench() -> dict:
         ("tdigest_price", _tdigest_only),
         ("psi_drift_price", qs["psi_drift_price"]),
         ("lang_detect_docs", qs["lang_detect_docs"]),
+        ("pii_docs", qs["pii_docs"]),
+        ("repetition_docs", qs["repetition_docs"]),
         ("table_checks_lineitem", qs["table_checks_lineitem"]),
         ("simhash_near_dups", qs["simhash_near_dups"]),
         ("topk_price_by_flag", qs["topk_price_by_flag"]),

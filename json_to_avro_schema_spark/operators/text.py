@@ -110,6 +110,50 @@ def analyze(
     )
 
 
+def _max_run(arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED string array —
+    one O(n) ``aggregate`` pass (JVM HOF, no UDF). 0 for empty arrays."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition signals per document, all JVM-side:
+    token totals, distinct tokens, and the top token / top bigram
+    occurrence counts (via sort + longest-equal-run, O(n log n) per doc,
+    no per-doc group-by shuffle). Downstream filters derive fractions
+    (e.g. ``top_token_count / n_tokens``) to drop boilerplate docs."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        "*",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        _max_run(F.array_sort(toks)).alias("top_token_count"),
+        _max_run(F.array_sort(bigrams)).alias("top_bigram_count"),
+    )
+
+
 # PII patterns, chosen for identical match semantics under Java regex
 # (Spark JVM regexp_count/regexp_replace) and RE2 (the DuckDB oracle):
 # no lookaround, no backreferences, alternation-free quantifiers — for

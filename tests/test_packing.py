@@ -1,0 +1,88 @@
+"""Token-budget shard packing: the distributed prefix sum must be
+bit-identical to the naive single-partition window at any parallelism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from json_to_avro_schema_spark.operators.packing import (
+    packed_shards,
+    shard_manifest,
+)
+
+
+def _input(spark, n=5_000, seed_mod=97):
+    # deterministic pseudo-random token counts, ids deliberately shuffled
+    # across input partitions so partition order != global order
+    return (
+        spark.range(n)
+        .repartition(16)
+        .selectExpr("id AS doc_id", f"(id * 37) % {seed_mod} + 1 AS n_tokens")
+    )
+
+
+def _naive(df, budget):
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return df.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias(
+            "cum_tokens_before"
+        ),
+    ).withColumn("shard_id", F.expr("cum_tokens_before div 1000"))
+
+
+def test_packed_shards_matches_naive_window(spark):
+    df = _input(spark)
+    got = {
+        r["doc_id"]: (r["cum_tokens_before"], r["shard_id"])
+        for r in packed_shards(df, "n_tokens", "doc_id", 1000).collect()
+    }
+    want = {
+        r["doc_id"]: (r["cum_tokens_before"], r["shard_id"])
+        for r in _naive(df, 1000).collect()
+    }
+    assert got == want
+
+
+def test_packed_shards_partition_independent(spark):
+    df = _input(spark, n=2_000)
+    a = {
+        r["doc_id"]: r["shard_id"]
+        for r in packed_shards(
+            df, "n_tokens", "doc_id", 500, num_partitions=3
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["shard_id"]
+        for r in packed_shards(
+            df, "n_tokens", "doc_id", 500, num_partitions=29
+        ).collect()
+    }
+    assert a == b
+
+
+def test_shard_manifest_budget_and_continuity(spark):
+    df = _input(spark, n=3_000)
+    rows = shard_manifest(df, "n_tokens", "doc_id", 2_000).collect()
+    assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+    assert sum(r["n_docs"] for r in rows) == 3_000
+    # each shard's token total stays within budget + one max-size doc
+    # (a doc straddling the boundary lands in the shard where it starts)
+    for r in rows:
+        assert r["sum_tokens"] <= 2_000 + 97
+    # order-key spans are disjoint and increasing
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["last_key"] < cur["first_key"]
+
+
+def test_packed_shards_rejects_bad_args(spark):
+    df = _input(spark, n=10)
+    with pytest.raises(ValueError):
+        packed_shards(df, "n_tokens", "doc_id", 0)
+    with pytest.raises(ValueError):
+        packed_shards(
+            df.withColumn("__pack_pid", F.lit(1)), "n_tokens", "doc_id", 10
+        )

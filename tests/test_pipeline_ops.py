@@ -524,3 +524,23 @@ def test_pii_scan_counts_and_redaction(spark):
         ).alias("n")
     ).agg(F.sum("n").alias("total")).collect()[0]["total"]
     assert residual == 0
+
+
+def test_repetition_stats(spark):
+    from json_to_avro_schema_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam eggs"),          # top token 4/5, bigram "spam spam" 3/4
+        (2, "all words here are unique tokens"),  # top token 1, top bigram 1
+        (3, "one"),                               # single token: no bigrams
+        (4, "a b a b a b"),                       # bigram "a b" x3 ("b a" x2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_tokens"] == 5 and out[1]["n_distinct_tokens"] == 2
+    assert out[1]["top_token_count"] == 4
+    assert out[1]["top_bigram_count"] == 3
+    assert out[2]["top_token_count"] == 1 and out[2]["top_bigram_count"] == 1
+    assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_count"] == 0
+    assert out[4]["top_token_count"] == 3  # 'a' and 'b' both 3
+    assert out[4]["top_bigram_count"] == 3
