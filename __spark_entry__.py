@@ -904,6 +904,70 @@ FROM packed GROUP BY shard_id ORDER BY shard_id
 """
 
 
+# per-source token targets over the synthetic src0..src19 sources; spans
+# the edge shapes: target 1 (first doc only), mid-source cuts, and a
+# target above the source's total (keep everything)
+_MIXTURE_TARGETS = {
+    "src0": 400, "src1": 700, "src2": 1000, "src5": 100,
+    "src7": 50_000, "src12": 1, "src19": 650,
+}
+
+
+def _q_mixture_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture selection (operators/packing.py:select_mixture):
+    per-source token targets, docs kept while their per-source token
+    prefix is under target (grouped distributed prefix sum — same
+    machinery as packed_shards, partitioned by (source, doc_id)).
+    Summarised per source so the oracle pins both membership (count,
+    key span) and the token arithmetic."""
+    from json_to_avro_schema_spark.operators.packing import select_mixture
+
+    docs = load_table(spark, sf, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source",
+        tx.whitespace_token_count(F.col("text")).alias("n_tokens"),
+    )
+    picked = select_mixture(
+        with_tokens, "n_tokens", "doc_id", "source", _MIXTURE_TARGETS
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_key"),
+            F.max("doc_id").alias("last_key"),
+        )
+        .orderBy("source")
+    )
+
+
+def _o_mixture_docs() -> str:
+    targets = ", ".join(
+        f"('{s}', {t})" for s, t in sorted(_MIXTURE_TARGETS.items())
+    )
+    return rf"""
+WITH n AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x != '')) AS nt
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, nt,
+         coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb
+  FROM n
+), tg(source, target) AS (VALUES {targets})
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_key, max(doc_id) AS last_key
+FROM cum JOIN tg USING (source)
+WHERE cb < target
+GROUP BY source ORDER BY source
+"""
+
+
 def _q_fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """xxhash64 fingerprint cardinality == normalized-text cardinality
     (collision-free at this scale) — oracles the dedup key itself."""
@@ -2435,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_docs": _q_pii_docs,
         "repetition_docs": _q_repetition_docs,
         "packed_shards": _q_packed_shards,
+        "mixture_docs": _q_mixture_docs,
         "bpe_token_stats": _q_bpe_token_stats,
         "fingerprint_distinct": _q_fingerprint_distinct,
         "psi_drift_price": _q_psi_drift_price,
@@ -2505,6 +2570,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_docs": _o_pii_docs(),
         "repetition_docs": _O_REPETITION_DOCS,
         "packed_shards": _O_PACKED_SHARDS,
+        "mixture_docs": _o_mixture_docs(),
         "bpe_token_stats": _O_BPE_TOKEN_STATS,
         "fingerprint_distinct": _O_FINGERPRINT_DISTINCT,
         "psi_drift_price": _o_psi_drift_price(),

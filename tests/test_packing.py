@@ -86,3 +86,51 @@ def test_packed_shards_rejects_bad_args(spark):
         packed_shards(
             df.withColumn("__pack_pid", F.lit(1)), "n_tokens", "doc_id", 10
         )
+
+
+def test_cumulative_tokens_grouped_matches_window(spark):
+    from json_to_avro_schema_spark.operators.packing import cumulative_tokens
+
+    df = _input(spark, n=3_000).withColumn(
+        "grp", F.expr("concat('g', doc_id % 7)")
+    )
+    got = {
+        r["doc_id"]: r["cum_tokens_before"]
+        for r in cumulative_tokens(
+            df, "n_tokens", "doc_id", by="grp", num_partitions=11
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["doc_id"]: r["cb"]
+        for r in df.select(
+            "doc_id",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cb"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_select_mixture_take_while_semantics(spark):
+    from json_to_avro_schema_spark.operators.packing import select_mixture
+
+    rows = [
+        # grp a: tokens 10, 20, 30 → target 30 keeps docs 1,2 (cb 0,10;
+        # doc 3 starts at cb=30, not < 30)
+        (1, "a", 10), (2, "a", 20), (3, "a", 30),
+        # grp b: target 1 keeps only the first doc
+        (4, "b", 100), (5, "b", 100),
+        # grp c: absent from targets → dropped entirely
+        (6, "c", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    picked = select_mixture(
+        df, "n_tokens", "doc_id", "grp", {"a": 30, "b": 1}
+    )
+    assert sorted(r["doc_id"] for r in picked.collect()) == [1, 2, 4]
+    with pytest.raises(ValueError):
+        select_mixture(df, "n_tokens", "doc_id", "grp", {"a": -1})
