@@ -2039,6 +2039,75 @@ ORDER BY window_start, event_type
 """
 
 
+def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup (streaming/dedup.py): the documents corpus is
+    streamed TWICE (two files, maxFilesPerTrigger=1 → two micro-batches);
+    cross-batch state-store dedup must drop the entire second pass plus
+    the within-corpus duplicates, so kept rows == distinct fingerprints of
+    ONE corpus — an arrival-order-independent fact the oracle re-derives.
+    The survivor identities are arrival-order; the deterministic output is
+    the kept-fingerprint set and counts."""
+    import shutil
+    import tempfile
+
+    from json_to_avro_schema_spark.streaming.dedup import (
+        dedup_stream_to_parquet,
+    )
+
+    src_file = os.path.join(sf, "documents.parquet")
+    schema = spark.read.parquet(src_file).schema
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        shutil.copy(src_file, os.path.join(src, "pass1.parquet"))
+        shutil.copy(src_file, os.path.join(src, "pass2.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # streaming state partitioning is fixed at query start from
+        # spark.sql.shuffle.partitions; 8 state stores instead of 32 cuts
+        # per-micro-batch state overhead 4x on this tiny corpus (a real
+        # deployment sizes this to the corpus, not the query)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = dedup_stream_to_parquet(
+                stream,
+                os.path.join(tmp, "kept"),
+                os.path.join(tmp, "ckpt"),
+            )
+            q.awaitTermination(120)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        kept = spark.read.parquet(os.path.join(tmp, "kept"))
+        out = kept.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.count_distinct("fingerprint").alias("n_distinct"),
+        ).select(
+            "n_kept", "n_distinct",
+            (F.col("n_kept") == F.col("n_distinct")).alias("no_dup_survived"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# streaming over pass1+pass2 keeps exactly one row per distinct
+# normalized-text fingerprint of the single corpus
+_O_STREAMING_DEDUP = r"""
+SELECT CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+            AS BIGINT) AS n_kept,
+       CAST(count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+            AS BIGINT) AS n_distinct,
+       TRUE AS no_dup_survived
+FROM documents
+"""
+
+
 def _q_streaming_running_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-partition verdict totals across micro-batches. Two files stream
@@ -2538,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_plan": _q_resize_plan,
         "checkpoint_resume": _q_checkpoint_resume,
         "streaming_validation": _q_streaming_validation,
+        "streaming_dedup": _q_streaming_dedup,
         "streaming_running_verdicts": _q_streaming_running_verdicts,
     }
 
@@ -2584,6 +2654,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _O_SIMHASH_NEAR_DUPS,
         "resize_plan": _O_RESIZE_PLAN,
         "streaming_validation": _O_STREAMING_VALIDATION,
+        "streaming_dedup": _O_STREAMING_DEDUP,
         "tdigest_price": _O_TDIGEST_PRICE,
         "multimodal_features": _O_MULTIMODAL_FEATURES,
         "minhash_near_dups": _O_MINHASH_NEAR_DUPS,

@@ -1,0 +1,74 @@
+"""Streaming exact dedup for continuous ingestion.
+
+``dedup_stream`` fingerprints each document (same normalized-text
+``xxhash64`` key as the batch dedup family — ``operators/dedup.py``) and
+drops rows whose fingerprint was already seen ANYWHERE earlier in the
+stream: Spark's streaming ``dropDuplicates`` keeps the seen-key set in
+the state store (RocksDB/HDFS-backed on a cluster), so the dedup is
+cross-micro-batch by construction — the stream twin of
+``dedup_exact_incremental``'s stored-fingerprint index.
+
+Scale note: the state is one 8-byte key per distinct document, hash-
+partitioned across executors by the shuffle on the dedup key — no
+single-node set. Without an event-time watermark the state grows with
+the distinct corpus (that IS the semantics of global exact dedup);
+bounded-retention variants should pass a watermarked event-time column
+via ``within_watermark_col``, which switches to
+``dropDuplicatesWithinWatermark`` (late duplicates beyond the watermark
+are then the caller's accepted trade).
+
+Which duplicate survives is arrival/partition order — deterministic
+facts about the output are the kept-fingerprint SET and counts, which is
+what the oracle and tests pin.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.text import fingerprint
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    *,
+    fingerprint_col: str = "fingerprint",
+    within_watermark_col: Optional[str] = None,
+) -> DataFrame:
+    """Streaming DataFrame → streaming DataFrame with ``fingerprint_col``
+    added and cross-batch duplicate fingerprints dropped."""
+    with_fp = stream_df.withColumn(
+        fingerprint_col, fingerprint(F.col(text_col))
+    )
+    if within_watermark_col is not None:
+        # caller must have applied .withWatermark(within_watermark_col, ...)
+        return with_fp.dropDuplicatesWithinWatermark([fingerprint_col])
+    return with_fp.dropDuplicates([fingerprint_col])
+
+
+def dedup_stream_to_parquet(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_location: str,
+    text_col: str = "text",
+    *,
+    fingerprint_col: str = "fingerprint",
+):
+    """Run the dedup stream into an append parquet sink with
+    ``availableNow`` (drain-everything-then-stop). Returns the
+    StreamingQuery; callers ``awaitTermination``."""
+    deduped = dedup_stream(
+        stream_df, text_col, fingerprint_col=fingerprint_col
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

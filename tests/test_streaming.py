@@ -83,3 +83,56 @@ def test_validate_stream_is_streaming_projection(spark, stream_setup):
     checked = validate_stream(stream_df, plan)
     assert checked.isStreaming
     assert ROW_PASS in checked.columns
+
+
+def test_streaming_dedup_cross_batch_state(spark, tmp_path):
+    """Duplicates arriving in a LATER micro-batch must be dropped by the
+    state store, not just within-batch dropDuplicates."""
+    from json_to_avro_schema_spark.streaming.dedup import (
+        dedup_stream_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(4, "ALPHA  beta gamma"), (5, "epsilon zeta")],  # 4 ≡ 1 normalized
+        "doc_id long, text string",
+    )
+    # two appends into ONE source dir: the file source orders by mtime,
+    # so batch1's part-file is micro-batch 1, batch2's is micro-batch 2
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    first_files = {
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    }
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    # the source orders files by mtime; same-second writes could tie, so
+    # stagger explicitly to make batch1 strictly first
+    import time
+    now = time.time()
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            offset = -60 if f in first_files else 0
+            os.utime(os.path.join(src, f), (now + offset, now + offset))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = dedup_stream_to_parquet(
+        stream, str(tmp_path / "kept"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    rows = kept.collect()
+    # 3 distinct normalized texts survive; doc 4 (cross-batch dup of 1/2)
+    # and one of 1/2 (within-batch dup) are dropped
+    assert len(rows) == 3
+    assert len({r["fingerprint"] for r in rows}) == 3
+    assert 5 in {r["doc_id"] for r in rows}
+    assert {r["doc_id"] for r in rows} & {1, 2}  # one alpha survivor
+    assert 4 not in {r["doc_id"] for r in rows}
