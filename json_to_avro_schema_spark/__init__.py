@@ -20,6 +20,12 @@ from .errors import (
     SpecParseError,
     SpecResolutionError,
 )
+from .operators.packing import (
+    cumulative_tokens,
+    packed_shards,
+    select_mixture,
+    shard_manifest,
+)
 from .operators.sampling import (
     deterministic_sample,
     deterministic_topn_sample,
@@ -49,15 +55,19 @@ __all__ = [
     "SpecResolutionError",
     "ValidationResult",
     "compile_document",
+    "cumulative_tokens",
     "deterministic_sample",
     "deterministic_topn_sample",
     "get_spark",
     "grouped_topk",
     "grouped_topk_salted",
+    "packed_shards",
     "run_table_checks",
     "run_validation",
     "run_with_checkpoint",
     "sample_violations",
+    "select_mixture",
+    "shard_manifest",
     "stratified_sample",
     "train_test_split",
     "verdicts_from_violations",

@@ -134,3 +134,40 @@ def test_select_mixture_take_while_semantics(spark):
     assert sorted(r["doc_id"] for r in picked.collect()) == [1, 2, 4]
     with pytest.raises(ValueError):
         select_mixture(df, "n_tokens", "doc_id", "grp", {"a": -1})
+
+
+def test_packing_hypothesis_differential(spark):
+    """Random token counts, budgets, and partition counts vs the naive
+    global window — property-based differential."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        counts=st.lists(st.integers(min_value=0, max_value=500),
+                        min_size=1, max_size=60),
+        budget=st.integers(min_value=1, max_value=300),
+        n_parts=st.integers(min_value=1, max_value=9),
+    )
+    def check(counts, budget, n_parts):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(counts)],
+            "doc_id long, n_tokens long",
+        ).repartition(4)
+        got = {
+            r["doc_id"]: (r["cum_tokens_before"], r["shard_id"])
+            for r in packed_shards(
+                df, "n_tokens", "doc_id", budget, num_partitions=n_parts
+            ).collect()
+        }
+        cum, want = 0, {}
+        for i, c in enumerate(counts):
+            want[i] = (cum, cum // budget)
+            cum += c
+        assert got == want
+
+    check()
