@@ -7,15 +7,23 @@ sorts the ENTIRE table into ONE partition, a single-task bottleneck at
 any scale. :func:`cumulative_tokens` is the distributed prefix-sum shape
 instead:
 
-1. range-repartition + sort by (group, order) — Spark's range
-   partitioner assigns increasing key ranges to increasing partition
-   ids, so partition order == global order,
-2. per-(partition, group) token totals — tiny, O(#partitions × #groups
-   present per partition) rows — collected to the driver (never O(rows)),
-3. an exclusive prefix per group over those totals, broadcast back as a
-   join on (partition id, group),
-4. a *within-partition* running sum (window partitioned by partition id
-   and group — every partition computes in parallel).
+1. derive P-1 approximate-quantile bounds of the order column (one
+   narrow aggregate; at 100 TB this scan is column-pruned to one
+   column), making ``pid(row) = #bounds <= order`` a deterministic,
+   retry-safe function of the row VALUE — no sampling-based range
+   partitioner, no checkpoint pinning,
+2. per-(pid, group) token totals — tiny, O(P × #groups present) rows —
+   collected to the driver (never O(rows)),
+3. an exclusive prefix per group over those totals in pid order
+   (bounds are monotonic in the order column, so ascending pid ==
+   ascending order), broadcast back as a join on (pid, group),
+4. a *within-pid* running sum — a window partitioned by (pid, group)
+   whose own shuffle is the ONLY wide exchange; every pid bucket
+   computes in parallel.
+
+Non-numeric order columns fall back to ``repartitionByRange`` +
+``spark_partition_id`` with a ``localCheckpoint`` to freeze the sampled
+partitioning between the totals and window branches.
 
 Global offset = partition/group offset + within-partition running sum;
 bit-identical to the single-partition window at any parallelism, which
@@ -42,6 +50,33 @@ _PID = "__pack_pid"
 _BEFORE = "__pack_before"
 
 
+def _order_bounds(
+    df: DataFrame, order_col: str, n_parts: int
+) -> Optional[list]:
+    """P-1 approximate-quantile bounds of a NUMERIC order column (None
+    for non-numeric types — callers fall back to range partitioning).
+    One narrow aggregate job; the result is embedded as literals so every
+    later branch assigns identical pids, retry- and AQE-proof."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[order_col].dataType, NumericType):
+        return None
+    if n_parts <= 1:
+        return []
+    probs = [i / n_parts for i in range(1, n_parts)]
+    row = df.agg(
+        F.percentile_approx(order_col, probs, 10_000).alias("b")
+    ).collect()[0]
+    return list(row["b"] or [])
+
+
+def _pid_from_bounds(order_col: str, bounds: list):
+    if not bounds:
+        return F.lit(0)
+    barr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(barr, lambda b: b <= F.col(order_col)))
+
+
 def cumulative_tokens(
     df: DataFrame,
     token_col: str,
@@ -52,8 +87,8 @@ def cumulative_tokens(
 ) -> DataFrame:
     """Add ``cum_tokens_before``: the sum of ``token_col`` over all rows
     earlier in ``order_col`` order (within ``by`` when given, else
-    globally). ``order_col`` must be a total order (unique values) —
-    ties across a partition boundary would make the prefix ambiguous.
+    globally). ``order_col`` must be a non-null total order (unique
+    values) — ties across a pid boundary would make the prefix ambiguous.
     Rows with a NULL ``by`` value are dropped (the offset join is an
     equi-join); filter or fill nulls first."""
     for c in (_PID, _BEFORE):
@@ -61,17 +96,23 @@ def cumulative_tokens(
             raise ValueError(f"input already has working column {c!r}")
 
     spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    range_keys = ([F.col(by)] if by else []) + [F.col(order_col)]
-    sort_keys = ([by] if by else []) + [order_col]
-    part = (
-        df.repartitionByRange(n_parts, *range_keys)
-        .sortWithinPartitions(*sort_keys)
-        .withColumn(_PID, F.spark_partition_id())
-    )
-    # one materialization feeds both the totals aggregate and the final
-    # window (otherwise each branch would recompute the upstream scan)
-    part = part.localCheckpoint(eager=False)
+    # 2x parallelism: pids are hash-assigned to window tasks, so extra
+    # logical buckets smooth the assignment
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    bounds = _order_bounds(df, order_col, n_parts)
+    if bounds is not None:
+        part = df.withColumn(_PID, _pid_from_bounds(order_col, bounds))
+    else:
+        range_keys = ([F.col(by)] if by else []) + [F.col(order_col)]
+        sort_keys = ([by] if by else []) + [order_col]
+        part = (
+            df.repartitionByRange(n_parts, *range_keys)
+            .sortWithinPartitions(*sort_keys)
+            .withColumn(_PID, F.spark_partition_id())
+        )
+        # freeze the sampled partitioning so the totals aggregate and the
+        # final window see identical pids
+        part = part.localCheckpoint(eager=False)
 
     group_cols = [_PID] + ([by] if by else [])
     totals = (
