@@ -2257,6 +2257,59 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_decontaminate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-test contamination (operators/dedup.py:contamination_pairs):
+    a synthetic benchmark set = exact copies of every 25th doc (must be
+    flagged) + reversed-text decoys (must not be), cross-corpus banded
+    minhash with exact-Jaccard verification, oracled against brute-force
+    shingle Jaccard with the same exact length-ratio prefilter as
+    minhash_near_dups. Copies collide in every band (recall 1); near-dup
+    recall at the 0.9 borderline follows the same verified band curve."""
+    docs = load_table(spark, sf, "documents")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    decoys = docs.filter(F.col("doc_id") % 25 == 7).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    bench = copies.unionAll(decoys)
+    pairs = dd.contamination_pairs(docs, bench, threshold=0.9)
+    return pairs.select(
+        "corpus_id", "bench_id", F.round("jaccard", 5).alias("jaccard")
+    ).orderBy("corpus_id", "bench_id")
+
+
+_O_DECONTAMINATE_PAIRS = """
+WITH bench AS (
+  SELECT doc_id + 20000000 AS bench_id, text
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 30000000 AS bench_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 25 = 7
+), csh AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(length(text) - 4, 0) + 1),
+    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+  FROM documents WHERE length(text) >= 20
+), bsh AS MATERIALIZED (
+  SELECT bench_id, list_distinct(list_transform(
+    range(1, greatest(length(text) - 4, 0) + 1),
+    i -> substr(lower(text), CAST(i AS INT), 5))) AS s
+  FROM bench WHERE length(text) >= 20
+), p AS (
+  -- length-ratio prefilter: exact for j >= 0.9 (see _O_MINHASH_NEAR_DUPS)
+  SELECT c.doc_id AS corpus_id, b.bench_id,
+         len(list_intersect(c.s, b.s)) * 1.0
+           / greatest(len(list_distinct(list_concat(c.s, b.s))), 1) AS j
+  FROM csh c JOIN bsh b
+    ON len(c.s) * 10 >= len(b.s) * 9 AND len(b.s) * 10 >= len(c.s) * 9
+)
+SELECT corpus_id, bench_id, round(j, 5) AS jaccard FROM p WHERE j >= 0.9
+ORDER BY corpus_id, bench_id
+"""
+
+
 def _q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash chunk-bucketed candidates at hamming 0, with exact
     token-bag verification FUSED into the bucket join: a 64-bit hash of
@@ -2585,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_set_ops": _q_verdict_set_ops,
         "table_checks_lineitem": _q_table_checks_lineitem,
         "minhash_near_dups": _q_minhash_near_dups,
+        "decontaminate_pairs": _q_decontaminate_pairs,
         "minhash_incremental_dups": _q_minhash_incremental_dups,
         # interleaved-span operators over the SQL-derivable spans table
         "span_seq_keys": _q_span_seq_keys,
@@ -2658,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_price": _O_TDIGEST_PRICE,
         "multimodal_features": _O_MULTIMODAL_FEATURES,
         "minhash_near_dups": _O_MINHASH_NEAR_DUPS,
+        "decontaminate_pairs": _O_DECONTAMINATE_PAIRS,
         "minhash_incremental_dups": _O_MINHASH_INCREMENTAL_DUPS,
         "span_seq_keys": _O_SPAN_SEQ_KEYS,
         "span_kind_stats": _O_SPAN_KIND_STATS,

@@ -412,6 +412,94 @@ def minhash_near_duplicates(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.9,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Train-test contamination pairs: (corpus_id, bench_id, jaccard) for
+    corpus docs whose shingle-Jaccard with ANY benchmark doc reaches
+    ``threshold`` — the decontamination step a pretraining pipeline runs
+    against evaluation sets before training.
+
+    Cross-corpus banded minhash: band rows for both sides (the benchmark
+    side is typically tiny — eval sets are thousands of docs, so its band
+    table broadcast-joins against the corpus bands), candidates verified
+    with exact shingle-Jaccard. Exact copies (j=1) always collide in every
+    band; recall at the threshold borderline follows the LSH curve (raise
+    ``bands`` for higher recall at higher verify cost)."""
+    cb = minhash_band_rows(
+        corpus, text_col, id_col,
+        k=k, num_hashes=num_hashes, bands=bands,
+    )
+    bb = minhash_band_rows(
+        benchmark, text_col, id_col,
+        k=k, num_hashes=num_hashes, bands=bands,
+    )
+    # the benchmark band table is small by contract — broadcast it so the
+    # corpus bands stream through a BroadcastHashJoin with no wide shuffle
+    cands = (
+        cb.join(F.broadcast(bb.withColumnRenamed("id", "bench_id")),
+                ["band", "bh"])
+        .select(F.col("id").alias("id_a"), F.col("bench_id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification over the two-sided shingle join; the candidate
+    # pair list is tiny (LSH hits only), so it broadcasts and the corpus
+    # shingle projection streams
+    c_sh = _spread(corpus).select(
+        F.col(id_col).alias("id_a"), _shingles(F.col(text_col), k).alias("sh_a")
+    )
+    b_sh = _spread(benchmark).select(
+        F.col(id_col).alias("id_b"), _shingles(F.col(text_col), k).alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    # b_sh carries shingle arrays (an eval set can be ~GBs of shingles) —
+    # NOT broadcast; after the candidate broadcast-semi the left side is
+    # |cands| rows, so this last join shuffles only candidates + benchmark
+    return (
+        c_sh.join(F.broadcast(cands), "id_a")
+        .join(b_sh, "id_b")
+        .select(
+            F.col("id_a").alias("corpus_id"),
+            F.col("id_b").alias("bench_id"),
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.9,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Corpus minus contaminated docs (anti-join on the contamination
+    pairs' corpus side)."""
+    bad = (
+        contamination_pairs(
+            corpus, benchmark, text_col, id_col,
+            threshold=threshold, k=k, num_hashes=num_hashes, bands=bands,
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(bad, id_col, "left_anti")
+
+
 # ----------------------------------------------------------------- simhash
 
 def _simhash_vote_udf():

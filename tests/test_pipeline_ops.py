@@ -544,3 +544,27 @@ def test_repetition_stats(spark):
     assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_count"] == 0
     assert out[4]["top_token_count"] == 3  # 'a' and 'b' both 3
     assert out[4]["top_bigram_count"] == 3
+
+
+def test_decontaminate(spark):
+    from json_to_avro_schema_spark.operators.dedup import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    corpus = _docs(spark)  # docs 1,2 identical; 3 near-dup of them
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog and runs to the hills"),
+            (101, "totally unrelated benchmark question about thermodynamics basics"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = contamination_pairs(corpus, bench, threshold=0.9).collect()
+    flagged = {r["corpus_id"] for r in pairs}
+    assert {1, 2} <= flagged          # exact copies of bench 100
+    assert all(r["bench_id"] == 100 for r in pairs)
+    clean = decontaminate(corpus, bench, threshold=0.9)
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert kept == set(range(1, 7)) - flagged
+    assert 5 in kept and 6 in kept    # unrelated docs survive
