@@ -968,6 +968,43 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_chunked_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-token-budget document chunking with overlap
+    (operators/text.py:chunk_documents): chunk 48 tokens, stride 40 —
+    every chunk boundary, chunk text, and token count re-derived in SQL.
+    posexplode flatMap, no shuffle."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    out = tx.chunk_documents(
+        docs.select("doc_id", "text"), chunk_tokens=48, overlap=8
+    )
+    return out.select(
+        "doc_id", "chunk_id", "chunk_n_tokens", "chunk_text"
+    ).orderBy("doc_id", "chunk_id")
+
+
+_O_CHUNKED_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t,
+         greatest(CAST(floor((len(t) - 9) / 40.0) AS INT) + 1, 1) AS nc
+  FROM toks WHERE len(t) > 0
+), ch AS (
+  SELECT doc_id, CAST(unnest(range(0, nc)) AS INT) AS chunk_id, t
+  FROM base
+)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(t, chunk_id * 40 + 1, chunk_id * 40 + 48)) AS INT)
+         AS chunk_n_tokens,
+       array_to_string(list_slice(t, chunk_id * 40 + 1, chunk_id * 40 + 48),
+                       ' ') AS chunk_text
+FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
 def _q_fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """xxhash64 fingerprint cardinality == normalized-text cardinality
     (collision-free at this scale) — oracles the dedup key itself."""
@@ -2622,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": _q_repetition_docs,
         "packed_shards": _q_packed_shards,
         "mixture_docs": _q_mixture_docs,
+        "chunked_docs": _q_chunked_docs,
         "bpe_token_stats": _q_bpe_token_stats,
         "fingerprint_distinct": _q_fingerprint_distinct,
         "psi_drift_price": _q_psi_drift_price,
@@ -2695,6 +2733,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_docs": _O_REPETITION_DOCS,
         "packed_shards": _O_PACKED_SHARDS,
         "mixture_docs": _o_mixture_docs(),
+        "chunked_docs": _O_CHUNKED_DOCS,
         "bpe_token_stats": _O_BPE_TOKEN_STATS,
         "fingerprint_distinct": _O_FINGERPRINT_DISTINCT,
         "psi_drift_price": _o_psi_drift_price(),

@@ -444,6 +444,20 @@ def _combinator_predicates(
         preds.append(disj)
     if s.not_ is not None:
         preds.append(~_as_bool(value_predicate(s.not_, expr, f"{path}!")))
+    if s.if_ is not None:
+        # draft-7 conditional (beyond the reference's draft-6 surface):
+        # if matches -> then must hold; else -> else must hold. Absent
+        # branches default to true; then/else without if are inert per spec.
+        cond = _as_bool(value_predicate(s.if_, expr, f"{path}?"))
+        then_ok = (
+            _as_bool(value_predicate(s.then_, expr, f"{path}?t"))
+            if s.then_ is not None else F.lit(True)
+        )
+        else_ok = (
+            _as_bool(value_predicate(s.else_, expr, f"{path}?e"))
+            if s.else_ is not None else F.lit(True)
+        )
+        preds.append(F.when(cond, then_ok).otherwise(else_ok))
     return preds
 
 

@@ -139,6 +139,9 @@ def _map_children(s: ConstraintSpec, path: str, stack, visit) -> ConstraintSpec:
             None if s.property_names is None else v(s.property_names, f"{path}.<keys>")
         ),
         not_=None if s.not_ is None else v(s.not_, f"{path}!"),
+        if_=None if s.if_ is None else v(s.if_, f"{path}?"),
+        then_=None if s.then_ is None else v(s.then_, f"{path}?t"),
+        else_=None if s.else_ is None else v(s.else_, f"{path}?e"),
         all_of=tuple(v(x, f"{path}&{n}") for n, x in enumerate(s.all_of)),
         any_of=tuple(v(x, f"{path}|{n}") for n, x in enumerate(s.any_of)),
         one_of=tuple(v(x, f"{path}^{n}") for n, x in enumerate(s.one_of)),

@@ -154,6 +154,48 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap — the
+    long-document splitting step before packing/training. Whitespace
+    tokens; chunk *i* covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the final chunk is the
+    remainder (may be shorter). Pure ``posexplode`` over a per-row chunk
+    index sequence — no shuffle, no UDF; at scale this is a flatMap the
+    scan pipeline absorbs. Output adds ``chunk_id``, ``chunk_text``,
+    ``chunk_n_tokens``; empty/whitespace-only docs yield zero chunks."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # ceil((n - overlap) / stride) chunks for n > 0; the last chunk starts
+    # strictly inside the doc (any tail shorter than overlap is absorbed)
+    n_chunks = (F.floor((n - F.lit(overlap + 1)) / stride) + 1).cast("int")
+    n_chunks = F.greatest(n_chunks, F.lit(1))  # short docs: one chunk
+    # empty docs: empty sequence -> posexplode drops the row (sequence with
+    # stop < start would count DOWN, hence the explicit when-guard)
+    idx = F.when(n > 0, F.sequence(F.lit(1), n_chunks)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = df.select(
+        "*", F.posexplode(idx).alias("__i", "__c")
+    ).drop("__c")
+    piece = F.slice(tokens(F.col(text_col)), F.col("__i") * stride + 1,
+                    chunk_tokens)
+    return (
+        exploded.withColumn("chunk_id", F.col("__i"))
+        .withColumn("chunk_text", F.array_join(piece, " "))
+        .withColumn("chunk_n_tokens", F.size(piece))
+        .drop("__i")
+    )
+
+
 # PII patterns, chosen for identical match semantics under Java regex
 # (Spark JVM regexp_count/regexp_replace) and RE2 (the DuckDB oracle):
 # no lookaround, no backreferences, alternation-free quantifiers — for

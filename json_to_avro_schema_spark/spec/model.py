@@ -106,6 +106,12 @@ class ConstraintSpec:
     any_of: Tuple[JSchema, ...] = ()
     one_of: Tuple[JSchema, ...] = ()
     not_: Optional[JSchema] = None
+    # draft-7 conditionals — BEYOND the reference's draft-6 surface (its
+    # parser has no if/then/else); compiled as an implication predicate.
+    # Per draft-7: then/else are inert without if.
+    if_: Optional[JSchema] = None
+    then_: Optional[JSchema] = None
+    else_: Optional[JSchema] = None
 
     # engine extension keywords (not in draft-6; prefixed ``x-`` in spec files)
     # x-monotonicIncreasing on an array-of-struct spec: listed element fields

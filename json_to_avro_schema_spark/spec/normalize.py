@@ -72,6 +72,9 @@ def _visit(s: ConstraintSpec, base: Optional[str]) -> ConstraintSpec:
         contains=None if s.contains is None else v(s.contains),
         property_names=None if s.property_names is None else v(s.property_names),
         not_=None if s.not_ is None else v(s.not_),
+        if_=None if s.if_ is None else v(s.if_),
+        then_=None if s.then_ is None else v(s.then_),
+        else_=None if s.else_ is None else v(s.else_),
         all_of=tuple(v(x) for x in s.all_of),
         any_of=tuple(v(x) for x in s.any_of),
         one_of=tuple(v(x) for x in s.one_of),

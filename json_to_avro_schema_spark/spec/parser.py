@@ -253,6 +253,9 @@ def _parse_object(obj: Dict[str, Any]) -> ConstraintSpec:
         any_of=_schema_array(obj, "anyOf"),
         one_of=_schema_array(obj, "oneOf"),
         not_=_opt_schema(obj, "not"),
+        if_=_opt_schema(obj, "if"),
+        then_=_opt_schema(obj, "then"),
+        else_=_opt_schema(obj, "else"),
         x_monotonic=_parse_string_array(obj, "x-monotonicIncreasing"),
         x_bits=_parse_bits(obj),
     )

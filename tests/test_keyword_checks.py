@@ -347,3 +347,38 @@ def test_root_pattern_properties_on_columns(spark):
         (3, 5, "boo"),    # non-matching extra forbidden
     ]
     assert _failing_ids(spark, doc, rows, "id long, m_x long, other string") == {2, 3}
+
+
+def test_if_then_else_conditional(spark):
+    """draft-7 if/then/else (beyond the reference's draft-6 surface):
+    value < 0 must be a multiple of 5; otherwise must be <= 100."""
+    doc = _spec({
+        "v": {
+            "type": "integer",
+            "if": {"exclusiveMaximum": 0},
+            "then": {"multipleOf": 5},
+            "else": {"maximum": 100},
+        },
+    })
+    rows = [
+        (1, -10),   # if-branch, multiple of 5: pass
+        (2, -3),    # if-branch, not multiple of 5: fail
+        (3, 50),    # else-branch, <= 100: pass
+        (4, 200),   # else-branch, > 100: fail
+        (5, None),  # optional null: pass
+    ]
+    assert _failing_ids(spark, doc, rows, "id long, v long") == {2, 4}
+
+
+def test_if_without_then_else_and_inert_then(spark):
+    doc_if_only = _spec({
+        "v": {"type": "integer", "if": {"minimum": 0}},
+    })
+    rows = [(1, 5), (2, -5)]
+    # if alone constrains nothing (both branches default true)
+    assert _failing_ids(spark, doc_if_only, rows, "id long, v long") == set()
+    # then without if is inert per draft-7
+    doc_then_only = _spec({
+        "v": {"type": "integer", "then": {"maximum": 0}},
+    })
+    assert _failing_ids(spark, doc_then_only, rows, "id long, v long") == set()

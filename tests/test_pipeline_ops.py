@@ -568,3 +568,29 @@ def test_decontaminate(spark):
     kept = {r["doc_id"] for r in clean.collect()}
     assert kept == set(range(1, 7)) - flagged
     assert 5 in kept and 6 in kept    # unrelated docs survive
+
+
+def test_chunk_documents(spark):
+    from json_to_avro_schema_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))  # 25 tokens
+    rows = [
+        (1, words),               # chunk 10, overlap 2, stride 8 -> 3 chunks
+        (2, "one two three"),     # shorter than chunk -> 1 chunk
+        (3, "   "),               # whitespace only -> 0 chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=10, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: ceil((25-10)/8)+1 = 3 chunks at starts 0, 8, 16
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)]["chunk_text"].startswith("w0 w1")
+    assert rows[(1, 1)]["chunk_text"].startswith("w8 w9")
+    assert rows[(1, 2)]["chunk_n_tokens"] == 9  # tokens 16..24
+    # overlap: chunk 0 ends with w8 w9, chunk 1 begins with them
+    assert rows[(1, 0)]["chunk_text"].split()[-2:] == ["w8", "w9"]
+    assert rows[(2, 0)]["chunk_n_tokens"] == 3
+    assert not any(k[0] == 3 for k in rows)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
