@@ -183,16 +183,17 @@ def chunk_documents(
     idx = F.when(n > 0, F.sequence(F.lit(1), n_chunks)).otherwise(
         F.array().cast("array<int>")
     )
-    exploded = df.select(
+    # tokenize once per input row and carry the array through the explode
+    # (same pipelined stage — never materialized to a shuffle)
+    exploded = df.withColumn("__toks", toks).select(
         "*", F.posexplode(idx).alias("__i", "__c")
     ).drop("__c")
-    piece = F.slice(tokens(F.col(text_col)), F.col("__i") * stride + 1,
-                    chunk_tokens)
+    piece = F.slice(F.col("__toks"), F.col("__i") * stride + 1, chunk_tokens)
     return (
         exploded.withColumn("chunk_id", F.col("__i"))
         .withColumn("chunk_text", F.array_join(piece, " "))
         .withColumn("chunk_n_tokens", F.size(piece))
-        .drop("__i")
+        .drop("__i", "__toks")
     )
 
 
