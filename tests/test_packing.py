@@ -171,3 +171,21 @@ def test_packing_hypothesis_differential(spark):
         assert got == want
 
     check()
+
+
+def test_packing_plan_shapes(spark):
+    """The offset/target joins must broadcast (O(P)/O(groups) rows) — a
+    SortMergeJoin here would sort the full data side."""
+    from json_to_avro_schema_spark.operators.packing import select_mixture
+
+    df = _input(spark, n=10_000)
+    plan = packed_shards(df, "n_tokens", "doc_id", 1000)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    grouped = df.withColumn("grp", F.expr("concat('g', doc_id % 3)"))
+    plan2 = select_mixture(
+        grouped, "n_tokens", "doc_id", "grp", {"g0": 100, "g1": 100}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan2
+    assert plan2.count("BroadcastHashJoin") >= 2  # offsets + targets
