@@ -1005,6 +1005,90 @@ FROM ch ORDER BY doc_id, chunk_id
 """
 
 
+_CLEAN_KW = dict(
+    min_tokens=40, lang="en", max_top_token_frac=0.10, min_quality=0.75
+)
+
+
+def _q_clean_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed cleaning pass (operators/text.py:quality_filters):
+    length + language-ID + repetition + quality in ONE codegen'd
+    projection, with per-filter rejection counts and the final survivor
+    count — every sub-signal re-derived in the DuckDB oracle."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    flagged = tx.quality_filters(docs.select("doc_id", "text"), **_CLEAN_KW)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("pass_len")).cast("long")).alias("fail_len"),
+        F.sum((~F.col("pass_lang")).cast("long")).alias("fail_lang"),
+        F.sum((~F.col("pass_rep")).cast("long")).alias("fail_rep"),
+        F.sum((~F.col("pass_quality")).cast("long")).alias("fail_quality"),
+        F.sum(F.col("pass_all").cast("long")).alias("n_clean"),
+    )
+
+
+def _o_clean_corpus_report() -> str:
+    sw_en = _SW_SQL["en"]
+    lang_score = {
+        l: (
+            f"len(list_filter(t, x -> list_contains({arr}, x))) * 1.0"
+            f" / greatest(len(t), 1)"
+        )
+        for l, arr in _SW_SQL.items()
+    }
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), tok_counts AS (
+  SELECT doc_id, max(c) AS top_tok FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+), sig AS (
+  SELECT k.doc_id, len(t) AS n, coalesce(tc.top_tok, 0) AS top_tok,
+    floor((least(length(text) / 200.0, 1.0)
+      + least(({lang_score['en']}) * 4.0, 1.0)
+      + 1.0 - least((length(regexp_replace(text,
+          '[^.,;:!?''"()\[\]{{}}]', '', 'g')) * 1.0
+          / greatest(length(text), 1)) * 5.0, 1.0)
+      + CASE WHEN coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                  * 1.0 / greatest(len(t), 1) BETWEEN 3 AND 10
+             THEN 1.0 ELSE 0.3 END) / 4.0 * 10000 + 0.5) / 10000 AS q4,
+    CASE WHEN greatest({lang_score['en']}, {lang_score['de']},
+                       {lang_score['fr']}, {lang_score['es']}) > 0.02
+         THEN CASE WHEN {lang_score['fr']} = greatest({lang_score['en']},
+                        {lang_score['de']}, {lang_score['fr']},
+                        {lang_score['es']}) THEN 'fr'
+                   WHEN {lang_score['es']} = greatest({lang_score['en']},
+                        {lang_score['de']}, {lang_score['fr']},
+                        {lang_score['es']}) THEN 'es'
+                   WHEN {lang_score['en']} = greatest({lang_score['en']},
+                        {lang_score['de']}, {lang_score['fr']},
+                        {lang_score['es']}) THEN 'en'
+                   ELSE 'de' END
+         ELSE 'und' END AS lang_detected
+  FROM toks k LEFT JOIN tok_counts tc ON k.doc_id = tc.doc_id
+), flags AS (
+  SELECT n >= 40 AS pass_len,
+         lang_detected = 'en' AS pass_lang,
+         top_tok * 1.0 / greatest(n, 1) <= 0.10 AS pass_rep,
+         q4 >= 0.75 AS pass_quality
+  FROM sig
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT pass_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+       CAST(sum(CASE WHEN NOT pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS fail_lang,
+       CAST(sum(CASE WHEN NOT pass_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+       CAST(sum(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS fail_quality,
+       CAST(sum(CASE WHEN pass_len AND pass_lang AND pass_rep AND pass_quality
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM flags
+"""
+
+
 def _q_fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """xxhash64 fingerprint cardinality == normalized-text cardinality
     (collision-free at this scale) — oracles the dedup key itself."""
@@ -2660,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_shards": _q_packed_shards,
         "mixture_docs": _q_mixture_docs,
         "chunked_docs": _q_chunked_docs,
+        "clean_corpus_report": _q_clean_corpus_report,
         "bpe_token_stats": _q_bpe_token_stats,
         "fingerprint_distinct": _q_fingerprint_distinct,
         "psi_drift_price": _q_psi_drift_price,
@@ -2734,6 +2819,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_shards": _O_PACKED_SHARDS,
         "mixture_docs": _o_mixture_docs(),
         "chunked_docs": _O_CHUNKED_DOCS,
+        "clean_corpus_report": _o_clean_corpus_report(),
         "bpe_token_stats": _O_BPE_TOKEN_STATS,
         "fingerprint_distinct": _O_FINGERPRINT_DISTINCT,
         "psi_drift_price": _o_psi_drift_price(),

@@ -154,6 +154,48 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 30,
+    lang: str = "en",
+    max_top_token_frac: float = 0.12,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """The composed C4/Gopher-style cleaning pass, ONE projection: boolean
+    columns ``pass_len`` / ``pass_lang`` / ``pass_rep`` / ``pass_quality``
+    and their conjunction ``pass_all``. Each signal reuses the oracled
+    building blocks above; quality is compared after the same 4-dp
+    floor-rounding ``quality_docs`` pins (raw double ULPs differ across
+    engines), repetition as an exact integer ratio."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n = F.size(toks)
+    q4 = F.floor(quality_score(c, lang) * 10000 + 0.5) / 10000
+    top = _max_run(F.array_sort(toks))
+    return df.select(
+        "*",
+        (n >= min_tokens).alias("pass_len"),
+        (detect_language(c) == lang).alias("pass_lang"),
+        (top * F.lit(1.0) / F.greatest(n, F.lit(1)) <= max_top_token_frac)
+        .alias("pass_rep"),
+        (q4 >= min_quality).alias("pass_quality"),
+    ).withColumn(
+        "pass_all",
+        F.col("pass_len") & F.col("pass_lang") & F.col("pass_rep")
+        & F.col("pass_quality"),
+    )
+
+
+def clean_corpus(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+    """Docs surviving every quality filter (original columns only)."""
+    flagged = quality_filters(df, text_col, **kw)
+    return flagged.filter("pass_all").drop(
+        "pass_len", "pass_lang", "pass_rep", "pass_quality", "pass_all"
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

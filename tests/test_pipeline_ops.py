@@ -594,3 +594,30 @@ def test_chunk_documents(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_quality_filters_and_clean_corpus(spark):
+    from json_to_avro_schema_spark.operators.text import (
+        clean_corpus,
+        quality_filters,
+    )
+
+    good = "the quick brown fox and the lazy dog run to the hills with " \
+           "some more of that good english text for it is that long"
+    rows = [
+        (1, good),                          # passes everything
+        (2, "short text"),                  # fails min_tokens
+        (3, "der schnelle braune fuchs springt und die hunde sind nicht da "
+            "ein der die und das ist von nicht mit ein zu der die und das"),  # fails lang (de)
+        (4, " ".join(["spam"] * 40)),       # fails repetition (and quality)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_filters(
+        df, min_tokens=15, max_top_token_frac=0.3).collect()}
+    assert out[1]["pass_all"]
+    assert not out[2]["pass_len"]
+    assert not out[3]["pass_lang"]
+    assert not out[4]["pass_rep"]
+    kept = clean_corpus(df, min_tokens=15, max_top_token_frac=0.3)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert kept.columns == ["doc_id", "text"]
