@@ -811,7 +811,11 @@ def _q_repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
     aggregates, so the fraction arithmetic is exact on both engines."""
     docs = spread_to_cores(load_table(spark, sf, "documents"))
     stats = tx.repetition_stats(docs.select("doc_id", "source", "text"))
-    rep = (F.col("top_token_count") * 1.0 / F.col("n_tokens")) > 0.10
+    # greatest(n,1): a zero-token doc must count as non-repetitive on both
+    # engines (Spark 0/0 -> NULL vs DuckDB NaN, which sorts > any number)
+    rep = (
+        F.col("top_token_count") * 1.0 / F.greatest(F.col("n_tokens"), F.lit(1))
+    ) > 0.10
     return (
         stats.groupBy("source")
         .agg(
@@ -860,7 +864,7 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(nd) AS BIGINT) AS sum_distinct,
        CAST(sum(top_tok) AS BIGINT) AS sum_top_token,
        CAST(sum(top_bi) AS BIGINT) AS sum_top_bigram,
-       CAST(sum(CASE WHEN top_tok * 1.0 / n > 0.10 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN top_tok * 1.0 / greatest(n, 1) > 0.10 THEN 1 ELSE 0 END) AS BIGINT)
          AS repetitive_docs
 FROM base GROUP BY source ORDER BY source
 """
@@ -1969,6 +1973,7 @@ def _q_streaming_validation(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from json_to_avro_schema_spark.streaming import drain
     from json_to_avro_schema_spark.streaming.validate_stream import stream_to_sinks
 
     plan = compile_document(_STREAM_EVENTS_SPEC)
@@ -1985,7 +1990,7 @@ def _q_streaming_validation(spark: SparkSession, sf: str) -> DataFrame:
             verdicts_path=os.path.join(tmp, "verdicts"),
             checkpoint_location=os.path.join(tmp, "ckpt"),
         )
-        q.awaitTermination(120)
+        drain(q, 120)
         out = (
             spark.read.parquet(os.path.join(tmp, "verdicts"))
             .groupBy("check_name")
@@ -2098,6 +2103,7 @@ def _q_streaming_windowed_metrics(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from json_to_avro_schema_spark.streaming import drain
     from json_to_avro_schema_spark.streaming.stateful import windowed_metrics
 
     src = os.path.join(sf, "events.parquet")
@@ -2122,8 +2128,10 @@ def _q_streaming_windowed_metrics(spark: SparkSession, sf: str) -> DataFrame:
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(180)
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        drain(q, 180)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     res = (
         spark.table(name)
         .select(
@@ -2171,6 +2179,7 @@ def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from json_to_avro_schema_spark.streaming import drain
     from json_to_avro_schema_spark.streaming.dedup import (
         dedup_stream_to_parquet,
     )
@@ -2200,7 +2209,7 @@ def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 os.path.join(tmp, "kept"),
                 os.path.join(tmp, "ckpt"),
             )
-            q.awaitTermination(120)
+            drain(q, 120)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         kept = spark.read.parquet(os.path.join(tmp, "kept"))
@@ -2240,6 +2249,7 @@ def _q_streaming_running_verdicts(spark: SparkSession, sf: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
+    from json_to_avro_schema_spark.streaming import drain
     from json_to_avro_schema_spark.streaming.stateful import (
         running_partition_verdicts,
     )
@@ -2263,7 +2273,7 @@ def _q_streaming_running_verdicts(spark: SparkSession, sf: str) -> DataFrame:
             .writeStream.format("memory").queryName("rpv_q")
             .outputMode("update").trigger(availableNow=True).start()
         )
-        q.awaitTermination(180)
+        drain(q, 180)
         w = Window.partitionBy("part_key", "check_name").orderBy(
             F.col("n_rows").desc(), F.col("n_fail").desc()
         )

@@ -63,7 +63,10 @@ class CheckpointStore:
     def read_state(self, spark: SparkSession) -> DataFrame:
         p = self._state_path()
         try:
-            df = spark.read.parquet(p)
+            # mergeSchema: a pre-sketch state dir (7-column files) appended
+            # with 8-column rows must not lose state_json to a single-footer
+            # schema inference — old and new files coexist losslessly.
+            df = spark.read.option("mergeSchema", "true").parquet(p)
         except Exception:
             return spark.createDataFrame([], STATE_SCHEMA)
         if "state_json" not in df.columns:  # pre-sketch state tables

@@ -274,11 +274,14 @@ def minhash_incremental_candidates(
             f"comparable with {expected} — rebuild it with "
             f"minhash_write_index"
         )
-    stored = idx.select("scheme").first()
-    if stored is not None and stored["scheme"] != expected:
+    # distinct, not first(): an index dir that accumulated appends under
+    # DIFFERENT (k, num_hashes, bands) would pass a single-row sample while
+    # part of its band hashes silently never collide
+    stored = [r["scheme"] for r in idx.select("scheme").distinct().collect()]
+    if stored and set(stored) != {expected}:
         raise ValueError(
             f"minhash index scheme mismatch at {index_path}: stored "
-            f"{stored['scheme']!r}, query expects {expected!r} — band "
+            f"{sorted(stored)!r}, query expects {expected!r} — band "
             f"hashes from different schemes never collide (silent zero "
             f"candidates); rebuild the index or match the parameters"
         )
@@ -422,11 +425,18 @@ def contamination_pairs(
     k: int = 5,
     num_hashes: int = 32,
     bands: int = 4,
+    broadcast_candidate_limit: int = 200_000,
 ) -> DataFrame:
     """Train-test contamination pairs: (corpus_id, bench_id, jaccard) for
     corpus docs whose shingle-Jaccard with ANY benchmark doc reaches
     ``threshold`` — the decontamination step a pretraining pipeline runs
     against evaluation sets before training.
+
+    ``broadcast_candidate_limit`` guards the candidate-pair broadcast: the
+    benchmark is small by contract, but |candidates| is proportional to the
+    CORPUS when the benchmark leaked wholesale into a crawl — an unbounded
+    broadcast. Past the limit the verify join falls back to a plain shuffle
+    join (AQE may still re-plan it); results are identical either way.
 
     Cross-corpus banded minhash: band rows for both sides (the benchmark
     side is typically tiny — eval sets are thousands of docs, so its band
@@ -449,7 +459,9 @@ def contamination_pairs(
                 ["band", "bh"])
         .select(F.col("id").alias("id_a"), F.col("bench_id").alias("id_b"))
         .distinct()
+        .persist()
     )
+    n_cands = cands.count()
     # exact verification over the two-sided shingle join; the candidate
     # pair list is tiny (LSH hits only), so it broadcasts and the corpus
     # shingle projection streams
@@ -462,10 +474,13 @@ def contamination_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     # b_sh carries shingle arrays (an eval set can be ~GBs of shingles) —
-    # NOT broadcast; after the candidate broadcast-semi the left side is
+    # NOT broadcast; after the candidate semi-join the left side is
     # |cands| rows, so this last join shuffles only candidates + benchmark
+    cands_side = (
+        F.broadcast(cands) if n_cands <= broadcast_candidate_limit else cands
+    )
     return (
-        c_sh.join(F.broadcast(cands), "id_a")
+        c_sh.join(cands_side, "id_a")
         .join(b_sh, "id_b")
         .select(
             F.col("id_a").alias("corpus_id"),
@@ -486,6 +501,7 @@ def decontaminate(
     k: int = 5,
     num_hashes: int = 32,
     bands: int = 4,
+    broadcast_candidate_limit: int = 200_000,
 ) -> DataFrame:
     """Corpus minus contaminated docs (anti-join on the contamination
     pairs' corpus side)."""
@@ -493,6 +509,7 @@ def decontaminate(
         contamination_pairs(
             corpus, benchmark, text_col, id_col,
             threshold=threshold, k=k, num_hashes=num_hashes, bands=bands,
+            broadcast_candidate_limit=broadcast_candidate_limit,
         )
         .select(F.col("corpus_id").alias(id_col))
         .distinct()

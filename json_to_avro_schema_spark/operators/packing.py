@@ -41,13 +41,24 @@ On top of it:
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Mapping, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_LOG = logging.getLogger(__name__)
+
 _PID = "__pack_pid"
 _BEFORE = "__pack_before"
+
+# Upper bound on pid buckets, independent of cluster parallelism. The P-1
+# quantile bounds are embedded in the plan as literals and scanned per row
+# (O(P) comparisons in _pid_from_bounds); correctness only needs enough
+# buckets to parallelize the within-pid window, so on a 10^5-core cluster
+# uncapped P = 2x cores would mean a multi-MB plan literal and ~2x10^5
+# comparisons per row for zero extra parallelism benefit.
+_MAX_PID_BUCKETS = 4096
 
 
 def _order_bounds(
@@ -90,19 +101,37 @@ def cumulative_tokens(
     globally). ``order_col`` must be a non-null total order (unique
     values) — ties across a pid boundary would make the prefix ambiguous.
     Rows with a NULL ``by`` value are dropped (the offset join is an
-    equi-join); filter or fill nulls first."""
+    equi-join); filter or fill nulls first.
+
+    ``num_partitions`` requests pid-bucket count; both it and the derived
+    default are capped at ``_MAX_PID_BUCKETS`` (4096) — results are
+    identical at any bucket count, only window parallelism changes. A
+    non-numeric ``order_col`` takes a documented slow path (full-input
+    localCheckpoint; a warning is logged)."""
     for c in (_PID, _BEFORE):
         if c in df.columns:
             raise ValueError(f"input already has working column {c!r}")
 
     spark = df.sparkSession
     # 2x parallelism: pids are hash-assigned to window tasks, so extra
-    # logical buckets smooth the assignment
+    # logical buckets smooth the assignment; capped so the bound-literal
+    # count never tracks cluster size (see _MAX_PID_BUCKETS)
     n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    n_parts = min(n_parts, _MAX_PID_BUCKETS)
     bounds = _order_bounds(df, order_col, n_parts)
     if bounds is not None:
         part = df.withColumn(_PID, _pid_from_bounds(order_col, bounds))
     else:
+        # the expensive path: a full wide-row localCheckpoint
+        # materialization just to freeze the sampled range partitioning —
+        # make hitting it with a non-numeric order column a VISIBLE choice
+        _LOG.warning(
+            "cumulative_tokens: order column %r is non-numeric; falling "
+            "back to repartitionByRange + localCheckpoint, which "
+            "materializes the full input once. Prefer a numeric total "
+            "order (e.g. a monotonic doc sequence number) at scale.",
+            order_col,
+        )
         range_keys = ([F.col(by)] if by else []) + [F.col(order_col)]
         sort_keys = ([by] if by else []) + [order_col]
         part = (

@@ -217,10 +217,14 @@ def keyed_digests(
             {key_col: [pdf[key_col].iloc[0]], "state_json": [d.to_json()]}
         )
 
+    # the output key keeps the INPUT key's type (an int part key must not
+    # come back as a wrong-typed state row that mismatches the checkpoint
+    # join); applyInPandas gets the matching Arrow schema
+    key_type = df.schema[key_col].dataType.simpleString()
     return (
         df.select(key_col, column)
         .groupBy(key_col)
-        .applyInPandas(build, schema=f"{key_col} string, state_json string")
+        .applyInPandas(build, schema=f"{key_col} {key_type}, state_json string")
     )
 
 

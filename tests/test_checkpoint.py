@@ -116,6 +116,45 @@ def test_sketchless_runs_keep_null_state(spark, tmp_path):
     assert state.filter(F.col("state_json").isNotNull()).count() == 0
 
 
+def test_mixed_schema_state_dir_keeps_sketches(spark, tmp_path):
+    """A pre-sketch state dir (7-column files) appended with 8-column
+    sketch rows must read back losslessly: without mergeSchema Spark can
+    infer from an old footer and silently null out state_json."""
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    p = str(tmp_path / "ckpt" / "state")
+    old = spark.createDataFrame(
+        [("r1", "p0", "s", "h", 10, 0, None)],
+        "run_id string, part_key string, spec_name string, spec_hash string,"
+        " n_rows long, n_fail long, completed_at timestamp",
+    )
+    old.write.mode("append").parquet(p)
+    new = spark.createDataFrame(
+        [("r1", "p1", "s", "h", 10, 0, None, '{"digest":1}')],
+        "run_id string, part_key string, spec_name string, spec_hash string,"
+        " n_rows long, n_fail long, completed_at timestamp, state_json string",
+    )
+    new.write.mode("append").parquet(p)
+    got = {
+        r["part_key"]: r["state_json"]
+        for r in store.read_state(spark).collect()
+    }
+    assert got == {"p0": None, "p1": '{"digest":1}'}
+
+
+def test_keyed_digests_non_string_key(spark):
+    """An int partition key must come back with its own type (the state
+    join would silently mismatch on a hardcoded string schema)."""
+    from json_to_avro_schema_spark.operators.tdigest import keyed_digests
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 3.0), (2, 5.0)], "part_key int, v double"
+    )
+    out = keyed_digests(df, "v", "part_key")
+    assert dict(out.dtypes)["part_key"] == "int"
+    rows = {r["part_key"]: r["state_json"] for r in out.collect()}
+    assert set(rows) == {1, 2} and all(rows.values())
+
+
 def test_spec_change_invalidates_completion(spark, tmp_path):
     df = generate_documents_iv(spark, 1000, violation_pct=0)
     store = CheckpointStore(str(tmp_path / "ckpt"))

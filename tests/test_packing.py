@@ -173,6 +173,64 @@ def test_packing_hypothesis_differential(spark):
     check()
 
 
+def test_pid_bucket_count_capped(spark, monkeypatch):
+    """A huge num_partitions request (10^5-core-cluster default) must be
+    capped at _MAX_PID_BUCKETS: the P-1 quantile bounds are plan literals
+    scanned per row, so P must not track cluster size. Results unchanged."""
+    from json_to_avro_schema_spark.operators import packing
+
+    seen = []
+    orig = packing._order_bounds
+
+    def spy(df, order_col, n_parts):
+        seen.append(n_parts)
+        return orig(df, order_col, n_parts)
+
+    monkeypatch.setattr(packing, "_order_bounds", spy)
+    df = _input(spark, n=2_000)
+    got = {
+        r["doc_id"]: (r["cum_tokens_before"], r["shard_id"])
+        for r in packed_shards(
+            df, "n_tokens", "doc_id", 500, num_partitions=100_000
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["cum_tokens_before"], r["shard_id"])
+        for r in _naive(df, 500).selectExpr(
+            "doc_id", "n_tokens", "cum_tokens_before",
+            "cum_tokens_before div 500 AS shard_id",
+        ).collect()
+    }
+    assert got == want
+    assert seen == [packing._MAX_PID_BUCKETS]
+
+
+def test_non_numeric_order_fallback_warns(spark, caplog):
+    """String order column hits the localCheckpoint fallback — loudly; the
+    numeric path stays silent."""
+    import logging
+
+    from json_to_avro_schema_spark.operators.packing import cumulative_tokens
+
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", 10) for i in range(20)], "okey string, n_tokens long"
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="json_to_avro_schema_spark.operators.packing"):
+        out = cumulative_tokens(df, "n_tokens", "okey", num_partitions=3)
+        rows = {r["okey"]: r["cum_tokens_before"] for r in out.collect()}
+    assert rows["k000"] == 0 and rows["k019"] == 190
+    assert any("non-numeric" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="json_to_avro_schema_spark.operators.packing"):
+        cumulative_tokens(
+            _input(spark, n=50), "n_tokens", "doc_id", num_partitions=3
+        ).collect()
+    assert not any("non-numeric" in r.message for r in caplog.records)
+
+
 def test_packing_plan_shapes(spark):
     """The offset/target joins must broadcast (O(P)/O(groups) rows) — a
     SortMergeJoin here would sort the full data side."""

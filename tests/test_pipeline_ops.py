@@ -384,6 +384,28 @@ def test_minhash_incremental_index_equivalence(spark, tmp_path):
     }
 
 
+def test_minhash_index_mixed_scheme_rejected(spark, tmp_path):
+    """An index dir that accumulated appends under DIFFERENT minhash
+    parameters must fail loudly — a single-row scheme sample would pass
+    while part of the band hashes silently never collide."""
+    import pytest
+
+    from json_to_avro_schema_spark.operators.dedup import (
+        minhash_incremental_candidates,
+        minhash_write_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(40)
+    path = str(tmp_path / "idx")
+    minhash_write_index(docs, path, bands=4)
+    minhash_write_index(docs, path, bands=8, mode="append")  # drifted params
+    batch = docs.limit(5)
+    with pytest.raises(ValueError, match="scheme mismatch"):
+        minhash_incremental_candidates(spark, path, batch, bands=4).collect()
+
+
 def test_derived_spans_shape_and_corruption(spark):
     """documents → interleaved derivation: chunking, media placement,
     planted offset reversal, and the sequence key's null sentinel (a text
@@ -568,6 +590,29 @@ def test_decontaminate(spark):
     kept = {r["doc_id"] for r in clean.collect()}
     assert kept == set(range(1, 7)) - flagged
     assert 5 in kept and 6 in kept    # unrelated docs survive
+
+
+def test_contamination_broadcast_guard(spark):
+    """Wholesale-leak scenario: with the candidate list forced past the
+    broadcast limit the verify join must take the non-broadcast path and
+    return the same pairs (the limit only changes the physical plan)."""
+    from json_to_avro_schema_spark.operators.dedup import contamination_pairs
+
+    corpus = _docs(spark)
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog and runs to the hills")],
+        "doc_id long, text string",
+    )
+
+    def run(limit):
+        df = contamination_pairs(
+            corpus, bench, threshold=0.9, broadcast_candidate_limit=limit
+        )
+        return sorted((r["corpus_id"], r["bench_id"]) for r in df.collect())
+
+    rows_bc = run(200_000)
+    rows_shuffle = run(0)  # every candidate count exceeds 0
+    assert rows_bc == rows_shuffle and len(rows_bc) > 0
 
 
 def test_chunk_documents(spark):

@@ -13,6 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from json_to_avro_schema_spark.streaming import drain
 from json_to_avro_schema_spark.compiler.plan import compile_document  # noqa: E402
 from json_to_avro_schema_spark.runner import ROW_PASS, run_validation  # noqa: E402
 from json_to_avro_schema_spark.sources.synthetic import (  # noqa: E402
@@ -49,7 +50,7 @@ def test_stream_matches_batch(spark, stream_setup):
         verdicts_path=verd_path,
         checkpoint_location=str(base / "ckpt"),
     )
-    q.awaitTermination(120)
+    drain(q, 120)
 
     batch = run_validation(spark, spark.read.parquet(src), plan)
     b_viol = {r["doc_id"] for r in batch.violations.select("doc_id").collect()}
@@ -126,7 +127,7 @@ def test_streaming_dedup_cross_batch_state(spark, tmp_path):
     q = dedup_stream_to_parquet(
         stream, str(tmp_path / "kept"), str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     kept = spark.read.parquet(str(tmp_path / "kept"))
     rows = kept.collect()
     # 3 distinct normalized texts survive; doc 4 (cross-batch dup of 1/2)

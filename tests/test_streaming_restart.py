@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from json_to_avro_schema_spark.streaming import drain
 from json_to_avro_schema_spark.compiler.plan import compile_document  # noqa: E402
 from json_to_avro_schema_spark.runner import run_validation  # noqa: E402
 from json_to_avro_schema_spark.sources.synthetic import (  # noqa: E402
@@ -62,7 +63,7 @@ def test_foreachbatch_restart_processes_only_new_files(spark, tmp_path):
             verdicts_path=verd_path,
             checkpoint_location=ckpt,
         )
-        q.awaitTermination(180)
+        drain(q, 180)
 
     run_once()                                   # sees only batch A
     epochs_run1 = {
@@ -120,7 +121,7 @@ def test_stateful_running_verdicts_recover_state_on_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        drain(q, 180)
 
     run_once(1)                                  # folds batch A into state
     b.coalesce(2).write.mode("append").parquet(src)

@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql.window import Window  # noqa: E402
 
+from json_to_avro_schema_spark.streaming import drain
 from json_to_avro_schema_spark.compiler.plan import compile_document  # noqa: E402
 from json_to_avro_schema_spark.runner import partition_verdicts, apply_row_checks  # noqa: E402
 from json_to_avro_schema_spark.sources.synthetic import (  # noqa: E402
@@ -57,7 +58,7 @@ def test_windowed_metrics_append_closes_windows_by_watermark(spark, tmp_path):
         out.writeStream.format("memory").queryName("win_metrics")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
 
     rows = {
         (r["window_start"].minute, r["window_end"].minute): (r["n_rows"], r["mean_v"])
@@ -98,7 +99,7 @@ def test_running_partition_verdicts_converge_to_batch(spark, tmp_path):
         out.writeStream.format("memory").queryName("run_verd")
         .outputMode("update").trigger(availableNow=True).start()
     )
-    q.awaitTermination(180)
+    drain(q, 180)
 
     # update mode appends one row per (part_key, check) per touched batch;
     # running totals are monotone, so the final state is the max-n_rows row
