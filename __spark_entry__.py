@@ -119,16 +119,27 @@ ORDER BY dup_count DESC, user_id LIMIT 50
 """
 
 
-def _q_ri_lineitem_orders(spark: SparkSession, sf: str) -> DataFrame:
+def _q_ri_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Both referential-integrity anti-join verdicts (lineitem→orders,
+    orders→customer) in one labeled result — each side is the broadcast
+    anti-join operator (operators/referential.py), unioned with a check
+    column so one gate entry attests both FK directions."""
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
-    return ri.ri_verdict(li, orders, ["l_orderkey"], ["o_orderkey"]).select(
-        "n_rows", "n_dangling", "pass"
+    cust = load_table(spark, sf, "customer")
+    a = ri.ri_verdict(li, orders, ["l_orderkey"], ["o_orderkey"]).select(
+        F.lit("lineitem_orders").alias("check_name"),
+        "n_rows", "n_dangling", "pass",
     )
+    b = ri.ri_verdict(orders, cust, ["o_custkey"], ["c_custkey"]).select(
+        F.lit("orders_customer").alias("check_name"),
+        "n_rows", "n_dangling", "pass",
+    )
+    return a.unionByName(b).orderBy("check_name")
 
 
-_O_RI_LINEITEM_ORDERS = """
-SELECT count(*) AS n_rows,
+_O_RI_CHECKS = """
+SELECT 'lineitem_orders' AS check_name, count(*) AS n_rows,
        CAST(sum(CASE WHEN l_orderkey IS NOT NULL
                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
             THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
@@ -136,19 +147,8 @@ SELECT count(*) AS n_rows,
                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
             THEN 1 ELSE 0 END) = 0 AS pass
 FROM lineitem
-"""
-
-
-def _q_ri_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
-    orders = load_table(spark, sf, "orders")
-    cust = load_table(spark, sf, "customer")
-    return ri.ri_verdict(orders, cust, ["o_custkey"], ["c_custkey"]).select(
-        "n_rows", "n_dangling", "pass"
-    )
-
-
-_O_RI_ORDERS_CUSTOMER = """
-SELECT count(*) AS n_rows,
+UNION ALL
+SELECT 'orders_customer' AS check_name, count(*) AS n_rows,
        CAST(sum(CASE WHEN o_custkey IS NOT NULL
                  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
             THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
@@ -156,6 +156,7 @@ SELECT count(*) AS n_rows,
                  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
             THEN 1 ELSE 0 END) = 0 AS pass
 FROM orders
+ORDER BY check_name
 """
 
 
@@ -197,43 +198,40 @@ FROM lineitem
 _HIST_LO, _HIST_HI, _HIST_BINS = 900.0, 105000.0, 32
 
 
-def _q_histogram_price(spark: SparkSession, sf: str) -> DataFrame:
+def _q_histograms(spark: SparkSession, sf: str) -> DataFrame:
+    """Global 32-bin AND per-group 8-bin fixed-width histograms (both
+    paths of operators/drift.histogram) in one labeled union: the global
+    row set carries part_key='ALL', the by= path one row set per
+    l_returnflag — each side is one partial+final hash agg, the shape
+    per-Iceberg-partition drift baselines are built from."""
     li = load_table(spark, sf, "lineitem")
-    return dr.histogram(
+    g = dr.histogram(
         li, "l_extendedprice", bins=_HIST_BINS, lo=_HIST_LO, hi=_HIST_HI
-    ).orderBy("bucket")
+    ).select(F.lit("ALL").alias("part_key"), "bucket", "n")
+    by = dr.histogram(
+        li, "l_extendedprice", bins=8, lo=_HIST_LO, hi=_HIST_HI,
+        by="l_returnflag",
+    ).select("part_key", "bucket", "n")
+    return g.unionByName(by).orderBy("part_key", "bucket")
 
 
-def _o_histogram_price() -> str:
-    w = (_HIST_HI - _HIST_LO) / _HIST_BINS
+def _o_histograms() -> str:
+    w32 = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    w8 = (_HIST_HI - _HIST_LO) / 8
     return f"""
-    SELECT least(greatest(CAST(floor((l_extendedprice - {_HIST_LO}) / {w}) AS INT), 0),
+    SELECT 'ALL' AS part_key,
+           least(greatest(CAST(floor((l_extendedprice - {_HIST_LO}) / {w32}) AS INT), 0),
                  {_HIST_BINS - 1}) AS bucket,
            count(*) AS n
     FROM lineitem WHERE l_extendedprice IS NOT NULL
-    GROUP BY 1 ORDER BY bucket
-    """
-
-
-def _q_histogram_by_flag(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-group fixed-width histogram (drift operator's by= path): one
-    partial+final hash agg keyed on (group, bucket) — the shape per-
-    Iceberg-partition drift baselines are built from."""
-    li = load_table(spark, sf, "lineitem")
-    return dr.histogram(
-        li, "l_extendedprice", bins=8, lo=_HIST_LO, hi=_HIST_HI,
-        by="l_returnflag",
-    ).orderBy("part_key", "bucket")
-
-
-def _o_histogram_by_flag() -> str:
-    w = (_HIST_HI - _HIST_LO) / 8
-    return f"""
+    GROUP BY 1, 2
+    UNION ALL
     SELECT l_returnflag AS part_key,
-           least(greatest(CAST(floor((l_extendedprice - {_HIST_LO}) / {w}) AS INT), 0), 7) AS bucket,
+           least(greatest(CAST(floor((l_extendedprice - {_HIST_LO}) / {w8}) AS INT), 0), 7) AS bucket,
            count(*) AS n
     FROM lineitem WHERE l_extendedprice IS NOT NULL
-    GROUP BY 1, 2 ORDER BY part_key, bucket
+    GROUP BY 1, 2
+    ORDER BY part_key, bucket
     """
 
 
@@ -1112,10 +1110,13 @@ FROM documents
 _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS, _DRIFT_EPS = 900.0, 105000.0, 32, 1e-6
 
 
-def _q_psi_drift_price(spark: SparkSession, sf: str) -> DataFrame:
+def _q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     """KL/PSI drift between even- and odd-orderkey halves of lineitem —
-    the distributed part is two fixed-width histograms; the divergence
-    arithmetic runs driver-side on ≤ bins values."""
+    BOTH drift paths in one labeled union: the global verdict (two
+    32-bin histograms + driver-side divergence over ≤ bins values,
+    part_key='ALL') and the per-partition fully-distributed verdicts
+    (16-bin, divergence as array HOFs per partition — the shape 10^5+
+    Iceberg partitions need, operators/drift.partitioned_drift_verdicts)."""
     li = load_table(spark, sf, "lineitem")
     cur = li.filter(F.col("l_orderkey") % 2 == 0)
     base = li.filter(F.col("l_orderkey") % 2 == 1)
@@ -1123,13 +1124,21 @@ def _q_psi_drift_price(spark: SparkSession, sf: str) -> DataFrame:
         cur, base, "l_extendedprice",
         bins=_DRIFT_BINS, lo=_DRIFT_LO, hi=_DRIFT_HI, eps=_DRIFT_EPS,
     )
-    return spark.createDataFrame(
-        [(round(kl, 5), round(psi_v, 5), bool(ok))],
-        "kl double, psi double, pass boolean",
+    g = spark.createDataFrame(
+        [("ALL", round(kl, 5), round(psi_v, 5), bool(ok))],
+        "part_key string, kl double, psi double, pass boolean",
     )
+    by = dr.partitioned_drift_verdicts(
+        cur, base, "l_extendedprice",
+        by="l_returnflag", bins=16, lo=_DRIFT_LO, hi=_DRIFT_HI, eps=1e-6,
+    ).select(
+        "part_key",
+        F.round("kl", 5).alias("kl"), F.round("psi", 5).alias("psi"), "pass",
+    )
+    return g.unionByName(by).orderBy("part_key")
 
 
-def _o_psi_drift_price() -> str:
+def _o_psi_drift_global_block() -> str:
     w = (_DRIFT_HI - _DRIFT_LO) / _DRIFT_BINS
     hist = (
         "SELECT least(greatest(CAST(floor((l_extendedprice - {lo}) / {w}) AS INT), 0), {top}) AS bucket, "
@@ -1148,33 +1157,15 @@ qs AS (SELECT b.bucket,
        FROM b LEFT JOIN bas c ON b.bucket = c.bucket),
 pn AS (SELECT bucket, sp / (SELECT sum(sp) FROM ps) AS p FROM ps),
 qn AS (SELECT bucket, sq / (SELECT sum(sq) FROM qs) AS q FROM qs)
-SELECT round(sum(p * ln(p / q)), 5) AS kl,
+SELECT 'ALL' AS part_key,
+       round(sum(p * ln(p / q)), 5) AS kl,
        round(sum((p - q) * ln(p / q)), 5) AS psi,
        sum((p - q) * ln(p / q)) < 0.2 AS pass
 FROM pn JOIN qn USING (bucket)
 """
 
 
-def _q_psi_drift_by_flag(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-partition KL/PSI drift verdicts, FULLY distributed (no driver
-    math): one histogram agg per side keyed on (part, bucket), dense grid
-    via explode(sequence), divergence as array HOFs per partition — the
-    shape 10^5+ Iceberg partitions need (operators/drift.py:
-    partitioned_drift_verdicts)."""
-    li = load_table(spark, sf, "lineitem")
-    cur = li.filter(F.col("l_orderkey") % 2 == 0)
-    base = li.filter(F.col("l_orderkey") % 2 == 1)
-    out = dr.partitioned_drift_verdicts(
-        cur, base, "l_extendedprice",
-        by="l_returnflag", bins=16, lo=_DRIFT_LO, hi=_DRIFT_HI, eps=1e-6,
-    )
-    return out.select(
-        "part_key", "n_current", "n_baseline",
-        F.round("kl", 5).alias("kl"), F.round("psi", 5).alias("psi"), "pass",
-    ).orderBy("part_key")
-
-
-def _o_psi_drift_by_flag() -> str:
+def _o_psi_drift_by_flag_block() -> str:
     w = (_DRIFT_HI - _DRIFT_LO) / 16
     hist = (
         "SELECT l_returnflag AS part_key, "
@@ -1200,12 +1191,21 @@ z AS (SELECT part_key, sum(sp) AS zp, sum(sq) AS zq FROM s GROUP BY 1),
 n AS (SELECT s.part_key, sp / zp AS p, sq / zq AS q
       FROM s JOIN z USING (part_key))
 SELECT n.part_key,
-       (SELECT CAST(tc AS BIGINT) FROM t WHERE t.part_key = n.part_key) AS n_current,
-       (SELECT CAST(tb AS BIGINT) FROM t WHERE t.part_key = n.part_key) AS n_baseline,
        round(sum(p * ln(p / q)), 5) AS kl,
        round(sum((p - q) * ln(p / q)), 5) AS psi,
        sum((p - q) * ln(p / q)) < 0.2 AS pass
-FROM n GROUP BY n.part_key ORDER BY part_key
+FROM n GROUP BY n.part_key
+"""
+
+
+def _o_psi_drift() -> str:
+    """Global + per-flag drift blocks unioned (each keeps its own WITH
+    scope inside a derived table)."""
+    return f"""
+SELECT * FROM ({_o_psi_drift_global_block()})
+UNION ALL
+SELECT * FROM ({_o_psi_drift_by_flag_block()})
+ORDER BY part_key
 """
 
 
@@ -1523,22 +1523,29 @@ FROM f ORDER BY check_name
 """
 
 
-def _q_rollup_verdicts(spark: SparkSession, sf: str) -> DataFrame:
-    """Hierarchical verdict roll-up (rollup by returnflag → linestatus →
-    grand total) in one pass: per-level n_rows + fail counts for two range
-    checks; gid = grouping_id disambiguates subtotal rows."""
+def _q_grouping_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """Verdict roll-ups over BOTH grouping shapes in one labeled union:
+    hierarchical rollup (returnflag → linestatus → grand total) and the
+    full 2^2 cube, same two range checks, each a single fused
+    aggregation pass; gid = grouping_id disambiguates subtotal rows."""
     li = load_table(spark, sf, "lineitem")
-    return st.verdict_rollup(
-        li,
-        ["l_returnflag", "l_linestatus"],
-        {
-            "discount_bound": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.08),
-            "tax_bound": F.col("l_tax") <= 0.05,
-        },
-    ).orderBy("gid", "l_returnflag", "l_linestatus")
+    checks = {
+        "discount_bound": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.08),
+        "tax_bound": F.col("l_tax") <= 0.05,
+    }
+    r = st.verdict_rollup(
+        li, ["l_returnflag", "l_linestatus"], checks
+    ).withColumn("mode", F.lit("rollup"))
+    c = st.verdict_rollup(
+        li, ["l_returnflag", "l_linestatus"], checks, cube=True
+    ).withColumn("mode", F.lit("cube"))
+    return r.unionByName(c).orderBy(
+        "mode", "gid", "l_returnflag", "l_linestatus"
+    )
 
 
-_O_ROLLUP_VERDICTS = """
+def _o_grouping_verdicts() -> str:
+    body = """
 SELECT l_returnflag, l_linestatus,
        grouping(l_returnflag, l_linestatus) AS gid,
        count(*) AS n_rows,
@@ -1546,35 +1553,17 @@ SELECT l_returnflag, l_linestatus,
          AS BIGINT) AS n_fail_discount_bound,
        CAST(sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_tax_bound,
        (sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.08 THEN 0 ELSE 1 END) = 0
-        AND sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) = 0) AS pass
+        AND sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) = 0) AS pass,
+       '{mode}' AS mode
 FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag, l_linestatus
+GROUP BY {clause} (l_returnflag, l_linestatus)
 """
-
-
-def _q_cube_verdicts(spark: SparkSession, sf: str) -> DataFrame:
-    """Full cube over (returnflag, linestatus): all 2^2 grouping sets in a
-    single fused aggregation."""
-    li = load_table(spark, sf, "lineitem")
-    return st.verdict_rollup(
-        li,
-        ["l_returnflag", "l_linestatus"],
-        {"qty_bound": F.col("l_quantity") <= 50},
-        cube=True,
-    ).orderBy("gid", "l_returnflag", "l_linestatus")
-
-
-_O_CUBE_VERDICTS = """
-SELECT l_returnflag, l_linestatus,
-       grouping(l_returnflag, l_linestatus) AS gid,
-       count(*) AS n_rows,
-       CAST(sum(CASE WHEN l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_qty_bound,
-       sum(CASE WHEN l_quantity <= 50 THEN 0 ELSE 1 END) = 0 AS pass
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag, l_linestatus
-"""
+    return (
+        body.format(mode="rollup", clause="ROLLUP")
+        + "UNION ALL"
+        + body.format(mode="cube", clause="CUBE")
+        + "ORDER BY mode, gid, l_returnflag, l_linestatus"
+    )
 
 
 def _q_topk_price_by_flag(spark: SparkSession, sf: str) -> DataFrame:
@@ -2238,6 +2227,94 @@ FROM documents
 """
 
 
+def _q_streaming_dedup_watermarked(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-retention streaming dedup (dropDuplicatesWithinWatermark,
+    1h delay): the corpus streams through FOUR times as separate
+    micro-batches at event times 00:00 / 03:00 / 03:30 / 04:00. Pass 2
+    arrives while pass 1's state is live → dropped; once the watermark
+    passes first-seen + 1h the state is evicted, so exactly ONE of passes
+    3/4 is re-admitted (which one is end-of-batch eviction timing — the
+    oracle pins the timing-independent invariant: every fingerprint is
+    kept exactly TWICE, total 2 × distinct). Late-duplicate semantics are
+    pinned batch-by-batch in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+    import time
+
+    from json_to_avro_schema_spark.streaming import drain
+    from json_to_avro_schema_spark.streaming.dedup import (
+        dedup_stream_to_parquet,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_wm_dedup_")
+    try:
+        src = os.path.join(tmp, "src")
+        file_pass = {}
+        for i, ts in enumerate(
+            ["2024-01-01 00:00:00", "2024-01-01 03:00:00",
+             "2024-01-01 03:30:00", "2024-01-01 04:00:00"]
+        ):
+            before = set(os.listdir(src)) if os.path.isdir(src) else set()
+            docs.withColumn("ts", F.lit(ts).cast("timestamp")).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            for f in set(os.listdir(src)) - before:
+                if f.endswith(".parquet"):
+                    file_pass[f] = i
+        # the file source orders micro-batches by mtime: stagger explicitly
+        now = time.time()
+        for f, i in file_pass.items():
+            os.utime(os.path.join(src, f), (now + 60 * i, now + 60 * i))
+        schema = spark.read.parquet(src).schema
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .withWatermark("ts", "1 hour")
+            )
+            q = dedup_stream_to_parquet(
+                stream,
+                os.path.join(tmp, "kept"),
+                os.path.join(tmp, "ckpt"),
+                within_watermark_col="ts",
+            )
+            drain(q, 180)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        kept = spark.read.parquet(os.path.join(tmp, "kept"))
+        per = kept.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("c"))
+        out = per.agg(
+            F.sum("c").cast("long").alias("n_kept"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.expr("bool_and(c = 2)").alias("kept_twice"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# retention-bounded dedup over four passes: pass 1 admitted, pass 2 in-state
+# dropped, state evicted after the watermark passes 01:00, exactly one of
+# passes 3/4 re-admitted -> every distinct fingerprint kept exactly twice
+_O_STREAMING_DEDUP_WATERMARKED = r"""
+WITH fp AS (
+  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS f
+  FROM documents
+)
+SELECT CAST(2 * count(*) AS BIGINT) AS n_kept,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       TRUE AS kept_twice
+FROM fp
+"""
+
+
 def _q_streaming_running_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-partition verdict totals across micro-batches. Two files stream
@@ -2723,30 +2800,55 @@ ORDER BY doc_id
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Insertion order is deliberate: the driver's correctness gate
+    records the FIRST 50 entries, so positions 1-50 carry the flagship
+    derived-validation pair and one representative of EVERY operator
+    family. Positions 51+ are variants of families already attested
+    above (merged or sibling queries); they stay fully oracled and are
+    replayed by scripts/check_correctness.py."""
     return {
+        # flagship pipeline, fully oracled over the derived corrupted
+        # table (the engine-native generate_documents_iv twin stays in
+        # entry() and pytest's golden/byte-equality suites)
+        "derived_validation_verdicts": _q_derived_validation_verdicts,
+        "derived_validation_violations": _q_derived_validation_violations,
+        "span_ri_dangling": _q_span_ri_dangling,
+        "span_monotonic_violations": _q_span_monotonic_violations,
+        # sketches / checkpoint / multimodal
+        "tdigest_price": _q_tdigest_price,
+        "checkpoint_resume": _q_checkpoint_resume,
+        "multimodal_features": _q_multimodal_features,
+        "resize_plan": _q_resize_plan,
+        # near-dup + ANN scale paths
+        "simhash_near_dups": _q_simhash_near_dups,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "ivf_indexed_topk_cosine": _q_ivf_indexed_topk_cosine,
+        # streaming (batch≡stream, state-store dedup, watermarked windows,
+        # applyInPandasWithState)
+        "streaming_validation": _q_streaming_validation,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_windowed_metrics": _q_streaming_windowed_metrics,
+        "streaming_running_verdicts": _q_streaming_running_verdicts,
         # §2.3 table-level checks (SQL-expressible, DuckDB-oracled)
         "stats_lineitem": _q_stats_lineitem,
         "unique_orders": _q_unique_orders,
         "dup_event_users": _q_dup_event_users,
-        "ri_lineitem_orders": _q_ri_lineitem_orders,
-        "ri_orders_customer": _q_ri_orders_customer,
+        "ri_checks": _q_ri_checks,
         "enum_returnflag": _q_enum_returnflag,
         "range_lineitem": _q_range_lineitem,
-        "histogram_price": _q_histogram_price,
-        "histogram_by_flag": _q_histogram_by_flag,
-        "quantiles_price": _q_quantiles_price,
-        "events_domain": _q_events_domain,
-        # training-data pipeline ops (oracled)
-        "text_analysis": _q_text_analysis,
-        "token_totals": _q_token_totals,
-        "exact_dup_groups": _q_exact_dup_groups,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "dedup_incremental": _q_dedup_incremental,
-        "colocated_dedup": _q_colocated_dedup,
-        "sample_split_docs": _q_sample_split_docs,
-        "stratified_sample_events": _q_stratified_sample_events,
-        "topk_cosine": _q_topk_cosine,
+        "histograms": _q_histograms,
+        "psi_drift": _q_psi_drift,
+        "categorical_drift": _q_categorical_drift,
+        "table_checks_lineitem": _q_table_checks_lineitem,
+        "format_json_checks": _q_format_json_checks,
+        "grouping_verdicts": _q_grouping_verdicts,
+        "verdict_set_ops": _q_verdict_set_ops,
+        "topk_price_by_flag": _q_topk_price_by_flag,
+        "stats_events_by_type": _q_stats_events_by_type,
         "approx_unique_lineitem": _q_approx_unique_lineitem,
+        # training-data pipeline ops (oracled)
+        "token_totals": _q_token_totals,
+        "bpe_token_stats": _q_bpe_token_stats,
         "lang_detect_docs": _q_lang_detect_docs,
         "quality_docs": _q_quality_docs,
         "pii_docs": _q_pii_docs,
@@ -2755,73 +2857,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_docs": _q_mixture_docs,
         "chunked_docs": _q_chunked_docs,
         "clean_corpus_report": _q_clean_corpus_report,
-        "bpe_token_stats": _q_bpe_token_stats,
-        "fingerprint_distinct": _q_fingerprint_distinct,
-        "psi_drift_price": _q_psi_drift_price,
-        "psi_drift_by_flag": _q_psi_drift_by_flag,
-        "categorical_drift": _q_categorical_drift,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "dedup_incremental": _q_dedup_incremental,
+        "colocated_dedup": _q_colocated_dedup,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "decontaminate_pairs": _q_decontaminate_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "vector_stats": _q_vector_stats,
-        "stats_events_by_type": _q_stats_events_by_type,
-        "topk_price_by_flag": _q_topk_price_by_flag,
-        "format_json_checks": _q_format_json_checks,
-        "rollup_verdicts": _q_rollup_verdicts,
-        "cube_verdicts": _q_cube_verdicts,
-        "verdict_set_ops": _q_verdict_set_ops,
-        "table_checks_lineitem": _q_table_checks_lineitem,
-        "minhash_near_dups": _q_minhash_near_dups,
-        "decontaminate_pairs": _q_decontaminate_pairs,
+        "stratified_sample_events": _q_stratified_sample_events,
+        # ---- position 51+: family variants, replay-attested ----
+        "quantiles_price": _q_quantiles_price,
+        "events_domain": _q_events_domain,
+        "text_analysis": _q_text_analysis,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "fingerprint_distinct": _q_fingerprint_distinct,
+        "sample_split_docs": _q_sample_split_docs,
         "minhash_incremental_dups": _q_minhash_incremental_dups,
-        # interleaved-span operators over the SQL-derivable spans table
         "span_seq_keys": _q_span_seq_keys,
         "span_kind_stats": _q_span_kind_stats,
-        "span_monotonic_violations": _q_span_monotonic_violations,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "streaming_windowed_metrics": _q_streaming_windowed_metrics,
-        # flagship pipeline, fully oracled over the derived corrupted table
-        # (the engine-native generate_documents_iv twin stays in entry()
-        # and pytest's golden/byte-equality suites)
-        "derived_validation_verdicts": _q_derived_validation_verdicts,
-        "derived_validation_violations": _q_derived_validation_violations,
-        "span_ri_dangling": _q_span_ri_dangling,
-        "tdigest_price": _q_tdigest_price,
-        "simhash_near_dups": _q_simhash_near_dups,
+        "topk_cosine": _q_topk_cosine,
         "lsh_topk_cosine": _q_lsh_topk_cosine,
         "ivf_topk_cosine": _q_ivf_topk_cosine,
-        "ivf_indexed_topk_cosine": _q_ivf_indexed_topk_cosine,
-        "multimodal_features": _q_multimodal_features,
-        "resize_plan": _q_resize_plan,
-        "checkpoint_resume": _q_checkpoint_resume,
-        "streaming_validation": _q_streaming_validation,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_running_verdicts": _q_streaming_running_verdicts,
+        "streaming_dedup_watermarked": _q_streaming_dedup_watermarked,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # flagship + spans
+        "derived_validation_verdicts": _O_DERIVED_VALIDATION_VERDICTS,
+        "derived_validation_violations": _O_DERIVED_VALIDATION_VIOLATIONS,
+        "span_ri_dangling": _O_SPAN_RI_DANGLING,
+        "span_monotonic_violations": _O_SPAN_MONOTONIC_VIOLATIONS,
+        # sketches / checkpoint / multimodal
+        "tdigest_price": _O_TDIGEST_PRICE,
+        "checkpoint_resume": _O_CHECKPOINT_RESUME,
+        "multimodal_features": _O_MULTIMODAL_FEATURES,
+        "resize_plan": _O_RESIZE_PLAN,
+        # near-dup + ANN
+        "simhash_near_dups": _O_SIMHASH_NEAR_DUPS,
+        "near_dup_clusters": _O_NEAR_DUP_CLUSTERS,
+        "ivf_indexed_topk_cosine": _O_TOPK_COSINE,  # full probe ≡ exact
+        # streaming
+        "streaming_validation": _O_STREAMING_VALIDATION,
+        "streaming_dedup": _O_STREAMING_DEDUP,
+        "streaming_windowed_metrics": _O_STREAMING_WINDOWED_METRICS,
+        # final stateful-stream state ≡ batch totals over the full input
+        "streaming_running_verdicts": _O_DERIVED_VALIDATION_VERDICTS,
+        # table-level checks
         "stats_lineitem": _o_stats_lineitem(),
         "unique_orders": _O_UNIQUE_ORDERS,
         "dup_event_users": _O_DUP_EVENT_USERS,
-        "ri_lineitem_orders": _O_RI_LINEITEM_ORDERS,
-        "ri_orders_customer": _O_RI_ORDERS_CUSTOMER,
+        "ri_checks": _O_RI_CHECKS,
         "enum_returnflag": _O_ENUM_RETURNFLAG,
         "range_lineitem": _O_RANGE_LINEITEM,
-        "histogram_price": _o_histogram_price(),
-        "histogram_by_flag": _o_histogram_by_flag(),
-        "quantiles_price": _O_QUANTILES_PRICE,
-        "events_domain": _O_EVENTS_DOMAIN,
-        "text_analysis": _O_TEXT_ANALYSIS,
-        "token_totals": _O_TOKEN_TOTALS,
-        "exact_dup_groups": _O_EXACT_DUP_GROUPS,
-        "dedup_exact_keep": _O_DEDUP_EXACT_KEEP,
-        "dedup_incremental": _O_DEDUP_INCREMENTAL,
-        "colocated_dedup": _O_COLOCATED_DEDUP,
-        "sample_split_docs": _o_sample_split_docs(),
-        "stratified_sample_events": _o_stratified_sample_events(),
-        "topk_cosine": _O_TOPK_COSINE,
+        "histograms": _o_histograms(),
+        "psi_drift": _o_psi_drift(),
+        "categorical_drift": _O_CATEGORICAL_DRIFT,
+        "table_checks_lineitem": _o_table_checks_lineitem(),
+        "format_json_checks": _O_FORMAT_JSON_CHECKS,
+        "grouping_verdicts": _o_grouping_verdicts(),
+        "verdict_set_ops": _O_VERDICT_SET_OPS,
+        "topk_price_by_flag": _O_TOPK_PRICE_BY_FLAG,
+        "stats_events_by_type": _O_STATS_EVENTS_BY_TYPE,
         "approx_unique_lineitem": _O_APPROX_UNIQUE_LINEITEM,
+        # training-data pipeline ops
+        "token_totals": _O_TOKEN_TOTALS,
+        "bpe_token_stats": _O_BPE_TOKEN_STATS,
         "lang_detect_docs": _o_lang_detect_docs(),
         "quality_docs": _O_QUALITY_DOCS,
         "pii_docs": _o_pii_docs(),
@@ -2830,42 +2933,27 @@ def oracle_sql() -> dict[str, str]:
         "mixture_docs": _o_mixture_docs(),
         "chunked_docs": _O_CHUNKED_DOCS,
         "clean_corpus_report": _o_clean_corpus_report(),
-        "bpe_token_stats": _O_BPE_TOKEN_STATS,
-        "fingerprint_distinct": _O_FINGERPRINT_DISTINCT,
-        "psi_drift_price": _o_psi_drift_price(),
-        "psi_drift_by_flag": _o_psi_drift_by_flag(),
-        "categorical_drift": _O_CATEGORICAL_DRIFT,
-        "ngram_jaccard_pairs": _O_NGRAM_JACCARD_PAIRS,
-        "embedding_near_dups": _O_EMBEDDING_NEAR_DUPS,
-        "ivf_topk_cosine": _O_TOPK_COSINE,  # full-probe IVF ≡ exact top-k
-        "ivf_indexed_topk_cosine": _O_TOPK_COSINE,  # full probe ≡ exact
-        "lsh_topk_cosine": _O_TOPK_COSINE,  # full-probe LSH ≡ exact top-k
-        "simhash_near_dups": _O_SIMHASH_NEAR_DUPS,
-        "resize_plan": _O_RESIZE_PLAN,
-        "streaming_validation": _O_STREAMING_VALIDATION,
-        "streaming_dedup": _O_STREAMING_DEDUP,
-        "tdigest_price": _O_TDIGEST_PRICE,
-        "multimodal_features": _O_MULTIMODAL_FEATURES,
+        "exact_dup_groups": _O_EXACT_DUP_GROUPS,
+        "dedup_incremental": _O_DEDUP_INCREMENTAL,
+        "colocated_dedup": _O_COLOCATED_DEDUP,
         "minhash_near_dups": _O_MINHASH_NEAR_DUPS,
         "decontaminate_pairs": _O_DECONTAMINATE_PAIRS,
+        "ngram_jaccard_pairs": _O_NGRAM_JACCARD_PAIRS,
+        "embedding_near_dups": _O_EMBEDDING_NEAR_DUPS,
+        "vector_stats": _O_VECTOR_STATS,
+        "stratified_sample_events": _o_stratified_sample_events(),
+        # position 51+ variants
+        "quantiles_price": _O_QUANTILES_PRICE,
+        "events_domain": _O_EVENTS_DOMAIN,
+        "text_analysis": _O_TEXT_ANALYSIS,
+        "dedup_exact_keep": _O_DEDUP_EXACT_KEEP,
+        "fingerprint_distinct": _O_FINGERPRINT_DISTINCT,
+        "sample_split_docs": _o_sample_split_docs(),
         "minhash_incremental_dups": _O_MINHASH_INCREMENTAL_DUPS,
         "span_seq_keys": _O_SPAN_SEQ_KEYS,
         "span_kind_stats": _O_SPAN_KIND_STATS,
-        "span_monotonic_violations": _O_SPAN_MONOTONIC_VIOLATIONS,
-        "near_dup_clusters": _O_NEAR_DUP_CLUSTERS,
-        "streaming_windowed_metrics": _O_STREAMING_WINDOWED_METRICS,
-        "vector_stats": _O_VECTOR_STATS,
-        "stats_events_by_type": _O_STATS_EVENTS_BY_TYPE,
-        "topk_price_by_flag": _O_TOPK_PRICE_BY_FLAG,
-        "format_json_checks": _O_FORMAT_JSON_CHECKS,
-        "rollup_verdicts": _O_ROLLUP_VERDICTS,
-        "cube_verdicts": _O_CUBE_VERDICTS,
-        "verdict_set_ops": _O_VERDICT_SET_OPS,
-        "table_checks_lineitem": _o_table_checks_lineitem(),
-        "derived_validation_verdicts": _O_DERIVED_VALIDATION_VERDICTS,
-        "derived_validation_violations": _O_DERIVED_VALIDATION_VIOLATIONS,
-        "span_ri_dangling": _O_SPAN_RI_DANGLING,
-        "checkpoint_resume": _O_CHECKPOINT_RESUME,
-        # final stateful-stream state ≡ batch totals over the full input
-        "streaming_running_verdicts": _O_DERIVED_VALIDATION_VERDICTS,
+        "topk_cosine": _O_TOPK_COSINE,
+        "lsh_topk_cosine": _O_TOPK_COSINE,  # full-probe LSH ≡ exact top-k
+        "ivf_topk_cosine": _O_TOPK_COSINE,  # full-probe IVF ≡ exact top-k
+        "streaming_dedup_watermarked": _O_STREAMING_DEDUP_WATERMARKED,
     }

@@ -122,15 +122,18 @@ def run_bench() -> dict:
     bench_queries = [
         ("stats_lineitem", qs["stats_lineitem"]),
         ("unique_orders", qs["unique_orders"]),
-        ("ri_lineitem_orders", qs["ri_lineitem_orders"]),
-        ("histogram_price", qs["histogram_price"]),
+        # r4: ri_checks/histograms/psi_drift are the r3 *_price/by_flag
+        # queries merged (both halves in one labeled union) — expect ~2x
+        # the r3 per-query time on these three names, not a regression
+        ("ri_checks", qs["ri_checks"]),
+        ("histograms", qs["histograms"]),
         ("quantiles_price", _quantiles_gk),
         ("text_analysis", qs["text_analysis"]),
         ("exact_dup_groups", qs["exact_dup_groups"]),
         ("topk_cosine", qs["topk_cosine"]),
         ("token_totals", qs["token_totals"]),
         ("tdigest_price", _tdigest_only),
-        ("psi_drift_price", qs["psi_drift_price"]),
+        ("psi_drift", qs["psi_drift"]),
         ("lang_detect_docs", qs["lang_detect_docs"]),
         ("pii_docs", qs["pii_docs"]),
         ("repetition_docs", qs["repetition_docs"]),
@@ -166,6 +169,12 @@ def run_bench() -> dict:
         "flagship_cold_sec": round(flagship_cold_sec, 3),
         "bench_docs": N_DOCS_BENCH,
         "cpus": CPUS,
+        # VM-drift gauge: stats_lineitem's code path never changes round
+        # to round, so its ratio across BENCH_r{N}.json files calibrates
+        # this VM's 2-5x hourly speed drift — normalize other queries'
+        # round-over-round deltas by it before calling them regressions
+        # (methodology note in BENCH/BASELINE.md).
+        "phase_gauge_sec": timings.get("stats_lineitem"),
     }
 
 
@@ -519,6 +528,65 @@ def run_scaling_cluster(
     }
 
 
+def run_packing_bench() -> dict:
+    """10M-row prefix-sum timings: packed_shards (global order) and
+    select_mixture (grouped, 8 sources) — the by= path had an A/B'd
+    design but no bench number. Also asserts the executed mixture plan
+    stays broadcast-joined end to end (offsets + targets are O(P)/O(
+    groups) rows; a SortMergeJoin here would sort the full data side)."""
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.operators.packing import (
+        packed_shards,
+        select_mixture,
+    )
+    from json_to_avro_schema_spark.session import get_spark
+
+    n = int(os.environ.get("SPARK_GRAFT_PACK_DOCS", "10000000"))
+    spark = get_spark(app="packing-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = (
+        spark.range(n)
+        .repartition(CPUS * 2)
+        .selectExpr(
+            "id AS doc_id",
+            "(id * 37) % 997 + 1 AS n_tokens",
+            "concat('src', id % 8) AS source",
+        )
+        .persist()
+    )
+    df.count()
+    out = {"n_docs": n, "cpus": CPUS}
+
+    def timed(build):
+        runs = []
+        build().collect()  # warm codegen
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build().collect()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)
+
+    out["packed_shards_sec"] = timed(
+        lambda: packed_shards(df, "n_tokens", "doc_id", 1_000_000).agg(
+            F.max("shard_id"), F.count(F.lit(1))
+        )
+    )
+    targets = {f"src{i}": 200_000_000 for i in range(8)}
+    out["select_mixture_grouped_sec"] = timed(
+        lambda: select_mixture(df, "n_tokens", "doc_id", "source", targets).agg(
+            F.count(F.lit(1)), F.sum("n_tokens")
+        )
+    )
+    plan = (
+        select_mixture(df, "n_tokens", "doc_id", "source", targets)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    out["mixture_plan_no_sortmergejoin"] = "SortMergeJoin" not in plan
+    df.unpersist()
+    return out
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-gen":
         _scaling_gen()
@@ -534,5 +602,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling_multiproc()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--packing-bench":
+        print(json.dumps(run_packing_bench()))
     else:
         print(json.dumps(run_bench()))

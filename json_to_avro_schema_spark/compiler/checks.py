@@ -63,6 +63,14 @@ FORMAT_REGEX = {
     ),
     "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:",
     "uri-reference": r"^([A-Za-z][A-Za-z0-9+.-]*:)?\S*$",
+    # RFC 6570: literals (no control/space/reserved-unwise chars) or
+    # pct-escapes, interleaved with {op? varname[:len|*][,more]} expressions
+    "uri-template": (
+        r"^([^\x00-\x20\x7F\"'%<>\\^`{|}]"
+        r"|%[0-9A-Fa-f]{2}"
+        r"|\{[+#./;?&=,!@|]?[A-Za-z0-9_%.]+(:[1-9][0-9]{0,3}|\*)?"
+        r"(,[A-Za-z0-9_%.]+(:[1-9][0-9]{0,3}|\*)?)*\})*$"
+    ),
     "json-pointer": r"^(/([^/~]|~[01])*)*$",
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
 }

@@ -57,12 +57,21 @@ def dedup_stream_to_parquet(
     text_col: str = "text",
     *,
     fingerprint_col: str = "fingerprint",
+    within_watermark_col: Optional[str] = None,
 ):
     """Run the dedup stream into an append parquet sink with
     ``availableNow`` (drain-everything-then-stop). Returns the
-    StreamingQuery; callers ``awaitTermination``."""
+    StreamingQuery; callers ``drain``/``awaitTermination``.
+
+    ``within_watermark_col`` switches to the bounded-retention
+    ``dropDuplicatesWithinWatermark`` variant (the caller must already
+    have applied ``withWatermark`` on that column): state for a
+    fingerprint expires once the watermark passes its first-seen event
+    time + delay, so duplicates arriving LATER than that are kept — the
+    accepted trade for state that stops growing with the distinct corpus."""
     deduped = dedup_stream(
-        stream_df, text_col, fingerprint_col=fingerprint_col
+        stream_df, text_col, fingerprint_col=fingerprint_col,
+        within_watermark_col=within_watermark_col,
     )
     return (
         deduped.writeStream.format("parquet")

@@ -89,6 +89,49 @@ def test_format_ipv6_uri_reference_json_pointer(spark):
     ) == {4, 5, 6, 7, 8}
 
 
+def test_format_registry_remaining_draft6_names(spark):
+    """The rest of the registry — date-time / date / time / hostname /
+    ipv4 / uri / uri-template / uuid — completing draft-6 §8.3 (date,
+    time, uuid are the draft-7+ extras the engine also ships)."""
+    doc = _spec({
+        "dt": {"type": "string", "format": "date-time"},
+        "d": {"type": "string", "format": "date"},
+        "t": {"type": "string", "format": "time"},
+        "h": {"type": "string", "format": "hostname"},
+        "ip": {"type": "string", "format": "ipv4"},
+        "u": {"type": "string", "format": "uri"},
+        "ut": {"type": "string", "format": "uri-template"},
+        "uu": {"type": "string", "format": "uuid"},
+    })
+    ok = (
+        "2024-01-02T03:04:05Z", "2024-01-02", "03:04:05.5",
+        "a-b.example.com", "192.168.0.1", "https://x/y?q=1",
+        "http://ex.com/~{username}/{file}{?x,y*,z:3}",
+        "123e4567-e89b-12d3-a456-426614174000",
+    )
+    def row(i, **override):
+        vals = dict(zip(("dt", "d", "t", "h", "ip", "u", "ut", "uu"), ok))
+        vals.update(override)
+        return (i, *vals.values())
+
+    rows = [
+        row(1),
+        (2,) + (None,) * 8,                     # optional: nulls pass
+        row(3, dt="2024-1-2T03:04:05Z"),        # 1-digit month
+        row(4, d="24-01-02"),                   # 2-digit year
+        row(5, t="3:04:05"),                    # 1-digit hour
+        row(6, h="-bad.example.com"),           # label starts with hyphen
+        row(7, ip="256.1.1.1"),                 # octet out of range
+        row(8, u="no-scheme/path"),             # missing scheme colon
+        row(9, ut="{unclosed"),                 # unterminated expression
+        row(10, ut="{}"),                       # empty expression
+        row(11, uu="123e4567e89b12d3a456426614174000"),  # no hyphens
+    ]
+    schema = ("id long, dt string, d string, t string, h string, "
+              "ip string, u string, ut string, uu string")
+    assert _failing_ids(spark, doc, rows, schema) == set(range(3, 12))
+
+
 def test_array_keywords(spark):
     doc = _spec({
         "xs": {"type": "array", "minItems": 1, "maxItems": 3,

@@ -137,3 +137,68 @@ def test_streaming_dedup_cross_batch_state(spark, tmp_path):
     assert 5 in {r["doc_id"] for r in rows}
     assert {r["doc_id"] for r in rows} & {1, 2}  # one alpha survivor
     assert 4 not in {r["doc_id"] for r in rows}
+
+
+def test_streaming_dedup_within_watermark_expires_state(spark, tmp_path):
+    """Bounded-retention dedup (dropDuplicatesWithinWatermark, 1h delay):
+    a duplicate arriving while the first copy's state is live is dropped
+    (guaranteed for events within the delay of each other); once the
+    watermark passes first-seen + delay the state is evicted and a later
+    duplicate is KEPT — the documented trade for state that stops growing.
+
+    Exactly WHICH post-eviction batch re-admits the key is end-of-batch
+    eviction timing with the one-batch-lagged watermark (measured on this
+    Spark: lookup is key-existence, drops don't refresh state, eviction at
+    the end of the first batch whose operating watermark >= expiry) — the
+    test pins the invariants, not the batch index: the in-delay duplicate
+    never survives, and exactly one late copy does.
+    """
+    import time
+
+    from json_to_avro_schema_spark.streaming.dedup import (
+        dedup_stream_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, "alpha beta gamma", "2024-01-01 00:00:00")],
+        [(2, "alpha beta gamma", "2024-01-01 00:30:00")],  # in-delay dup
+        [(3, "watermark advancer", "2024-01-01 05:00:00")],
+        [(4, "alpha beta gamma", "2024-01-01 05:30:00")],  # post-eviction
+        [(5, "alpha beta gamma", "2024-01-01 05:40:00")],  # post-eviction
+    ]
+    file_batch = {}
+    for i, rows in enumerate(batches):
+        before = set(os.listdir(src))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                file_batch[f] = i
+    now = time.time()
+    for f, i in file_batch.items():
+        os.utime(os.path.join(src, f), (now + 60 * i, now + 60 * i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    q = dedup_stream_to_parquet(
+        stream, str(tmp_path / "kept"), str(tmp_path / "ckpt"),
+        within_watermark_col="ts",
+    )
+    drain(q, 180)
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+    }
+    assert 1 in kept and 3 in kept
+    assert 2 not in kept                      # in-delay dup: guaranteed drop
+    assert len(kept & {4, 5}) == 1            # state expired: one late copy
+    assert len(kept) == 3
