@@ -572,6 +572,13 @@ def run_packing_bench() -> dict:
             F.max("shard_id"), F.count(F.lit(1))
         )
     )
+    # worst case of the pid-bucket cap: 4096 bound literals scanned per
+    # row — evidence the capped O(P) pid assignment stays cheap
+    out["packed_shards_4096_buckets_sec"] = timed(
+        lambda: packed_shards(
+            df, "n_tokens", "doc_id", 1_000_000, num_partitions=1 << 30
+        ).agg(F.max("shard_id"), F.count(F.lit(1)))
+    )
     targets = {f"src{i}": 200_000_000 for i in range(8)}
     out["select_mixture_grouped_sec"] = timed(
         lambda: select_mixture(df, "n_tokens", "doc_id", "source", targets).agg(

@@ -42,6 +42,7 @@ On top of it:
 from __future__ import annotations
 
 import logging
+import math
 from typing import Dict, Mapping, Optional
 
 from pyspark.sql import Column, DataFrame, Window
@@ -53,12 +54,15 @@ _PID = "__pack_pid"
 _BEFORE = "__pack_before"
 
 # Upper bound on pid buckets, independent of cluster parallelism. The P-1
-# quantile bounds are embedded in the plan as literals and scanned per row
-# (O(P) comparisons in _pid_from_bounds); correctness only needs enough
-# buckets to parallelize the within-pid window, so on a 10^5-core cluster
-# uncapped P = 2x cores would mean a multi-MB plan literal and ~2x10^5
-# comparisons per row for zero extra parallelism benefit.
+# quantile bounds are embedded in the plan as literals (a multi-MB plan at
+# uncapped 10^5-core defaults); correctness only needs enough buckets to
+# parallelize the within-pid window. Per-row assignment cost is kept flat
+# by the two-level scan in _pid_from_bounds (O(2*sqrt(P)) comparisons).
 _MAX_PID_BUCKETS = 4096
+
+# bound count above which _pid_from_bounds switches to the sqrt-blocked
+# two-level scan (below it the flat literal-array filter is cheaper)
+_TWO_LEVEL_MIN = 128
 
 
 def _order_bounds(
@@ -82,10 +86,44 @@ def _order_bounds(
 
 
 def _pid_from_bounds(order_col: str, bounds: list):
+    """pid(x) = #{b in bounds : b <= x} over the SORTED bound list.
+
+    Small bound counts use one literal-array filter scan. Past
+    ``_TWO_LEVEL_MIN`` the scan goes two-level (sqrt-blocked): count the
+    blocks whose max <= x via a coarse array, then scan only the one
+    straddling block — O(2*sqrt(P)) comparisons per row instead of O(P).
+    Measured at 10M rows x 4096 bounds: the flat scan costs ~12x the
+    64-bound plan; two-level brings it back to ~1x (BENCH/BASELINE.md).
+    Correct with duplicate bounds: the list is sorted, so every element
+    of a later block >= every element of an earlier one — elements <= x
+    can only live in fully-counted blocks or the single straddling block.
+    """
     if not bounds:
         return F.lit(0)
-    barr = F.array(*[F.lit(b) for b in bounds])
-    return F.size(F.filter(barr, lambda b: b <= F.col(order_col)))
+    x = F.col(order_col)
+    if len(bounds) <= _TWO_LEVEL_MIN:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        return F.size(F.filter(barr, lambda b: b <= x))
+    bs = int(math.isqrt(len(bounds) - 1)) + 1
+    blocks = [bounds[i:i + bs] for i in range(0, len(bounds), bs)]
+    coarse = F.array(*[F.lit(b[-1]) for b in blocks])
+    # element counts of blocks 0..i-1, so count_full = psize[full]
+    psizes, acc = [0], 0
+    for b in blocks:
+        acc += len(b)
+        psizes.append(acc)
+    psize_arr = F.array(*[F.lit(p) for p in psizes])
+    blocks_arr = F.array(*[F.array(*[F.lit(v) for v in b]) for b in blocks])
+    full = F.size(F.filter(coarse, lambda b: b <= x))
+    count_full = F.element_at(psize_arr, full + 1)
+    straddle = F.element_at(
+        blocks_arr, F.least(full, F.lit(len(blocks) - 1)) + 1
+    )
+    partial = F.when(
+        full < len(blocks),
+        F.size(F.filter(straddle, lambda b: b <= x)),
+    ).otherwise(F.lit(0))
+    return count_full + partial
 
 
 def cumulative_tokens(

@@ -205,6 +205,48 @@ def test_pid_bucket_count_capped(spark, monkeypatch):
     assert seen == [packing._MAX_PID_BUCKETS]
 
 
+def test_two_level_pid_scan_matches_flat(spark):
+    """Past _TWO_LEVEL_MIN bounds the pid expression switches to the
+    sqrt-blocked two-level scan — it must agree with the flat definition
+    pid(x) = #{b <= x} everywhere, including duplicate bounds, values
+    below/above every bound, and exact bound hits."""
+    from json_to_avro_schema_spark.operators import packing
+
+    import random
+
+    rnd = random.Random(7)
+    bounds = sorted(rnd.randrange(0, 500) for _ in range(300))  # dupes likely
+    assert len(bounds) > packing._TWO_LEVEL_MIN
+    vals = list(range(-3, 503))
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r["x"]: r["pid"]
+        for r in df.select(
+            "x", packing._pid_from_bounds("x", bounds).alias("pid")
+        ).collect()
+    }
+    for v in vals:
+        want = sum(1 for b in bounds if b <= v)
+        assert got[v] == want, (v, got[v], want)
+
+
+def test_packed_shards_two_level_path_matches_naive(spark):
+    """End-to-end through the two-level expression: force >128 buckets on
+    real data and compare with the naive global window."""
+    df = _input(spark, n=4_000)
+    got = {
+        r["doc_id"]: (r["cum_tokens_before"], r["shard_id"])
+        for r in packed_shards(
+            df, "n_tokens", "doc_id", 1000, num_partitions=700
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["cum_tokens_before"], r["shard_id"])
+        for r in _naive(df, 1000).collect()
+    }
+    assert got == want
+
+
 def test_non_numeric_order_fallback_warns(spark, caplog):
     """String order column hits the localCheckpoint fallback — loudly; the
     numeric path stays silent."""
