@@ -1112,66 +1112,42 @@ _DRIFT_LO, _DRIFT_HI, _DRIFT_BINS, _DRIFT_EPS = 900.0, 105000.0, 32, 1e-6
 
 def _q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     """KL/PSI drift between even- and odd-orderkey halves of lineitem —
-    BOTH drift paths in one labeled union: the global verdict (two
-    32-bin histograms + driver-side divergence over ≤ bins values,
-    part_key='ALL') and the per-partition fully-distributed verdicts
-    (16-bin, divergence as array HOFs per partition — the shape 10^5+
-    Iceberg partitions need, operators/drift.partitioned_drift_verdicts)."""
+    per-partition verdicts AND the corpus-wide 'ALL' verdict from ONE
+    fully-distributed operator call (divergence as array HOFs per
+    partition — the shape 10^5+ Iceberg partitions need). The global row
+    is a grouping-sets reaggregation of the per-flag histogram partials
+    inside the same aggregation, so each side of the comparison is
+    scanned exactly once (operators/drift.partitioned_drift_verdicts
+    include_total=True; the r4 predecessor paired a separate driver-side
+    drift_verdict for the global row — two more scans for the same
+    answer)."""
     li = load_table(spark, sf, "lineitem")
     cur = li.filter(F.col("l_orderkey") % 2 == 0)
     base = li.filter(F.col("l_orderkey") % 2 == 1)
-    kl, psi_v, ok = dr.drift_verdict(
-        cur, base, "l_extendedprice",
-        bins=_DRIFT_BINS, lo=_DRIFT_LO, hi=_DRIFT_HI, eps=_DRIFT_EPS,
-    )
-    g = spark.createDataFrame(
-        [("ALL", round(kl, 5), round(psi_v, 5), bool(ok))],
-        "part_key string, kl double, psi double, pass boolean",
-    )
-    by = dr.partitioned_drift_verdicts(
+    out = dr.partitioned_drift_verdicts(
         cur, base, "l_extendedprice",
         by="l_returnflag", bins=16, lo=_DRIFT_LO, hi=_DRIFT_HI, eps=1e-6,
-    ).select(
+        include_total=True,
+    )
+    return out.select(
         "part_key",
         F.round("kl", 5).alias("kl"), F.round("psi", 5).alias("psi"), "pass",
-    )
-    return g.unionByName(by).orderBy("part_key")
+    ).orderBy("part_key")
 
 
-def _o_psi_drift_global_block() -> str:
-    w = (_DRIFT_HI - _DRIFT_LO) / _DRIFT_BINS
-    hist = (
-        "SELECT least(greatest(CAST(floor((l_extendedprice - {lo}) / {w}) AS INT), 0), {top}) AS bucket, "
-        "count(*) AS n FROM lineitem "
-        "WHERE l_extendedprice IS NOT NULL AND l_orderkey % 2 = {par} GROUP BY 1"
-    )
-    return f"""
-WITH cur AS ({hist.format(lo=_DRIFT_LO, w=w, top=_DRIFT_BINS - 1, par=0)}),
-bas AS ({hist.format(lo=_DRIFT_LO, w=w, top=_DRIFT_BINS - 1, par=1)}),
-b AS (SELECT unnest(range({_DRIFT_BINS})) AS bucket),
-ps AS (SELECT b.bucket,
-              greatest(coalesce(c.n, 0) * 1.0 / (SELECT sum(n) FROM cur), {_DRIFT_EPS}) AS sp
-       FROM b LEFT JOIN cur c ON b.bucket = c.bucket),
-qs AS (SELECT b.bucket,
-              greatest(coalesce(c.n, 0) * 1.0 / (SELECT sum(n) FROM bas), {_DRIFT_EPS}) AS sq
-       FROM b LEFT JOIN bas c ON b.bucket = c.bucket),
-pn AS (SELECT bucket, sp / (SELECT sum(sp) FROM ps) AS p FROM ps),
-qn AS (SELECT bucket, sq / (SELECT sum(sq) FROM qs) AS q FROM qs)
-SELECT 'ALL' AS part_key,
-       round(sum(p * ln(p / q)), 5) AS kl,
-       round(sum((p - q) * ln(p / q)), 5) AS psi,
-       sum((p - q) * ln(p / q)) < 0.2 AS pass
-FROM pn JOIN qn USING (bucket)
-"""
-
-
-def _o_psi_drift_by_flag_block() -> str:
+def _o_psi_drift() -> str:
+    """Mirrors the grouping-sets engine path: each side's histogram CTE
+    emits per-flag rows AND the 'ALL' reaggregation level, then one
+    generic divergence computation covers every part key incl. ALL."""
     w = (_DRIFT_HI - _DRIFT_LO) / 16
     hist = (
-        "SELECT l_returnflag AS part_key, "
-        f"least(greatest(CAST(floor((l_extendedprice - {_DRIFT_LO}) / {w}) AS INT), 0), 15) AS bucket, "
-        "count(*) AS n FROM lineitem "
-        "WHERE l_extendedprice IS NOT NULL AND l_orderkey % 2 = {par} GROUP BY 1, 2"
+        "SELECT CASE WHEN GROUPING(pk) = 1 THEN 'ALL' ELSE pk END AS part_key, "
+        "bucket, count(*) AS n FROM ("
+        "  SELECT l_returnflag AS pk, "
+        f" least(greatest(CAST(floor((l_extendedprice - {_DRIFT_LO}) / {w}) AS INT), 0), 15) AS bucket"
+        "  FROM lineitem "
+        "  WHERE l_extendedprice IS NOT NULL AND l_orderkey % 2 = {par}"
+        ") GROUP BY GROUPING SETS ((pk, bucket), (bucket))"
     )
     return f"""
 WITH cur AS ({hist.format(par=0)}),
@@ -1194,18 +1170,7 @@ SELECT n.part_key,
        round(sum(p * ln(p / q)), 5) AS kl,
        round(sum((p - q) * ln(p / q)), 5) AS psi,
        sum((p - q) * ln(p / q)) < 0.2 AS pass
-FROM n GROUP BY n.part_key
-"""
-
-
-def _o_psi_drift() -> str:
-    """Global + per-flag drift blocks unioned (each keeps its own WITH
-    scope inside a derived table)."""
-    return f"""
-SELECT * FROM ({_o_psi_drift_global_block()})
-UNION ALL
-SELECT * FROM ({_o_psi_drift_by_flag_block()})
-ORDER BY part_key
+FROM n GROUP BY n.part_key ORDER BY part_key
 """
 
 

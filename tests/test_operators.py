@@ -426,3 +426,51 @@ def test_partitioned_drift_matches_scalar_path(spark):
         assert got["pass"] == rep.ok
         assert got["n_current"] == rep.n_current
         assert got["n_baseline"] == rep.n_baseline
+
+
+def test_partitioned_drift_include_total(spark):
+    """include_total=True adds the corpus-wide 'ALL' row from the SAME
+    grouping-sets aggregation: it must equal (a) the driver-math global
+    drift_report and (b) the per-group rows must be unchanged vs
+    include_total=False. NULL group values stay their own partition
+    (grouping(), not a NULL check, marks the total level)."""
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.operators.drift import (
+        drift_report,
+        partitioned_drift_verdicts,
+    )
+
+    rows = [
+        (i, float(i % 50), None if i % 7 == 0 else ("a" if i % 2 else "b"))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    cur = df.filter(F.col("id") % 4 != 0)
+    base = df.filter(F.col("id") % 4 == 0)
+
+    with_total = {
+        r["part_key"]: r
+        for r in partitioned_drift_verdicts(
+            cur, base, "v", by="g", bins=10, lo=0.0, hi=50.0,
+            include_total=True,
+        ).collect()
+    }
+    without = {
+        r["part_key"]: r
+        for r in partitioned_drift_verdicts(
+            cur, base, "v", by="g", bins=10, lo=0.0, hi=50.0
+        ).collect()
+    }
+    assert set(with_total) == {"a", "b", None, "ALL"}
+    for g in ("a", "b", None):
+        for f in ("n_current", "n_baseline", "pass"):
+            assert with_total[g][f] == without[g][f]
+        assert abs(with_total[g]["kl"] - without[g]["kl"]) < 1e-9
+        assert abs(with_total[g]["psi"] - without[g]["psi"]) < 1e-9
+    rep = drift_report(cur, base, "v", bins=10, lo=0.0, hi=50.0)
+    tot = with_total["ALL"]
+    assert abs(tot["kl"] - rep.kl) < 1e-9
+    assert abs(tot["psi"] - rep.psi) < 1e-9
+    assert tot["n_current"] == rep.n_current
+    assert tot["n_baseline"] == rep.n_baseline
