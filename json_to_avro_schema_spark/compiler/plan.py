@@ -19,7 +19,8 @@ root (no JSON-Schema counterpart — these are the north-rule operators):
     "x-unique": [{"name": ..., "columns": ["doc_id"]}]
     "x-ref":    [{"name": ..., "columns": [...], "refTable": ..., "refColumns": [...]}]
     "x-drift":  [{"name": ..., "column": ..., "bins": 32, "min": ..., "max": ...,
-                  "categorical": false, "by": "<partition column>"}]
+                  "categorical": false, "by": "<partition column>",
+                  "includeTotal": false}]
     "x-vector": [{"name": ..., "column": "embedding", "dim": 64,
                   "normMin": 0.9, "normMax": 1.1}]
     "x-stats":  ["col", ...] | true
@@ -87,6 +88,9 @@ class DriftCheckCfg:
     # computed fully distributed (operators/drift.partitioned_drift_verdicts)
     # instead of one global driver-side verdict.
     by: Optional[str] = None
+    # With by=: additionally emit the corpus-wide '<name>[ALL]' verdict,
+    # fused into the same grouping-sets aggregation (zero extra scans).
+    include_total: bool = False
 
 
 @dataclass(frozen=True)
@@ -435,6 +439,7 @@ def _compile_extensions(doc: Dict[str, Any], plan: CompiledPlan) -> None:
                 hi=d.get("max"),
                 categorical=bool(d.get("categorical", False)),
                 by=d.get("by"),
+                include_total=bool(d.get("includeTotal", False)),
             )
         )
     for v in doc.get("x-vector", []) or []:

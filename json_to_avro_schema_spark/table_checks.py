@@ -153,6 +153,7 @@ def run_table_checks(
                 df, base, dc.column,
                 by=dc.by, bins=dc.bins, lo=lo, hi=hi,
                 psi_threshold=psi_threshold,
+                include_total=getattr(dc, "include_total", False),
             ).collect()
             return [
                 (f"{dc.name}[{p['part_key']}]", "drift",

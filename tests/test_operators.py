@@ -251,6 +251,42 @@ def test_table_checks_partitioned_drift_by(spark):
         assert out[f"dv[{g}]"]["n_rows"] == rep.n_current
 
 
+def test_table_checks_drift_include_total(spark):
+    """x-drift includeTotal: the spec knob adds the fused corpus-wide
+    'dv[ALL]' verdict row alongside the per-partition rows."""
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.operators.drift import drift_report
+    from json_to_avro_schema_spark.table_checks import run_table_checks
+
+    doc = {
+        "$id": "x://t/TCT", "type": "object",
+        "properties": {"id": {"type": "integer"}, "v": {"type": "number"},
+                       "g": {"type": "string"}},
+        "x-drift": [{"name": "dv", "column": "v", "bins": 10,
+                     "min": 0.0, "max": 50.0, "by": "g",
+                     "includeTotal": True}],
+    }
+    plan = compile_document(doc)
+    assert plan.drift_checks[0].include_total is True
+
+    rows = [(i, float(i % 50), "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    cur = df.filter(F.col("id") % 4 != 0)
+    base = df.filter(F.col("id") % 4 == 0)
+    out = {
+        r["check_name"]: r
+        for r in run_table_checks(
+            spark, cur, plan, drift_baselines={"dv": base}
+        ).collect()
+    }
+    assert set(out) == {"dv[a]", "dv[b]", "dv[ALL]"}
+    rep = drift_report(cur, base, "v", bins=10, lo=0.0, hi=50.0)
+    assert out["dv[ALL]"]["pass"] == rep.ok
+    assert out["dv[ALL]"]["n_rows"] == rep.n_current
+
+
 def test_verdict_rollup_levels_and_totals(spark):
     from pyspark.sql import functions as F
 
