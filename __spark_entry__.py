@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from json_to_avro_schema_spark.compiler.plan import compile_document
 from json_to_avro_schema_spark.operators import dedup as dd
+from json_to_avro_schema_spark.operators import lm as lmop
 from json_to_avro_schema_spark.operators import drift as dr
 from json_to_avro_schema_spark.operators import referential as ri
 from json_to_avro_schema_spark.operators import similarity as sim
@@ -1088,6 +1089,213 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN pass_len AND pass_lang AND pass_rep AND pass_quality
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
 FROM flags
+"""
+
+
+def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus self-scoring (operators/lm.py): fit an
+    add-alpha unigram LM on the corpus (min_count=2 threshold — no
+    global top-V sort), score every doc's log-perplexity under it, and
+    report per-source averages plus the high-perplexity doc count. The
+    per-doc score is rounded to 6 decimals BEFORE aggregation on both
+    engines so sub-ulp float-summation-order noise can't flip the
+    threshold comparison or the 4-decimal average."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    m = lmop.unigram_lm(docs, "text", min_count=2, alpha=0.5)
+    scored = lmop.score_documents(docs.select("doc_id", "source", "text"), m)
+    r6 = F.round(F.col("log_ppl"), 6)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.round(F.avg(r6), 4).alias("avg_log_ppl"),
+            F.sum((r6 > 1.0).cast("long")).alias("high_ppl_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_O_LM_PERPLEXITY_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS token FROM toks
+), cnts AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), consts AS (
+  SELECT sum(c) AS nn,
+         sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS vv
+  FROM cnts
+), vocab AS (
+  SELECT token, ln((c + 0.5) / (nn + 0.5 * (vv + 1))) AS lp
+  FROM cnts, consts WHERE c >= 2
+), perdoc AS (
+  SELECT d.doc_id, count(*) AS nt,
+         -sum(coalesce(v.lp,
+              (SELECT ln(0.5 / (nn + 0.5 * (vv + 1))) FROM consts)))
+           / count(*) AS lppl
+  FROM tok d LEFT JOIN vocab v ON d.token = v.token
+  GROUP BY d.doc_id
+), base AS (
+  SELECT k.doc_id, source, coalesce(p.nt, 0) AS nt,
+         round(coalesce(p.lppl, 0), 6) AS r6
+  FROM toks k LEFT JOIN perdoc p ON k.doc_id = p.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       round(avg(r6), 4) AS avg_log_ppl,
+       CAST(sum(CASE WHEN r6 > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_ppl_docs
+FROM base GROUP BY source ORDER BY source
+"""
+
+
+def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weighting (operators/lm.py:
+    importance_weights): target LM fit on the src0 slice (min_count=1),
+    corpus LM on everything (min_count=2), per-doc weight
+    exp(mean log-likelihood ratio) — one corpus scan feeds both vocab
+    joins. Per-source average weight + selected (w > 1) counts, r6
+    pre-rounding as in lm_perplexity_docs."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    base = docs.select("doc_id", "source", "text")
+    target = lmop.unigram_lm(
+        base.filter(F.col("source") == "src0"), "text", min_count=1, alpha=0.5
+    )
+    corpus = lmop.unigram_lm(base, "text", min_count=2, alpha=0.5)
+    w = lmop.importance_weights(base, target, corpus)
+    r6 = F.round(F.col("dsir_weight"), 6)
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(r6), 4).alias("avg_weight"),
+            F.sum((r6 > 1.0).cast("long")).alias("selected_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_O_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS token FROM toks
+), ttok AS (
+  SELECT unnest(t) AS token FROM toks WHERE source = 'src0'
+), tcnts AS (
+  SELECT token, count(*) AS c FROM ttok GROUP BY token
+), tconsts AS (
+  SELECT sum(c) AS nn, count(*) AS vv FROM tcnts
+), tvocab AS (
+  SELECT token, ln((c + 0.5) / (nn + 0.5 * (vv + 1))) AS lp
+  FROM tcnts, tconsts
+), ccnts AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), cconsts AS (
+  SELECT sum(c) AS nn,
+         sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS vv
+  FROM ccnts
+), cvocab AS (
+  SELECT token, ln((c + 0.5) / (nn + 0.5 * (vv + 1))) AS lp
+  FROM ccnts, cconsts WHERE c >= 2
+), perdoc AS (
+  SELECT d.doc_id,
+         exp((sum(coalesce(tv.lp,
+                (SELECT ln(0.5 / (nn + 0.5 * (vv + 1))) FROM tconsts)))
+            - sum(coalesce(cv.lp,
+                (SELECT ln(0.5 / (nn + 0.5 * (vv + 1))) FROM cconsts))))
+           / count(*)) AS w
+  FROM tok d
+  LEFT JOIN tvocab tv ON d.token = tv.token
+  LEFT JOIN cvocab cv ON d.token = cv.token
+  GROUP BY d.doc_id
+), base AS (
+  SELECT k.doc_id, source, round(coalesce(p.w, 1.0), 6) AS r6
+  FROM toks k LEFT JOIN perdoc p ON k.doc_id = p.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(r6), 4) AS avg_weight,
+       CAST(sum(CASE WHEN r6 > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS selected_docs
+FROM base GROUP BY source ORDER BY source
+"""
+
+
+def _q_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication (operators/dedup.py:
+    duplicated_ngrams, Lee et al. 2022 re-expressed over token 8-grams):
+    per-source totals of duplicated gram positions and the
+    interval-union token coverage of duplicated spans, plus the count of
+    heavily-duplicated docs (>50% of tokens inside duplicated 8-gram
+    spans). All integer aggregates — exact on both engines. The oracle
+    re-derives coverage by exploding span positions and counting
+    distinct; the Spark side computes the same union with one O(n)
+    aggregate HOF over sorted starts — no second explode."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    d = dd.duplicated_ngrams(
+        docs.select("doc_id", "source", "text"), k=8, min_docs=2
+    )
+    heavy = (
+        F.col("covered_tokens") * 1.0 / F.greatest(F.col("n_tokens"), F.lit(1))
+    ) > 0.5
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup_grams").alias("sum_dup_grams"),
+            F.sum("covered_tokens").alias("sum_covered"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_grams").alias("sum_grams"),
+            F.sum(heavy.cast("long")).alias("heavy_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_O_DUP_NGRAM_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, source, pos, array_to_string(t[pos:pos+7], ' ') AS gram
+  FROM (SELECT doc_id, source, t,
+               unnest(range(1, len(t) - 6)) AS pos
+        FROM toks)
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dpos AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), dg AS (
+  SELECT doc_id, count(*) AS dup_grams FROM dpos GROUP BY doc_id
+), cov AS (
+  SELECT doc_id, count(DISTINCT p) AS covered FROM
+    (SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM dpos)
+  GROUP BY doc_id
+), base AS (
+  SELECT k.doc_id, source, len(t) AS nt, greatest(len(t) - 7, 0) AS ng,
+         coalesce(dg.dup_grams, 0) AS dupg, coalesce(cov.covered, 0) AS covd
+  FROM toks k
+  LEFT JOIN dg ON k.doc_id = dg.doc_id
+  LEFT JOIN cov ON k.doc_id = cov.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dupg) AS BIGINT) AS sum_dup_grams,
+       CAST(sum(covd) AS BIGINT) AS sum_covered,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       CAST(sum(ng) AS BIGINT) AS sum_grams,
+       CAST(sum(CASE WHEN covd * 1.0 / greatest(nt, 1) > 0.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS heavy_docs
+FROM base GROUP BY source ORDER BY source
 """
 
 
@@ -2809,7 +3017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_verdicts": _q_grouping_verdicts,
         "verdict_set_ops": _q_verdict_set_ops,
         "topk_price_by_flag": _q_topk_price_by_flag,
-        "stats_events_by_type": _q_stats_events_by_type,
         "approx_unique_lineitem": _q_approx_unique_lineitem,
         # training-data pipeline ops (oracled)
         "token_totals": _q_token_totals,
@@ -2822,16 +3029,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_docs": _q_mixture_docs,
         "chunked_docs": _q_chunked_docs,
         "clean_corpus_report": _q_clean_corpus_report,
+        "lm_perplexity_docs": _q_lm_perplexity_docs,
+        "dsir_weights": _q_dsir_weights,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
         "exact_dup_groups": _q_exact_dup_groups,
         "dedup_incremental": _q_dedup_incremental,
         "colocated_dedup": _q_colocated_dedup,
         "minhash_near_dups": _q_minhash_near_dups,
         "decontaminate_pairs": _q_decontaminate_pairs,
-        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
-        "vector_stats": _q_vector_stats,
         "stratified_sample_events": _q_stratified_sample_events,
         # ---- position 51+: family variants, replay-attested ----
+        "stats_events_by_type": _q_stats_events_by_type,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "vector_stats": _q_vector_stats,
         "quantiles_price": _q_quantiles_price,
         "events_domain": _q_events_domain,
         "text_analysis": _q_text_analysis,
@@ -2898,6 +3109,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_docs": _o_mixture_docs(),
         "chunked_docs": _O_CHUNKED_DOCS,
         "clean_corpus_report": _o_clean_corpus_report(),
+        "lm_perplexity_docs": _O_LM_PERPLEXITY_DOCS,
+        "dsir_weights": _O_DSIR_WEIGHTS,
+        "dup_ngram_coverage": _O_DUP_NGRAM_COVERAGE,
         "exact_dup_groups": _O_EXACT_DUP_GROUPS,
         "dedup_incremental": _O_DEDUP_INCREMENTAL,
         "colocated_dedup": _O_COLOCATED_DEDUP,

@@ -754,3 +754,114 @@ def dedup_near(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------- exact substring overlap
+
+def _token_ngram_hashes(text_col: Column, k: int) -> Column:
+    """64-bit hashes of every k-token gram of ``text_col``, positional
+    (NOT distinct — position matters for coverage).  Token slices are
+    hashed as the space-joined gram string, all HOFs, no UDF."""
+    from .text import tokens as _tokens
+
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def duplicated_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr side,
+    re-expressed over token k-grams instead of a suffix array, which does
+    not distribute; reference repo has no dedup surface at all).
+
+    A k-token gram is *duplicated* when it occurs in >= ``min_docs``
+    distinct documents.  Returns one row per input doc with:
+
+    - ``n_tokens``          total tokens
+    - ``n_grams``           total k-gram positions (= max(n_tokens-k+1, 0))
+    - ``dup_grams``         positions whose gram is corpus-duplicated
+    - ``covered_tokens``    tokens inside the union of duplicated-gram
+                            spans ``[pos, pos+k)`` — interval union done
+                            with ONE O(n) ``aggregate`` HOF over the
+                            sorted start positions, no second explode
+
+    Distributed shape: per-doc gram hashes (8 B each) are exploded once;
+    the global duplicated-gram set comes from a two-phase hash aggregate
+    on the hash (``countDistinct(doc_id) >= min_docs`` via partial
+    distinct), and rejoins by hash — shuffle volume is one (hash, doc_id)
+    pair per token, the honest lower bound for corpus-wide exact-substring
+    detection.  No suffix array, no driver state, no all-pairs join.
+    """
+    hashes = df.select(
+        F.col(id_col).alias("_id"),
+        _token_ngram_hashes(F.col(text_col), k).alias("_ghs"),
+    )
+    exploded = hashes.select(
+        "_id", F.posexplode("_ghs").alias("_pos", "_gh")
+    )
+    dup_set = (
+        exploded.groupBy("_gh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    # positions of duplicated grams, re-collected per doc (sorted so the
+    # interval-union aggregate below is a single forward pass)
+    dup_pos = (
+        exploded.join(dup_set, "_gh", "left_semi")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_dps"))
+    )
+    # interval union of [p, p+k) over sorted starts: extend the current
+    # span or open a new one — O(n) aggregate, covered = total length
+    init = F.struct(
+        F.lit(-1).cast("long").alias("end"), F.lit(0).cast("long").alias("cov")
+    )
+
+    def _step(acc, p):
+        new_end = p.cast("long") + F.lit(k)
+        gain = F.when(
+            p >= acc["end"], F.lit(k).cast("long")
+        ).otherwise(new_end - acc["end"])
+        return F.struct(
+            F.greatest(acc["end"], new_end).alias("end"),
+            (acc["cov"] + F.greatest(gain, F.lit(0).cast("long"))).alias("cov"),
+        )
+
+    covered = F.aggregate(F.col("_dps"), init, _step, lambda a: a["cov"])
+    from .text import tokens as _tokens
+
+    return (
+        df.join(
+            dup_pos.select(
+                F.col("_id").alias(id_col),
+                F.size("_dps").alias("dup_grams"),
+                covered.alias("covered_tokens"),
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("dup_grams", F.coalesce("dup_grams", F.lit(0)))
+        .withColumn(
+            "covered_tokens", F.coalesce("covered_tokens", F.lit(0).cast("long"))
+        )
+        .withColumn("n_tokens", F.size(_tokens(F.col(text_col))))
+        .withColumn(
+            "n_grams",
+            F.greatest(F.col("n_tokens") - F.lit(k - 1), F.lit(0)),
+        )
+    )
