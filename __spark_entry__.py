@@ -1092,6 +1092,44 @@ FROM flags
 """
 
 
+def _q_skew_report_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key skew diagnostics (operators/skew.py) on events.user_id —
+    the measure-first side of the north rule's explicit skew handling:
+    top-10 hottest keys with exact count-distribution stats, the skew
+    factor, and the salt fan-out a salted two-phase aggregate should use
+    (target_rows_per_task=50 at gate scale so the recommendation is
+    non-trivial). rank cast to long: Spark row_number is int, DuckDB's
+    is bigint, and the gate hash is type-sensitive."""
+    from json_to_avro_schema_spark.operators.skew import skew_report
+
+    ev = load_table(spark, sf, "events")
+    rep = skew_report(ev, "user_id", top_k=10, target_rows_per_task=50)
+    return rep.withColumn("rank", F.col("rank").cast("long"))
+
+
+_O_SKEW_REPORT_EVENTS = """
+WITH c AS (
+  SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         round(avg(cnt), 4) AS avg_cnt,
+         round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+         round(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+  FROM c
+), hot AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+         key, CAST(cnt AS BIGINT) AS cnt
+  FROM c QUALIFY rank <= 10
+)
+SELECT rank, key, cnt, n_keys, n_rows, max_cnt, avg_cnt, p50_cnt, p99_cnt,
+       round(max_cnt / (n_rows * 1.0 / n_keys), 4) AS skew_factor,
+       CAST(ceil(max_cnt / 50.0) AS BIGINT) AS recommended_salt
+FROM hot, s ORDER BY rank
+"""
+
+
 def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style corpus self-scoring (operators/lm.py): fit an
     add-alpha unigram LM on the corpus (min_count=2 threshold — no
@@ -3022,13 +3060,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_totals": _q_token_totals,
         "bpe_token_stats": _q_bpe_token_stats,
         "lang_detect_docs": _q_lang_detect_docs,
-        "quality_docs": _q_quality_docs,
         "pii_docs": _q_pii_docs,
         "repetition_docs": _q_repetition_docs,
         "packed_shards": _q_packed_shards,
         "mixture_docs": _q_mixture_docs,
         "chunked_docs": _q_chunked_docs,
         "clean_corpus_report": _q_clean_corpus_report,
+        "skew_report_events": _q_skew_report_events,
         "lm_perplexity_docs": _q_lm_perplexity_docs,
         "dsir_weights": _q_dsir_weights,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
@@ -3040,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "stratified_sample_events": _q_stratified_sample_events,
         # ---- position 51+: family variants, replay-attested ----
+        "quality_docs": _q_quality_docs,
         "stats_events_by_type": _q_stats_events_by_type,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "vector_stats": _q_vector_stats,
@@ -3109,6 +3148,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_docs": _o_mixture_docs(),
         "chunked_docs": _O_CHUNKED_DOCS,
         "clean_corpus_report": _o_clean_corpus_report(),
+        "skew_report_events": _O_SKEW_REPORT_EVENTS,
         "lm_perplexity_docs": _O_LM_PERPLEXITY_DOCS,
         "dsir_weights": _O_DSIR_WEIGHTS,
         "dup_ngram_coverage": _O_DUP_NGRAM_COVERAGE,

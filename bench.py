@@ -144,6 +144,9 @@ def run_bench() -> dict:
         # table (compile spec -> verdicts; violations timed via its twin)
         ("derived_validation_verdicts", qs["derived_validation_verdicts"]),
         ("minhash_near_dups", qs["minhash_near_dups"]),
+        # r4 additions: corpus-LM scoring + exact-substring duplication
+        ("lm_perplexity_docs", qs["lm_perplexity_docs"]),
+        ("dup_ngram_coverage", qs["dup_ngram_coverage"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers
