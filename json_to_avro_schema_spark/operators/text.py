@@ -133,8 +133,15 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     token totals, distinct tokens, and the top token / top bigram
     occurrence counts (via sort + longest-equal-run, O(n log n) per doc,
     no per-doc group-by shuffle). Downstream filters derive fractions
-    (e.g. ``top_token_count / n_tokens``) to drop boilerplate docs."""
-    toks = tokens(F.col(text_col))
+    (e.g. ``top_token_count / n_tokens``) to drop boilerplate docs.
+
+    The token array is materialized in its own projection first: the
+    bigram lambda reads it with ``element_at``, and an expression-tree
+    token array there would be re-tokenized once per bigram position
+    (HOF lambda bodies are interpreted, never CSE'd — the O(n²)
+    re-inlining trap documented at dedup._gram_frame)."""
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
+    toks = F.col("__toks")
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -145,13 +152,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
+    return staged.select(
         "*",
         n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         _max_run(F.array_sort(toks)).alias("top_token_count"),
         _max_run(F.array_sort(bigrams)).alias("top_bigram_count"),
-    )
+    ).drop("__toks")
 
 
 def quality_filters(
