@@ -818,6 +818,31 @@ def _gram_frame(
     )
 
 
+def _dup_gram_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int, min_docs: int
+):
+    """Shared candidate machinery for the exact-substring family:
+    returns ``(gram_frame.persist(), dup_pos)`` where ``dup_pos`` is
+    (_id, _dps = sorted start positions of corpus-duplicated k-grams).
+    The gram frame is persisted: it feeds both the dup-set aggregate and
+    the position rejoin (same pattern as simhash/minhash band rows)."""
+    hashes = _gram_frame(df, text_col, id_col, k).persist()
+    exploded = hashes.select("_id", F.posexplode("_ghs").alias("_pos", "_gh"))
+    dup_set = (
+        exploded.groupBy("_gh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    # sorted so downstream interval work is a single forward pass
+    dup_pos = (
+        exploded.join(dup_set, "_gh", "left_semi")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_dps"))
+    )
+    return hashes, dup_pos
+
+
 def duplicated_ngrams(
     df: DataFrame,
     text_col: str = "text",
@@ -851,23 +876,7 @@ def duplicated_ngrams(
     gram frame is persisted: it feeds both the dup-set aggregate and the
     position rejoin (same pattern as simhash/minhash band rows).
     """
-    hashes = _gram_frame(df, text_col, id_col, k).persist()
-    exploded = hashes.select(
-        "_id", F.posexplode("_ghs").alias("_pos", "_gh")
-    )
-    dup_set = (
-        exploded.groupBy("_gh")
-        .agg(F.count_distinct("_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_gh")
-    )
-    # positions of duplicated grams, re-collected per doc (sorted so the
-    # interval-union aggregate below is a single forward pass)
-    dup_pos = (
-        exploded.join(dup_set, "_gh", "left_semi")
-        .groupBy("_id")
-        .agg(F.sort_array(F.collect_list("_pos")).alias("_dps"))
-    )
+    hashes, dup_pos = _dup_gram_positions(df, text_col, id_col, k, min_docs)
     # interval union of [p, p+k) over sorted starts: extend the current
     # span or open a new one — O(n) aggregate, covered = total length
     init = F.struct(
@@ -907,3 +916,70 @@ def duplicated_ngrams(
         )
     )
     return df.join(per_doc, id_col, "left")
+
+
+def remove_duplicated_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    min_docs: int = 2,
+    clean_col: str = "clean_text",
+) -> DataFrame:
+    """Rewrite each document with corpus-duplicated k-gram spans REMOVED —
+    the acting half of the Lee et al. 2022 ExactSubstr dedup (the stats
+    half is :func:`duplicated_ngrams`).  Deviation from the paper,
+    documented: ALL occurrences of a duplicated span are dropped (the
+    paper keeps one); at pretraining scale the duplicated mass is
+    boilerplate and the symmetric rule needs no global tie-break pass.
+
+    Adds ``{clean_col}`` (tokens outside every duplicated span, space
+    rejoined; empty string when everything is duplicated), ``n_tokens``
+    and ``kept_tokens``.  Untouched docs keep their full token sequence
+    (lowercased/whitespace-normalized — the tokenizer's view).
+
+    Shape: the candidate machinery is the shared two-phase gram-hash
+    aggregate; the rewrite itself is one projection — covered positions
+    from ``flatten(transform(starts, s -> sequence(s, s+k-1)))`` and an
+    index-aware ``filter((tok, i) -> !array_contains(...))``.  Membership
+    is O(tokens x covered) per doc — bounded by document length, which a
+    pipeline bounds upstream (chunk_documents) long before 10^12 docs.
+    """
+    from .text import tokens as _tokens
+
+    hashes, dup_pos = _dup_gram_positions(df, text_col, id_col, k, min_docs)
+    # _dps starts are 0-based (posexplode); the filter index below is
+    # 1-based — a duplicated gram starting at array index s covers tokens
+    # s+1 .. s+k
+    covered_pos = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_dps"), lambda s: F.sequence(s + F.lit(1), s + F.lit(k))
+            )
+        )
+    )
+    staged = df.join(
+        dup_pos.select(F.col("_id").alias(id_col), "_dps"), id_col, "left"
+    ).select(
+        "*",
+        _tokens(F.col(text_col)).alias("__toks"),
+        F.coalesce(covered_pos, F.array().cast("array<int>")).alias("__cov"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda tok, i: ~F.array_contains(F.col("__cov"), i + F.lit(1)),
+    )
+    return (
+        staged.select(
+            "*",
+            F.size("__toks").alias("n_tokens"),
+            kept.alias("__kept"),
+        )
+        .select(
+            "*",
+            F.size("__kept").alias("kept_tokens"),
+            F.array_join("__kept", " ").alias(clean_col),
+        )
+        .drop("_dps", "__toks", "__cov", "__kept")
+    )

@@ -151,3 +151,58 @@ def test_duplicated_ngrams_coverage_matches_bruteforce(spark):
         assert (r["dup_grams"], r["covered_tokens"]) == expected[r["doc_id"]], (
             r["doc_id"]
         )
+
+
+def test_remove_duplicated_ngrams_hand_case(spark):
+    from json_to_avro_schema_spark.operators.dedup import remove_duplicated_ngrams
+
+    df = _docs(spark, ["a b c d e", "x a b c y", "p q r s t"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_ngrams(df, k=3, min_docs=2).collect()
+    }
+    assert out["0"]["clean_text"] == "d e" and out["0"]["kept_tokens"] == 2
+    assert out["1"]["clean_text"] == "x y"
+    assert out["2"]["clean_text"] == "p q r s t" and out["2"]["kept_tokens"] == 5
+
+
+def test_remove_duplicated_ngrams_fully_covered(spark):
+    from json_to_avro_schema_spark.operators.dedup import remove_duplicated_ngrams
+
+    df = _docs(spark, ["a b c", "a b c"])
+    out = remove_duplicated_ngrams(df, k=3, min_docs=2).collect()
+    for r in out:
+        assert r["clean_text"] == "" and r["kept_tokens"] == 0
+
+
+def test_remove_matches_stats_coverage(spark):
+    """kept_tokens == n_tokens - covered_tokens on a shared random corpus:
+    the two halves of the ExactSubstr family must agree."""
+    import random
+
+    from json_to_avro_schema_spark.operators.dedup import (
+        duplicated_ngrams,
+        remove_duplicated_ngrams,
+    )
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20)))
+        for _ in range(30)
+    ]
+    stats = {
+        r["doc_id"]: r
+        for r in duplicated_ngrams(_docs(spark, texts), k=3, min_docs=2).collect()
+    }
+    clean = {
+        r["doc_id"]: r
+        for r in remove_duplicated_ngrams(
+            _docs(spark, texts), k=3, min_docs=2
+        ).collect()
+    }
+    for i in stats:
+        assert (
+            clean[i]["kept_tokens"]
+            == stats[i]["n_tokens"] - stats[i]["covered_tokens"]
+        ), i
