@@ -42,11 +42,14 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(TOKEN_REGEX))
 
 
-def stopword_ratio(col: Column, lang: str = "en") -> Column:
-    toks = tokens(col)
+def _stopword_ratio_t(toks: Column, lang: str = "en") -> Column:
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    return _stopword_ratio_t(tokens(col), lang)
 
 
 def punct_ratio(col: Column) -> Column:
@@ -54,27 +57,32 @@ def punct_ratio(col: Column) -> Column:
     return n_punct / F.greatest(F.length(col), F.lit(1))
 
 
-def mean_word_length(col: Column) -> Column:
-    toks = tokens(col)
+def _mean_word_length_t(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    return _mean_word_length_t(tokens(col))
+
+
+def _quality_score_t(col: Column, toks: Column, lang: str = "en") -> Column:
+    length_ok = F.least(F.length(col) / F.lit(200.0), F.lit(1.0))
+    sw = F.least(_stopword_ratio_t(toks, lang) * 4.0, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    mwl = _mean_word_length_t(toks)
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.3))
+    return (length_ok + sw + punct_ok + mwl_ok) / 4.0
 
 
 def quality_score(col: Column, lang: str = "en") -> Column:
     """Composite quality in [0,1]: favors moderate length, some stopwords,
     sane punctuation density, word lengths 3-10 — the standard cheap filters
     a pretraining pipeline applies before dedup."""
-    length_ok = F.least(F.length(col) / F.lit(200.0), F.lit(1.0))
-    sw = F.least(stopword_ratio(col, lang) * 4.0, F.lit(1.0))
-    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
-    mwl = mean_word_length(col)
-    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.3))
-    return (length_ok + sw + punct_ok + mwl_ok) / 4.0
+    return _quality_score_t(col, tokens(col), lang)
 
 
-def detect_language(col: Column) -> Column:
-    """Best stopword-hit language, 'und' (undetermined) when nothing hits."""
-    toks = tokens(col)
+def _detect_language_t(toks: Column) -> Column:
     n = F.greatest(F.size(toks), F.lit(1))
     scores = []
     for lang, words in STOPWORDS.items():
@@ -83,6 +91,11 @@ def detect_language(col: Column) -> Column:
         scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return F.when(best["score"] > 0.02, best["lang"]).otherwise(F.lit("und"))
+
+
+def detect_language(col: Column) -> Column:
+    """Best stopword-hit language, 'und' (undetermined) when nothing hits."""
+    return _detect_language_t(tokens(col))
 
 
 def fingerprint(col: Column) -> Column:
@@ -95,19 +108,26 @@ def fingerprint(col: Column) -> Column:
 def analyze(
     df: DataFrame, text_col: str = "text", *, lang: str = "en"
 ) -> DataFrame:
-    """One projection adding all text-analysis columns (single pass)."""
+    """One pass adding all text-analysis columns.  The token array is
+    materialized in its own projection first and every signal reads it as
+    a column — the fused single-expression form re-derived it per signal
+    (interpreted-projection CSE does not fully cover HOF subtrees;
+    measured −28% at sf0.1, see dedup._gram_frame for the lambda-body
+    worst case)."""
     c = F.col(text_col)
-    return df.select(
+    staged = df.withColumn("__toks", tokens(c))
+    t = F.col("__toks")
+    return staged.select(
         "*",
-        whitespace_token_count(c).alias("n_tokens_ws"),
+        F.size(t).alias("n_tokens_ws"),
         bpe_ish_token_count(c).alias("n_tokens_bpe"),
-        stopword_ratio(c, lang).alias("stopword_ratio"),
+        _stopword_ratio_t(t, lang).alias("stopword_ratio"),
         punct_ratio(c).alias("punct_ratio"),
-        mean_word_length(c).alias("mean_word_len"),
-        quality_score(c, lang).alias("quality"),
-        detect_language(c).alias("lang_detected"),
+        _mean_word_length_t(t).alias("mean_word_len"),
+        _quality_score_t(c, t, lang).alias("quality"),
+        _detect_language_t(t).alias("lang_detected"),
         fingerprint(c).alias("fingerprint"),
-    )
+    ).drop("__toks")
 
 
 def _max_run(arr: Column) -> Column:
@@ -170,25 +190,27 @@ def quality_filters(
     max_top_token_frac: float = 0.12,
     min_quality: float = 0.5,
 ) -> DataFrame:
-    """The composed C4/Gopher-style cleaning pass, ONE projection: boolean
+    """The composed C4/Gopher-style cleaning pass, one scan (a token-array
+    staging projection + one signal projection, pipelined): boolean
     columns ``pass_len`` / ``pass_lang`` / ``pass_rep`` / ``pass_quality``
     and their conjunction ``pass_all``. Each signal reuses the oracled
     building blocks above; quality is compared after the same 4-dp
     floor-rounding ``quality_docs`` pins (raw double ULPs differ across
     engines), repetition as an exact integer ratio."""
     c = F.col(text_col)
-    toks = tokens(c)
+    staged = df.withColumn("__toks", tokens(c))
+    toks = F.col("__toks")
     n = F.size(toks)
-    q4 = F.floor(quality_score(c, lang) * 10000 + 0.5) / 10000
+    q4 = F.floor(_quality_score_t(c, toks, lang) * 10000 + 0.5) / 10000
     top = _max_run(F.array_sort(toks))
-    return df.select(
+    return staged.select(
         "*",
         (n >= min_tokens).alias("pass_len"),
-        (detect_language(c) == lang).alias("pass_lang"),
+        (_detect_language_t(toks) == lang).alias("pass_lang"),
         (top * F.lit(1.0) / F.greatest(n, F.lit(1)) <= max_top_token_frac)
         .alias("pass_rep"),
         (q4 >= min_quality).alias("pass_quality"),
-    ).withColumn(
+    ).drop("__toks").withColumn(
         "pass_all",
         F.col("pass_len") & F.col("pass_lang") & F.col("pass_rep")
         & F.col("pass_quality"),

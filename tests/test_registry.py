@@ -21,8 +21,8 @@ FAMILY_REPRESENTATIVES = {
     "tdigest_price", "checkpoint_resume", "multimodal_features", "resize_plan",
     # near-dup + ANN
     "simhash_near_dups", "near_dup_clusters", "ivf_indexed_topk_cosine",
-    "minhash_near_dups", "decontaminate_pairs", "ngram_jaccard_pairs",
-    "embedding_near_dups",
+    "minhash_near_dups", "decontaminate_pairs", "embedding_near_dups",
+    "dup_ngram_coverage",
     # streaming (all four mechanisms)
     "streaming_validation", "streaming_dedup", "streaming_windowed_metrics",
     "streaming_running_verdicts",
@@ -31,13 +31,13 @@ FAMILY_REPRESENTATIVES = {
     "enum_returnflag", "range_lineitem", "histograms", "psi_drift",
     "categorical_drift", "table_checks_lineitem", "format_json_checks",
     "grouping_verdicts", "verdict_set_ops", "topk_price_by_flag",
-    "stats_events_by_type", "approx_unique_lineitem",
+    "approx_unique_lineitem", "skew_report_events",
     # training-data pipeline ops
-    "token_totals", "bpe_token_stats", "lang_detect_docs", "quality_docs",
+    "token_totals", "bpe_token_stats", "lang_detect_docs",
     "pii_docs", "repetition_docs", "packed_shards", "mixture_docs",
     "chunked_docs", "clean_corpus_report", "exact_dup_groups",
-    "dedup_incremental", "colocated_dedup", "vector_stats",
-    "stratified_sample_events",
+    "dedup_incremental", "colocated_dedup",
+    "stratified_sample_events", "lm_perplexity_docs", "dsir_weights",
 }
 
 
@@ -65,8 +65,13 @@ def test_overflow_entries_have_recorded_family_siblings():
     # every overflow entry maps to >= 1 recorded sibling of the same family
     siblings = {
         "quantiles_price": "tdigest_price",
-        "events_domain": "stats_events_by_type",
-        "text_analysis": "quality_docs",
+        "events_domain": "stats_lineitem",
+        "text_analysis": "clean_corpus_report",
+        "quality_docs": "clean_corpus_report",
+        "stats_events_by_type": "stats_lineitem",
+        "ngram_jaccard_pairs": "minhash_near_dups",
+        "vector_stats": "embedding_near_dups",
+        "exactsubstr_clean_docs": "dup_ngram_coverage",
         "dedup_exact_keep": "exact_dup_groups",
         "fingerprint_distinct": "exact_dup_groups",
         "sample_split_docs": "stratified_sample_events",
