@@ -158,7 +158,23 @@ def cumulative_tokens(
     n_parts = min(n_parts, _MAX_PID_BUCKETS)
     bounds = _order_bounds(df, order_col, n_parts)
     if bounds is not None:
-        part = df.withColumn(_PID, _pid_from_bounds(order_col, bounds))
+        # The `+ 0 * monotonically_increasing_id()` is a value-neutral
+        # NONDETERMINISM BARRIER, not dead code: the pid expression holds
+        # a HOF lambda with an outer reference, and Catalyst's
+        # InferFiltersFromConstraints mis-computes that lambda's reference
+        # set — it derives `pid_expr <=> __pack_pid` from the offset join
+        # and pushes it to the offset side, where the order column does
+        # not exist, producing an unresolvable `!Filter` that fails task
+        # binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND; reproduced with an
+        # int order column, pinned in test_packing.py). Constraints are
+        # only inferred from deterministic expressions, so the no-op
+        # nondeterministic term suppresses exactly this inference; the
+        # value is unchanged (x*0) under any retry.
+        pid = (
+            _pid_from_bounds(order_col, bounds).cast("long")
+            + F.lit(0) * F.monotonically_increasing_id()
+        ).cast("int")
+        part = df.withColumn(_PID, pid)
     else:
         # the expensive path: a full wide-row localCheckpoint
         # materialization just to freeze the sampled range partitioning —
@@ -289,3 +305,40 @@ def select_mixture(
         .filter(F.col("cum_tokens_before") < F.col("__target"))
         .drop("__target")
     )
+
+
+def temperature_targets(
+    df: DataFrame,
+    token_col: str,
+    by: str,
+    *,
+    total_tokens: int,
+    temperature: float = 1.0,
+) -> dict:
+    """Per-group token targets for temperature-scaled mixture sampling
+    (the multilingual/multi-source rebalancing rule of mT5/XLM-R:
+    ``p_i ∝ n_i^(1/T)``).  T=1 keeps natural proportions; T→∞ approaches
+    uniform; T<1 sharpens toward the biggest sources.  Feed the result to
+    :func:`select_mixture`.
+
+    One aggregation (per-group token totals — O(groups) driver state,
+    same bound as select_mixture's own target map); targets are floored
+    and never exceed a group's available tokens."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be >= 0")
+    totals = {
+        r["g"]: int(r["n"])
+        for r in df.groupBy(F.col(by).alias("g"))
+        .agg(F.sum(token_col).alias("n"))
+        .collect()
+    }
+    if not totals:
+        return {}
+    weights = {g: n ** (1.0 / temperature) for g, n in totals.items() if n > 0}
+    z = sum(weights.values()) or 1.0
+    return {
+        g: min(int(total_tokens * w / z), totals[g])
+        for g, w in weights.items()
+    }

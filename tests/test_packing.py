@@ -289,3 +289,47 @@ def test_packing_plan_shapes(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan2
     assert plan2.count("BroadcastHashJoin") >= 2  # offsets + targets
+
+
+def test_temperature_targets(spark):
+    from json_to_avro_schema_spark.operators.packing import (
+        select_mixture,
+        temperature_targets,
+    )
+
+    rows = [("a", i, 10) for i in range(9)] + [("b", i, 10) for i in range(1)]
+    df = spark.createDataFrame(rows, "src string, ord int, toks int")
+    # T=1: natural proportions 90/10
+    t1 = temperature_targets(df, "toks", "src", total_tokens=50, temperature=1.0)
+    assert t1 == {"a": 45, "b": 5}
+    # T->inf flattens toward uniform, capped by availability
+    t_flat = temperature_targets(df, "toks", "src", total_tokens=50, temperature=100.0)
+    assert t_flat["b"] == 10  # capped at the group's available tokens
+    assert abs(t_flat["a"] - 25) <= 1
+    # targets feed select_mixture directly
+    kept = select_mixture(df, "toks", "ord", "src", t1)
+    got = {r["src"]: r["n"] for r in kept.groupBy("src").count().withColumnRenamed("count", "n").collect()}
+    assert got == {"a": 5, "b": 1}  # 45//10 rounds up to 5 kept docs (take-while)
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_targets(df, "toks", "src", total_tokens=10, temperature=0)
+
+
+def test_int_order_constraint_inference_regression(spark):
+    """An IntegerType order column used to make Catalyst's
+    InferFiltersFromConstraints push the pid HOF-lambda expression onto
+    the offset-join side (where the order column doesn't exist),
+    producing an unresolvable !Filter and
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at task binding. The
+    nondeterminism barrier in cumulative_tokens suppresses the inference;
+    this pins both the execution and the plan."""
+    from json_to_avro_schema_spark.operators.packing import cumulative_tokens
+
+    rows = [("a", i, 10) for i in range(9)] + [("b", 9, 10)]
+    df = spark.createDataFrame(rows, "src string, ord int, toks int")
+    out = cumulative_tokens(df, "toks", "ord", by="src")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "!Filter" not in plan, plan
+    got = {(r["src"], r["ord"]): r["cum_tokens_before"] for r in out.collect()}
+    assert got[("a", 0)] == 0 and got[("a", 8)] == 80 and got[("b", 9)] == 0
