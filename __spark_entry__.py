@@ -1130,6 +1130,142 @@ FROM hot, s ORDER BY rank
 """
 
 
+def _q_metric_anomalies_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-run metric anomaly detection (operators/anomaly.py — the
+    Deequ metrics-repository pattern over checkpoint state): events'
+    30 days become 30 runs of a per-event-type row-count metric; day 30
+    is the current run with a deterministically planted 10x spike on
+    'error' (the planted-corruption gate pattern). The operator must
+    flag exactly the spike via the rel rule (daily counts are
+    near-constant, so z-vs-rel routing is data-driven) and leave the
+    other four types unflagged. Thresholds checked on UNROUNDED values
+    on both engines; outputs rounded to 6dp for the hash."""
+    from json_to_avro_schema_spark.operators.anomaly import metric_anomalies
+
+    ev = load_table(spark, sf, "events")
+    m = ev.groupBy(
+        F.dayofmonth("ts").alias("run"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = m.withColumn(
+        "n",
+        F.when(
+            (F.col("run") == 30) & (F.col("event_type") == "error"),
+            F.col("n") * 10,
+        ).otherwise(F.col("n")),
+    )
+    return metric_anomalies(m, "run", "event_type", "n", 30).orderBy(
+        "event_type"
+    )
+
+
+_O_METRIC_ANOMALIES_EVENTS = """
+WITH m0 AS (
+  SELECT date_part('day', ts) AS run, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT run, event_type,
+         CASE WHEN run = 30 AND event_type = 'error' THEN n * 10 ELSE n END AS n
+  FROM m0
+), cur AS (
+  SELECT event_type, CAST(n AS DOUBLE) AS cur_v FROM m WHERE run = 30
+), hist AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS hist_n,
+         avg(CAST(n AS DOUBLE)) AS mean_v,
+         stddev_pop(CAST(n AS DOUBLE)) AS std_v
+  FROM m WHERE run < 30 GROUP BY 1
+), j AS (
+  SELECT coalesce(c.event_type, h.event_type) AS event_type,
+         cur_v, coalesce(hist_n, 0) AS hist_n, mean_v, std_v,
+         abs(cur_v - mean_v) AS dev,
+         CASE WHEN mean_v <> 0 THEN abs(cur_v - mean_v) / abs(mean_v) END AS rel,
+         CASE WHEN std_v > 0 THEN abs(cur_v - mean_v) / std_v END AS z,
+         coalesce(hist_n, 0) >= 2 AS enough
+  FROM cur c FULL OUTER JOIN hist h ON c.event_type = h.event_type
+)
+SELECT event_type, cur_v AS current, hist_n,
+       round(mean_v, 6) AS hist_mean, round(std_v, 6) AS hist_std,
+       round(rel, 6) AS rel_change, round(z, 6) AS z_score,
+       NOT enough AS insufficient_history,
+       CASE WHEN enough AND cur_v IS NULL THEN 'missing'
+            WHEN enough AND z > 3.0 THEN 'z'
+            WHEN enough AND rel > 0.5 THEN 'rel' END AS reason,
+       (CASE WHEN enough AND cur_v IS NULL THEN 'missing'
+             WHEN enough AND z > 3.0 THEN 'z'
+             WHEN enough AND rel > 0.5 THEN 'rel' END) IS NOT NULL AS anomalous
+FROM j ORDER BY event_type
+"""
+
+
+def _q_suggested_spec_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint-suggestion profiler (operators/profile.py) over
+    lineitem — the Deequ-style bootstrap step: ONE fused scan profiles
+    every atomic column (nulls, exact distinct, min/max, length bounds,
+    small enum value sets, exact-verified uniqueness) and the result is
+    exactly what suggest_spec() turns into a compilable spec. Lengths
+    cast to long: Spark length() is int, DuckDB's is bigint, and the
+    gate hash is type-sensitive. exact_distinct=True so every field is
+    SQL-re-derivable (the approx/HLL path is the 10^12-row default and
+    is pinned by tests/test_profile.py instead)."""
+    from json_to_avro_schema_spark.operators.profile import (
+        profile_frame,
+        profile_table,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    profs = profile_table(li, exact_distinct=True)
+    pf = profile_frame(li, profs)
+    return pf.select(
+        "column", "json_type", "n_rows", "n_nulls", "n_distinct",
+        "required", "is_unique", "min_num", "max_num",
+        F.col("min_len").cast("long").alias("min_len"),
+        F.col("max_len").cast("long").alias("max_len"),
+        "enum_vals",
+    ).orderBy("column")
+
+
+def _o_suggested_spec_lineitem() -> str:
+    # (column, json_type, numeric?, string?) — mirrors profile._json_type
+    cols = [
+        ("l_orderkey", "integer", True, False),
+        ("l_partkey", "integer", True, False),
+        ("l_suppkey", "integer", True, False),
+        ("l_linenumber", "integer", True, False),
+        ("l_quantity", "number", True, False),
+        ("l_extendedprice", "number", True, False),
+        ("l_discount", "number", True, False),
+        ("l_tax", "number", True, False),
+        ("l_returnflag", "string", False, True),
+        ("l_linestatus", "string", False, True),
+        ("l_shipdate", None, False, False),
+    ]
+    parts = []
+    for c, jt, num, s in cols:
+        jt_sql = f"'{jt}'" if jt else "CAST(NULL AS VARCHAR)"
+        min_num = f"CAST(min({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        max_num = f"CAST(max({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        min_len = f"CAST(min(length({c})) AS BIGINT)" if s else "CAST(NULL AS BIGINT)"
+        max_len = f"CAST(max(length({c})) AS BIGINT)" if s else "CAST(NULL AS BIGINT)"
+        enum = (
+            f"CASE WHEN count(DISTINCT {c}) <= 16 THEN (SELECT "
+            f"string_agg(v, ',' ORDER BY v) FROM (SELECT DISTINCT {c} AS v "
+            f"FROM lineitem WHERE {c} IS NOT NULL)) END"
+            if s else "CAST(NULL AS VARCHAR)"
+        )
+        parts.append(f"""
+        SELECT '{c}' AS "column", {jt_sql} AS json_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               count(*) = count({c}) AND count(*) > 0 AS required,
+               count(DISTINCT {c}) = count(*) AND count(*) = count({c})
+                 AND count(*) > 0 AS is_unique,
+               {min_num} AS min_num, {max_num} AS max_num,
+               {min_len} AS min_len, {max_len} AS max_len,
+               {enum} AS enum_vals
+        FROM lineitem""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style corpus self-scoring (operators/lm.py): fit an
     add-alpha unigram LM on the corpus (min_count=2 threshold — no
@@ -3108,7 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.3 table-level checks (SQL-expressible, DuckDB-oracled)
         "stats_lineitem": _q_stats_lineitem,
         "unique_orders": _q_unique_orders,
-        "dup_event_users": _q_dup_event_users,
+        "metric_anomalies_events": _q_metric_anomalies_events,
         "ri_checks": _q_ri_checks,
         "enum_returnflag": _q_enum_returnflag,
         "range_lineitem": _q_range_lineitem,
@@ -3123,7 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_unique_lineitem": _q_approx_unique_lineitem,
         # training-data pipeline ops (oracled)
         "token_totals": _q_token_totals,
-        "bpe_token_stats": _q_bpe_token_stats,
+        "suggested_spec_lineitem": _q_suggested_spec_lineitem,
         "lang_detect_docs": _q_lang_detect_docs,
         "pii_docs": _q_pii_docs,
         "repetition_docs": _q_repetition_docs,
@@ -3161,6 +3297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_cosine": _q_ivf_topk_cosine,
         "streaming_dedup_watermarked": _q_streaming_dedup_watermarked,
         "exactsubstr_clean_docs": _q_exactsubstr_clean_docs,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "dup_event_users": _q_dup_event_users,
     }
 
 
@@ -3189,6 +3327,7 @@ def oracle_sql() -> dict[str, str]:
         # table-level checks
         "stats_lineitem": _o_stats_lineitem(),
         "unique_orders": _O_UNIQUE_ORDERS,
+        "metric_anomalies_events": _O_METRIC_ANOMALIES_EVENTS,
         "dup_event_users": _O_DUP_EVENT_USERS,
         "ri_checks": _O_RI_CHECKS,
         "enum_returnflag": _O_ENUM_RETURNFLAG,
@@ -3205,6 +3344,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_unique_lineitem": _O_APPROX_UNIQUE_LINEITEM,
         # training-data pipeline ops
         "token_totals": _O_TOKEN_TOTALS,
+        "suggested_spec_lineitem": _o_suggested_spec_lineitem(),
         "bpe_token_stats": _O_BPE_TOKEN_STATS,
         "lang_detect_docs": _o_lang_detect_docs(),
         "quality_docs": _O_QUALITY_DOCS,

@@ -459,6 +459,14 @@ def _cluster_child(n_exec: int, cores: int) -> None:
         master=f"local-cluster[{n_exec},{cores},{mem_mb}]",
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Finer scan tasks (32 MB vs the 128 MB default): the validation job is
+    # CPU-bound (~6 s of work per 128 MB task), so the default quantizes the
+    # 2.7 GB input into ~22 tasks — 2.75 uneven waves on 8 cores, ~15% idle
+    # tail at the larger config while the 2-core config divides evenly. The
+    # same conf is applied to BOTH cluster sizes (it is a fairness fix, not a
+    # large-config-only tweak) and matches real-cluster practice of sizing
+    # scan tasks to >=3-4 waves per core.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     spec_kind = os.environ.get("SPARK_GRAFT_SCALE_SPEC", "rich")
     plan = compile_document(
         documents_iv_rich_spec() if spec_kind == "rich" else documents_iv_spec()

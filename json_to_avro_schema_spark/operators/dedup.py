@@ -949,9 +949,10 @@ def remove_duplicated_ngrams(
     from .text import tokens as _tokens
 
     hashes, dup_pos = _dup_gram_positions(df, text_col, id_col, k, min_docs)
-    # _dps starts are 0-based (posexplode); the filter index below is
-    # 1-based — a duplicated gram starting at array index s covers tokens
-    # s+1 .. s+k
+    # _dps starts are 0-based (posexplode); covered positions are emitted
+    # 1-based (a gram starting at 0-based index s covers 1-based token
+    # positions s+1 .. s+k) and the filter lambda converts its 0-based
+    # index i with i+1 to match
     covered_pos = F.array_distinct(
         F.flatten(
             F.transform(

@@ -74,6 +74,16 @@ def unigram_lm(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # persist the token-count aggregate: it feeds the totals collect AND
+    # every downstream action on lm.vocab (scoring joins re-trigger the
+    # whole fit otherwise — each one a full corpus re-scan). Size is one
+    # row per DISTINCT token (vocab-scale, not corpus-scale); the default
+    # MEMORY_AND_DISK level spills rather than evicts on a junk-heavy
+    # vocabulary. sf0.1 A/B is timing-neutral (the re-scan is cheap at
+    # 20 k docs; medians 1.77 s both ways — BENCH/BASELINE.md §1c); the
+    # win is structural: one corpus scan instead of one per scoring
+    # action, plus accurate tiny-side stats for the join planner.
+    tok = tok.persist()
     kept = tok.filter(F.col("cnt") >= min_count)
     # two bounded scalar aggregates (N over all tokens incl. folded OOV,
     # V over the kept vocab) — driver state is O(1)

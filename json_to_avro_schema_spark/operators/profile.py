@@ -1,0 +1,296 @@
+"""Table profiling → constraint-spec suggestion (the Deequ-style
+"constraint suggestion" loop, closed: ``suggest_spec(df)`` emits a spec
+document the engine's own compiler accepts, so profile → compile →
+validate round-trips with zero violations on the profiled table).
+
+The reference repo converts hand-written schemas; it has no profiler
+(nothing in /root/reference/src/main derives a schema from data). This
+extends the engine the way the dedup/packing family does: an operator a
+large-scale validation deployment needs on day one — bootstrap the spec
+from yesterday's partition, review, then enforce on tomorrow's.
+
+Distributed shape (must survive 100 TB):
+
+- ``profile_table``: ONE fused ``df.agg(...)`` scan carrying, per column,
+  null count + min/max (numerics) + length min/max (strings) + HLL
+  distinct (``approx_count_distinct``, single-pass, no Expand blow-up).
+  Driver state is O(columns), never O(rows).
+- Enum candidates (distinct ≤ ``enum_max``) get their value sets from a
+  SECOND bounded aggregate over just those columns —
+  ``slice(array_sort(collect_set(c)), 1, enum_max+1)`` so a lying HLL
+  estimate can only cost ``enum_max+1`` values of memory, after which the
+  oversized set disqualifies the column instead of OOMing an executor.
+- Uniqueness candidates (HLL distinct ≈ row count) are re-verified with
+  EXACT ``count_distinct`` in a third aggregate restricted to the
+  candidate columns — the Deequ two-phase pattern: the corpus-wide exact
+  distinct shuffle is paid only for columns that already look unique.
+  ``exact_distinct=True`` skips HLL and does exact counts for every
+  column in one multi-distinct aggregate (Catalyst's Expand multiplies
+  the scan by the distinct-agg count — right for gate-scale oracling,
+  wrong at 10^12 rows; the default approx path is the scale path).
+
+Type mapping into spec keywords: long → ``integer``; int → ``integer`` +
+``x-bits: 32``; float/double/decimal → ``number``; boolean → ``boolean``;
+string → ``string`` (+ ``minLength``/``maxLength``). Other Spark types
+(date, timestamp, array, struct, binary) get no ``properties`` entry —
+presence can still be enforced (they appear in ``required`` when
+null-free) and their conformance belongs to the typed expected_schema,
+not value keywords. Cross-table x-ref inference is out of scope
+(containment profiling needs a join per table pair; suggest refs from
+lineage, not data).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# spec "type" per Spark atomic type class (None = no properties entry)
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+@dataclass(frozen=True)
+class ColumnProfile:
+    """One column's fused-scan profile (all driver-side scalars)."""
+
+    name: str
+    spark_type: str
+    json_type: Optional[str]  # integer | number | string | boolean | None
+    x_bits: Optional[int]  # 32 for int-typed columns, else None
+    n_rows: int
+    n_nulls: int
+    n_distinct: int
+    distinct_is_exact: bool
+    min_value: Optional[float]  # numerics only
+    max_value: Optional[float]
+    min_length: Optional[int]  # strings only
+    max_length: Optional[int]
+    enum_values: Optional[List[str]]  # strings with distinct <= enum_max
+    is_unique: bool  # exact-verified (approx mode re-verifies candidates)
+
+
+def _json_type(dt: T.DataType) -> tuple[Optional[str], Optional[int]]:
+    if isinstance(dt, T.BooleanType):
+        return "boolean", None
+    if isinstance(dt, _INT_TYPES):
+        bits = 32 if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)) else None
+        return "integer", bits
+    if isinstance(dt, _FLOAT_TYPES):
+        return "number", None
+    if isinstance(dt, T.StringType):
+        return "string", None
+    return None, None
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    *,
+    enum_max: int = 16,
+    exact_distinct: bool = False,
+    rsd: float = 0.05,
+) -> List[ColumnProfile]:
+    """Profile ``columns`` (default: every atomic column) in one fused
+    scan + at most two bounded follow-up aggregates (enum value sets;
+    exact uniqueness verification). Returns driver-side scalars only."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(columns) if columns is not None else [
+        c for c, dt in fields.items()
+        if _json_type(dt)[0] is not None
+        or isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType))
+    ]
+
+    exprs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = fields[c]
+        jt, _ = _json_type(dt)
+        exprs.append(
+            # coalesce: sum over ZERO rows is NULL, and an empty table must
+            # profile as all-zero counts, not crash the int() conversion
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"{c}__nulls")
+        )
+        if exact_distinct:
+            exprs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+        else:
+            exprs.append(
+                F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__nd")
+            )
+        if jt in ("integer", "number"):
+            # integers stay integral end-to-end: a double round-trip could
+            # round a >2^53 min UP, suggesting a `minimum` the data violates
+            cast_to = "long" if jt == "integer" else "double"
+            exprs.append(F.min(c).cast(cast_to).alias(f"{c}__min"))
+            exprs.append(F.max(c).cast(cast_to).alias(f"{c}__max"))
+        elif jt == "string":
+            exprs.append(F.min(F.length(c)).alias(f"{c}__minlen"))
+            exprs.append(F.max(F.length(c)).alias(f"{c}__maxlen"))
+    row = df.agg(*exprs).collect()[0].asDict()
+    n_rows = int(row["__n"])
+
+    # ---- bounded enum pass: strings whose (approx) distinct fits enum_max
+    enum_cands = [
+        c for c in cols
+        if _json_type(fields[c])[0] == "string"
+        and 0 < int(row[f"{c}__nd"]) <= enum_max
+    ]
+    enums: Dict[str, List[str]] = {}
+    if enum_cands:
+        erow = df.agg(*[
+            F.slice(
+                F.array_sort(F.collect_set(c)), 1, enum_max + 1
+            ).alias(c)
+            for c in enum_cands
+        ]).collect()[0].asDict()
+        for c, vals in erow.items():
+            if vals and len(vals) <= enum_max:
+                enums[c] = list(vals)
+
+    # ---- exact uniqueness verification (approx mode: candidates only)
+    uniq_cands = [
+        c for c in cols
+        if int(row[f"{c}__nulls"]) == 0
+        and int(row[f"{c}__nd"]) >= n_rows * (1 - 2 * rsd)
+    ]
+    exact_nd: Dict[str, int] = {}
+    if exact_distinct:
+        exact_nd = {c: int(row[f"{c}__nd"]) for c in cols}
+    elif uniq_cands and n_rows > 0:
+        vrow = df.agg(*[
+            F.count_distinct(F.col(c)).alias(c) for c in uniq_cands
+        ]).collect()[0].asDict()
+        exact_nd = {c: int(v) for c, v in vrow.items()}
+
+    out: List[ColumnProfile] = []
+    for c in cols:
+        dt = fields[c]
+        jt, bits = _json_type(dt)
+        nd = exact_nd.get(c, int(row[f"{c}__nd"]))
+        ev = enums.get(c)
+        if ev is not None:
+            nd = len(ev)  # collect_set is exact; trust it over the HLL
+        out.append(ColumnProfile(
+            name=c,
+            spark_type=dt.simpleString(),
+            json_type=jt,
+            x_bits=bits,
+            n_rows=n_rows,
+            n_nulls=int(row[f"{c}__nulls"]),
+            n_distinct=nd,
+            distinct_is_exact=exact_distinct or c in exact_nd or ev is not None,
+            min_value=row.get(f"{c}__min"),
+            max_value=row.get(f"{c}__max"),
+            min_length=row.get(f"{c}__minlen"),
+            max_length=row.get(f"{c}__maxlen"),
+            enum_values=ev,
+            is_unique=(
+                c in exact_nd and n_rows > 0 and exact_nd[c] == n_rows
+                and int(row[f"{c}__nulls"]) == 0
+            ),
+        ))
+    return out
+
+
+def suggest_spec(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    *,
+    enum_max: int = 16,
+    exact_distinct: bool = False,
+    schema_id: str = "http://engine.local/SuggestedSpec",
+    profiles: Optional[List[ColumnProfile]] = None,
+) -> dict:
+    """Profile ``df`` and emit a constraint-spec document (dict) that
+    ``compiler.plan.compile_document`` accepts. Every suggested keyword
+    holds on the profiled data by construction — observed min/max become
+    ``minimum``/``maximum``, observed length bounds become
+    ``minLength``/``maxLength``, exact small value sets become ``enum``,
+    null-free columns become ``required``, and exactly-verified unique
+    null-free columns become ``x-unique`` entries — so validating the
+    profiled table under the suggested spec yields ZERO violations (the
+    round-trip invariant pinned in tests/test_profile.py)."""
+    profs = profiles if profiles is not None else profile_table(
+        df, columns, enum_max=enum_max, exact_distinct=exact_distinct
+    )
+    properties: Dict[str, dict] = {}
+    required: List[str] = []
+    uniques: List[dict] = []
+    stats_cols: List[str] = []
+    for p in profs:
+        node: dict = {}
+        if p.json_type is not None:
+            node["type"] = p.json_type
+        if p.x_bits is not None:
+            node["x-bits"] = p.x_bits
+        if p.enum_values is not None:
+            node["enum"] = p.enum_values
+        elif p.json_type in ("integer", "number"):
+            if p.min_value is not None:
+                node["minimum"] = (
+                    int(p.min_value) if p.json_type == "integer"
+                    else float(p.min_value)
+                )
+            if p.max_value is not None:
+                node["maximum"] = (
+                    int(p.max_value) if p.json_type == "integer"
+                    else float(p.max_value)
+                )
+            stats_cols.append(p.name)
+        elif p.json_type == "string":
+            if p.min_length is not None:
+                node["minLength"] = int(p.min_length)
+            if p.max_length is not None:
+                node["maxLength"] = int(p.max_length)
+        if node:
+            properties[p.name] = node
+        if p.n_nulls == 0 and p.n_rows > 0:
+            required.append(p.name)
+        if p.is_unique:
+            uniques.append(
+                {"name": f"unique_{p.name}", "columns": [p.name]}
+            )
+    doc: dict = {
+        "$schema": "http://json-schema.org/draft-06/schema#",
+        "$id": schema_id,
+        "description": "Constraint spec suggested by operators/profile.py "
+                       "(every keyword observed to hold on the profiled table)",
+        "type": "object",
+        "properties": properties,
+        "required": required,
+    }
+    if uniques:
+        doc["x-unique"] = uniques
+    if stats_cols:
+        doc["x-stats"] = stats_cols
+    return doc
+
+
+def profile_frame(df: DataFrame, profiles: List[ColumnProfile]) -> DataFrame:
+    """The profile as a small DataFrame (one row per column) — the
+    oracle-hashable surface for the driver gate: every field is exactly
+    re-derivable in SQL when the profile ran with ``exact_distinct=True``."""
+    spark = df.sparkSession
+    rows = [
+        (
+            p.name, p.json_type, p.n_rows, p.n_nulls, p.n_distinct,
+            p.n_nulls == 0 and p.n_rows > 0, p.is_unique,
+            float(p.min_value) if p.min_value is not None else None,
+            float(p.max_value) if p.max_value is not None else None,
+            p.min_length, p.max_length,
+            ",".join(p.enum_values) if p.enum_values is not None else None,
+        )
+        for p in profiles
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, json_type string, n_rows long, n_nulls long, "
+        "n_distinct long, required boolean, is_unique boolean, "
+        "min_num double, max_num double, min_len int, max_len int, "
+        "enum_vals string",
+    )

@@ -79,14 +79,24 @@ def test_importance_weights_directional(spark):
 
 
 def test_vocab_broadcast_guard(spark, monkeypatch):
+    # The guard controls the explicit HINT only; Spark's stats-based
+    # auto-broadcast stays free to pick a broadcast for a genuinely tiny
+    # vocab (and does, now that the persisted token aggregate carries
+    # accurate sizeInBytes). Pin the hint by disabling auto-broadcast:
+    # over-cap vocab must then plan a non-broadcast join, under-cap must
+    # still force one.
     df = _docs(spark, ["a b c d e f"])
     m = LM.unigram_lm(df, min_count=1, alpha=0.5)
-    plan_bc = LM.score_documents(df, m)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan_bc
-    monkeypatch.setattr(LM, "BROADCAST_VOCAB_MAX_ROWS", 0)
-    # re-fit so vocab_size is compared against the patched cap
-    plan_no = LM.score_documents(df, m)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" not in plan_no
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_bc = LM.score_documents(df, m)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_bc  # hinted despite threshold -1
+        monkeypatch.setattr(LM, "BROADCAST_VOCAB_MAX_ROWS", 0)
+        plan_no = LM.score_documents(df, m)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_no
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
 # ------------------------------------------------- duplicated n-grams

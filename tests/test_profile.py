@@ -1,0 +1,140 @@
+"""operators/profile.py: table profiling -> constraint-spec suggestion.
+
+The load-bearing property is the round-trip invariant: a spec suggested
+from a table must compile under the engine's own compiler and validate
+that same table with ZERO violations (every suggested keyword was
+observed to hold)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from json_to_avro_schema_spark.compiler.plan import compile_document
+from json_to_avro_schema_spark.operators.profile import (
+    profile_frame,
+    profile_table,
+    suggest_spec,
+)
+from json_to_avro_schema_spark.runner import apply_row_checks, extract_violations
+from json_to_avro_schema_spark.table_checks import run_table_checks
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    rows = [
+        (i, float(i) * 1.5, f"doc {i:03d}", ["A", "N", "R"][i % 3],
+         i if i % 7 else None, i % 2 == 0)
+        for i in range(1, 201)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, price double, title string, flag string, "
+        "maybe int, even boolean",
+    )
+
+
+def test_profile_values(spark, sample):
+    profs = {p.name: p for p in profile_table(sample, exact_distinct=True)}
+    assert profs["id"].json_type == "integer" and profs["id"].x_bits is None
+    assert profs["maybe"].x_bits == 32
+    assert profs["id"].n_rows == 200 and profs["id"].n_nulls == 0
+    assert profs["id"].min_value == 1 and profs["id"].max_value == 200
+    assert profs["id"].is_unique and profs["id"].distinct_is_exact
+    assert profs["price"].json_type == "number"
+    assert profs["price"].min_value == pytest.approx(1.5)
+    assert profs["flag"].enum_values == ["A", "N", "R"]
+    assert profs["flag"].n_distinct == 3
+    # 200 distinct titles > enum_max -> no enum, but length bounds
+    assert profs["title"].enum_values is None
+    assert profs["title"].min_length == 7 and profs["title"].max_length == 7
+    assert profs["maybe"].n_nulls == 200 // 7  # every 7th id in 1..200
+    assert not profs["maybe"].is_unique  # nulls disqualify uniqueness
+    assert profs["even"].json_type == "boolean"
+
+
+def test_profile_approx_mode_verifies_unique_candidates(spark, sample):
+    """Approx HLL pass -> exact count_distinct only for candidates; a
+    duplicated column must not be reported unique by HLL luck."""
+    dup = sample.withColumn("dupish", (F.col("id") % 190).cast("long"))
+    profs = {p.name: p for p in profile_table(dup, exact_distinct=False)}
+    assert profs["id"].is_unique and profs["id"].distinct_is_exact
+    assert not profs["dupish"].is_unique
+    # enum values are exact regardless of mode (collect_set pass)
+    assert profs["flag"].enum_values == ["A", "N", "R"]
+
+
+def test_suggest_spec_structure(spark, sample):
+    doc = suggest_spec(sample, exact_distinct=True)
+    props = doc["properties"]
+    assert props["id"] == {"type": "integer", "minimum": 1, "maximum": 200}
+    assert props["maybe"]["x-bits"] == 32
+    assert props["flag"] == {"type": "string", "enum": ["A", "N", "R"]}
+    assert props["title"]["minLength"] == 7
+    assert "maybe" not in doc["required"]
+    assert set(doc["required"]) == {"id", "price", "title", "flag", "even"}
+    assert {"name": "unique_id", "columns": ["id"]} in doc["x-unique"]
+    assert "price" in doc["x-stats"]
+
+
+def test_round_trip_zero_violations(spark, sample):
+    """suggest -> compile -> validate the SAME table: zero violations and
+    every table check passes."""
+    doc = suggest_spec(sample, exact_distinct=True)
+    plan = compile_document(doc)
+    checked = apply_row_checks(sample, plan)
+    assert extract_violations(checked, sample.columns).count() == 0
+    verdicts = run_table_checks(spark, sample, plan).collect()
+    assert verdicts and all(r["pass"] for r in verdicts)
+
+
+def test_round_trip_catches_drifted_data(spark, sample):
+    """The suggested spec is ENFORCEABLE: data outside the observed
+    domain violates it."""
+    doc = suggest_spec(sample, exact_distinct=True)
+    plan = compile_document(doc)
+    bad = spark.createDataFrame(
+        [(999, -1.0, "x", "Z", None, True)],
+        sample.schema,
+    )
+    v = extract_violations(apply_row_checks(bad, plan), bad.columns)
+    names = set(v.collect()[0]["failed_checks"])
+    # id range, price range, title minLength, flag enum all violated
+    assert any("id" in n for n in names)
+    assert any("flag" in n for n in names)
+
+
+def test_non_atomic_and_temporal_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", [1.0])], "id long, d string, emb array<double>"
+    ).select("id", F.col("d").cast("date").alias("d"), "emb")
+    profs = {p.name: p for p in profile_table(df, exact_distinct=True)}
+    assert "emb" not in profs  # non-atomic: not profiled
+    assert profs["d"].json_type is None  # temporal: presence only
+    doc = suggest_spec(df, exact_distinct=True)
+    assert "d" in doc["required"] and "d" not in doc["properties"]
+    # and the spec still compiles + validates cleanly
+    plan = compile_document(doc)
+    assert extract_violations(apply_row_checks(df, plan), df.columns).count() == 0
+
+
+def test_profile_frame_shape(spark, sample):
+    profs = profile_table(sample, exact_distinct=True)
+    pf = profile_frame(sample, profs)
+    rows = {r["column"]: r for r in pf.collect()}
+    assert rows["id"]["is_unique"] and rows["id"]["required"]
+    assert rows["flag"]["enum_vals"] == "A,N,R"
+    assert rows["maybe"]["n_nulls"] == 200 // 7
+
+
+def test_empty_table(spark):
+    df = spark.createDataFrame([], "id long, s string")
+    profs = profile_table(df, exact_distinct=True)
+    doc = suggest_spec(df, exact_distinct=True, profiles=profs)
+    assert doc["required"] == [] and "x-unique" not in doc
+    assert compile_document(doc) is not None

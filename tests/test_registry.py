@@ -27,13 +27,13 @@ FAMILY_REPRESENTATIVES = {
     "streaming_validation", "streaming_dedup", "streaming_windowed_metrics",
     "streaming_running_verdicts",
     # table-level checks
-    "stats_lineitem", "unique_orders", "dup_event_users", "ri_checks",
+    "stats_lineitem", "unique_orders", "metric_anomalies_events", "ri_checks",
     "enum_returnflag", "range_lineitem", "histograms", "psi_drift",
     "categorical_drift", "table_checks_lineitem", "format_json_checks",
     "grouping_verdicts", "verdict_set_ops", "topk_price_by_flag",
     "approx_unique_lineitem", "skew_report_events",
-    # training-data pipeline ops
-    "token_totals", "bpe_token_stats", "lang_detect_docs",
+    # training-data pipeline ops (+ the constraint-suggestion profiler)
+    "token_totals", "suggested_spec_lineitem", "lang_detect_docs",
     "pii_docs", "repetition_docs", "packed_shards", "mixture_docs",
     "chunked_docs", "clean_corpus_report", "exact_dup_groups",
     "dedup_incremental", "colocated_dedup",
@@ -82,6 +82,8 @@ def test_overflow_entries_have_recorded_family_siblings():
         "lsh_topk_cosine": "ivf_indexed_topk_cosine",
         "ivf_topk_cosine": "ivf_indexed_topk_cosine",
         "streaming_dedup_watermarked": "streaming_dedup",
+        "bpe_token_stats": "token_totals",
+        "dup_event_users": "unique_orders",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
