@@ -1266,6 +1266,170 @@ def _o_suggested_spec_lineitem() -> str:
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
 
 
+def _q_ref_suggest_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """FK/containment suggestion (operators/profile.py:ref_containment) —
+    the data-driven bootstrap for x-ref checks: both sides deduped to key
+    sets before the anti-join probe, parent uniqueness from ONE fused
+    aggregate over all referenced columns. Three candidate pairs exercise
+    the three outcomes: a real FK (l_orderkey→o_orderkey: full containment,
+    unique parent), a coincidental containment against a NON-unique parent
+    (l_suppkey→o_custkey — suggest_refs must refuse it: dangling-free
+    against a non-key is a join-explosion trap), and a dangling pair
+    (l_partkey→o_orderkey). ``containment`` is the raw IEEE double
+    1 - dangling/keys on both engines (bit-identical, no decimal round)."""
+    from json_to_avro_schema_spark.operators.profile import (
+        ref_containment,
+        ref_containment_frame,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cands = ref_containment(
+        li, orders,
+        [("l_orderkey", "o_orderkey"), ("l_suppkey", "o_custkey"),
+         ("l_partkey", "o_orderkey")],
+    )
+    return ref_containment_frame(spark, cands).orderBy(
+        "child_col", "parent_col"
+    )
+
+
+def _o_ref_suggest_containment() -> str:
+    def pair(cc: str, pc: str) -> str:
+        dang = "coalesce(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END), 0)"
+        return f"""
+        SELECT '{cc}' AS child_col, '{pc}' AS parent_col,
+               CAST(count(*) AS BIGINT) AS n_child_keys,
+               CAST({dang} AS BIGINT) AS n_dangling_keys,
+               CASE WHEN count(*) = 0 THEN 1.0
+                    ELSE 1.0 - (CAST({dang} AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               END AS containment,
+               (SELECT CAST(count(DISTINCT {pc}) AS BIGINT) FROM orders)
+                 AS parent_n_keys,
+               (SELECT count({pc}) > 0 AND count(DISTINCT {pc}) = count({pc})
+                FROM orders) AS parent_is_unique
+        FROM (SELECT DISTINCT {cc} AS k FROM lineitem
+              WHERE {cc} IS NOT NULL) c
+        LEFT JOIN (SELECT DISTINCT {pc} AS k FROM orders
+                   WHERE {pc} IS NOT NULL) p ON c.k = p.k"""
+
+    pairs = [("l_orderkey", "o_orderkey"), ("l_suppkey", "o_custkey"),
+             ("l_partkey", "o_orderkey")]
+    return (" UNION ALL ".join(pair(cc, pc) for cc, pc in pairs)
+            + " ORDER BY child_col, parent_col")
+
+
+def _q_profile_drift_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Run-over-run profile drift (operators/profile.py:profile_drift) —
+    the Deequ dataset-comparison step over two profiler outputs:
+    'yesterday' = lineitem restricted to l_quantity <= 25 profiling
+    (l_orderkey, l_quantity, l_returnflag); 'today' = the full table
+    profiling (l_orderkey, l_quantity, l_linestatus). Exercises every
+    status (added/removed/kept) plus range_expanded + distinct_shift on
+    l_quantity, all re-derived column-by-column in the DuckDB oracle.
+    exact_distinct=True for SQL parity; both profile frames are one row
+    per COLUMN, so the drift join itself is vocab-scale."""
+    from json_to_avro_schema_spark.operators.profile import (
+        profile_drift,
+        profile_frame,
+        profile_table,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    old = li.filter(F.col("l_quantity") <= 25)
+    opf = profile_frame(old, profile_table(
+        old, ["l_orderkey", "l_quantity", "l_returnflag"],
+        exact_distinct=True,
+    ))
+    npf = profile_frame(li, profile_table(
+        li, ["l_orderkey", "l_quantity", "l_linestatus"],
+        exact_distinct=True,
+    ))
+    return profile_drift(opf, npf).orderBy("column")
+
+
+def _o_profile_drift_lineitem() -> str:
+    # one profile row per (side, column) — mirrors profile_frame fields
+    def prof(col: str, jt: str, src: str) -> str:
+        num = jt in ("integer", "number")
+        mn = f"CAST(min({col}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({col}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        minl = (f"min(length({col}))" if jt == "string"
+                else "CAST(NULL AS INT)")
+        maxl = (f"max(length({col}))" if jt == "string"
+                else "CAST(NULL AS INT)")
+        ev = (
+            f"CASE WHEN count(DISTINCT {col}) <= 16 THEN (SELECT "
+            f"string_agg(v, ',' ORDER BY v) FROM (SELECT DISTINCT {col} "
+            f"AS v FROM {src} WHERE {col} IS NOT NULL)) END"
+            if jt == "string" else "CAST(NULL AS VARCHAR)"
+        )
+        return f"""
+        SELECT '{col}' AS col, '{jt}' AS jt,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS nd,
+               {mn} AS mn, {mx} AS mx, {minl} AS minl, {maxl} AS maxl,
+               {ev} AS ev,
+               count(DISTINCT {col}) = count(*) AND count(*) = count({col})
+                 AND count(*) > 0 AS uq
+        FROM {src}"""
+
+    old_cols = [("l_orderkey", "integer"), ("l_quantity", "number"),
+                ("l_returnflag", "string")]
+    new_cols = [("l_orderkey", "integer"), ("l_quantity", "number"),
+                ("l_linestatus", "string")]
+    o_sql = " UNION ALL ".join(prof(c, t, "old_t") for c, t in old_cols)
+    n_sql = " UNION ALL ".join(prof(c, t, "lineitem") for c, t in new_cols)
+    nr = ("CAST({s}.n_nulls AS DOUBLE) / (CASE WHEN {s}.n_rows >= 1 "
+          "THEN {s}.n_rows ELSE 1 END)")
+    nro, nrn = nr.format(s="o"), nr.format(s="n")
+    both = "o.col IS NOT NULL AND n.col IS NOT NULL"
+    null_jump = f"({both} AND ({nrn}) - ({nro}) > 0.01)"
+    distinct_shift = (
+        f"({both} AND abs(n.nd - o.nd) * 1.0 / "
+        f"(CASE WHEN o.nd >= 1 THEN o.nd ELSE 1 END) > 0.5)"
+    )
+    range_expanded = (
+        f"({both} AND (coalesce(n.mn < o.mn, false) "
+        f"OR coalesce(n.mx > o.mx, false) "
+        f"OR coalesce(n.minl < o.minl, false) "
+        f"OR coalesce(n.maxl > o.maxl, false)))"
+    )
+    enum_widened = (
+        f"({both} AND o.ev IS NOT NULL AND (n.ev IS NULL OR "
+        f"len(list_filter(string_split(n.ev, ','), "
+        f"x -> NOT list_contains(string_split(o.ev, ','), x))) > 0))"
+    )
+    unique_regressed = f"({both} AND coalesce(o.uq AND NOT n.uq, false))"
+    status = (
+        "CASE WHEN o.col IS NULL THEN 'added' "
+        "WHEN n.col IS NULL THEN 'removed' "
+        "WHEN NOT (o.jt IS NOT DISTINCT FROM n.jt) THEN 'type_changed' "
+        "ELSE 'kept' END"
+    )
+    return f"""
+    WITH old_t AS (SELECT * FROM lineitem WHERE l_quantity <= 25),
+    o AS ({o_sql}),
+    n AS ({n_sql})
+    SELECT coalesce(o.col, n.col) AS "column",
+           {status} AS status,
+           round({nro}, 6) AS null_rate_old,
+           round({nrn}, 6) AS null_rate_new,
+           o.nd AS distinct_old, n.nd AS distinct_new,
+           {null_jump} AS null_jump,
+           {distinct_shift} AS distinct_shift,
+           {range_expanded} AS range_expanded,
+           {enum_widened} AS enum_widened,
+           {unique_regressed} AS unique_regressed,
+           (({status}) != 'kept' OR {null_jump} OR {distinct_shift}
+            OR {range_expanded} OR {enum_widened} OR {unique_regressed})
+             AS drifted
+    FROM o FULL JOIN n ON o.col = n.col
+    ORDER BY "column"
+    """
+
+
 def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style corpus self-scoring (operators/lm.py): fit an
     add-alpha unigram LM on the corpus (min_count=2 threshold — no
@@ -3299,6 +3463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_clean_docs": _q_exactsubstr_clean_docs,
         "bpe_token_stats": _q_bpe_token_stats,
         "dup_event_users": _q_dup_event_users,
+        "ref_suggest_containment": _q_ref_suggest_containment,
+        "profile_drift_lineitem": _q_profile_drift_lineitem,
     }
 
 
@@ -3382,4 +3548,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_cosine": _O_TOPK_COSINE,  # full-probe IVF ≡ exact top-k
         "streaming_dedup_watermarked": _O_STREAMING_DEDUP_WATERMARKED,
         "exactsubstr_clean_docs": _O_EXACTSUBSTR_CLEAN_DOCS,
+        "ref_suggest_containment": _o_ref_suggest_containment(),
+        "profile_drift_lineitem": _o_profile_drift_lineitem(),
     }

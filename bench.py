@@ -117,6 +117,16 @@ def run_bench() -> dict:
         est = tdigest_quantiles(li, "l_extendedprice", [0.1, 0.5, 0.9])
         return spark.createDataFrame([tuple(est)], "q10 double, q50 double, q90 double")
 
+    def _profile_approx(spark, sf):
+        from json_to_avro_schema_spark.operators.profile import (
+            profile_frame,
+            profile_table,
+        )
+        from json_to_avro_schema_spark.sources.tables import load_table
+
+        li = load_table(spark, sf, "lineitem")
+        return profile_frame(li, profile_table(li))
+
     from pyspark.sql import functions as F
 
     bench_queries = [
@@ -147,6 +157,12 @@ def run_bench() -> dict:
         # r4 additions: corpus-LM scoring + exact-substring duplication
         ("lm_perplexity_docs", qs["lm_perplexity_docs"]),
         ("dup_ngram_coverage", qs["dup_ngram_coverage"]),
+        # r4 session 3: cross-run anomaly check + the profiler in its
+        # SCALE mode (approx/HLL distinct + candidate-bounded follow-ups
+        # — the gate query's exact_distinct=True multi-distinct Expand is
+        # the oracle path, not what a user runs at 100 TB)
+        ("metric_anomalies_events", qs["metric_anomalies_events"]),
+        ("profile_lineitem_approx", _profile_approx),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

@@ -271,6 +271,216 @@ def suggest_spec(
     return doc
 
 
+@dataclass(frozen=True)
+class RefCandidate:
+    """One (child_col → parent_col) containment measurement."""
+
+    child_col: str
+    parent_col: str
+    n_child_keys: int  # distinct non-null child keys
+    n_dangling_keys: int  # child keys with no parent match
+    containment: float  # 1 - dangling/child_keys (1.0 for an empty child)
+    parent_n_keys: int  # distinct non-null parent keys
+    parent_is_unique: bool  # parent col is a key (distinct == non-null rows)
+
+
+def ref_containment(
+    child: DataFrame,
+    parent: DataFrame,
+    pairs: Sequence[tuple],
+    *,
+    broadcast_parent="auto",
+) -> List[RefCandidate]:
+    """Measure key containment for candidate FK ``pairs`` of
+    ``(child_col, parent_col)`` — the data-driven bootstrap for the
+    engine's ``x-ref`` checks (referential.py runs them; this suggests
+    them).
+
+    Distributed shape, per 10^12-row table: both sides are DEDUPED TO KEY
+    SETS before any join (the anti-join input is |distinct keys|, not
+    |rows|), parent uniqueness comes from ONE fused aggregate over all
+    parent columns, and each pair costs exactly one join job emitting two
+    scalars (key count + dangling count) via a fused count/sum — never a
+    row-level materialization. The candidate list is bounded (schema-
+    sized), so driver state is O(pairs).
+    """
+    from .referential import _maybe_broadcast, AUTO_BROADCAST_BYTES
+
+    pairs = [tuple(p) for p in pairs]
+    # one fused aggregate for every referenced parent column
+    pcols = sorted({pc for _, pc in pairs})
+    pagg = parent.agg(*(
+        e for pc in pcols for e in (
+            F.count(F.col(pc)).alias(f"{pc}__n"),
+            F.count_distinct(F.col(pc)).alias(f"{pc}__nd"),
+        )
+    )).collect()[0].asDict()
+
+    out: List[RefCandidate] = []
+    for cc, pc in pairs:
+        pkeys = (
+            parent.select(F.col(pc).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        pkeys = _maybe_broadcast(pkeys, broadcast_parent, AUTO_BROADCAST_BYTES)
+        ckeys = (
+            child.select(F.col(cc).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .distinct()
+        )
+        row = ckeys.join(pkeys, "__k", "left").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("__hit").isNull().cast("long")), F.lit(0)
+            ).alias("dangling"),
+        ).collect()[0]
+        n, dang = int(row["n"]), int(row["dangling"])
+        out.append(RefCandidate(
+            child_col=cc,
+            parent_col=pc,
+            n_child_keys=n,
+            n_dangling_keys=dang,
+            containment=1.0 - (dang / n) if n else 1.0,
+            parent_n_keys=int(pagg[f"{pc}__nd"]),
+            parent_is_unique=(
+                int(pagg[f"{pc}__n"]) > 0
+                and int(pagg[f"{pc}__nd"]) == int(pagg[f"{pc}__n"])
+            ),
+        ))
+    return out
+
+
+def suggest_refs(
+    child: DataFrame,
+    parent: DataFrame,
+    pairs: Sequence[tuple],
+    *,
+    ref_table: str,
+    containment_threshold: float = 1.0,
+    candidates: Optional[List[RefCandidate]] = None,
+) -> List[dict]:
+    """``x-ref`` spec entries (compiler/plan.py:_compile_extensions shape)
+    for every measured pair whose containment meets the threshold AND
+    whose parent column is an exact key — a dangling-free FK against a
+    non-unique parent is a join-explosion trap, not a constraint."""
+    cands = candidates if candidates is not None else ref_containment(
+        child, parent, pairs
+    )
+    return [
+        {
+            "name": f"ref_{c.child_col}_{ref_table}",
+            "columns": [c.child_col],
+            "refTable": ref_table,
+            "refColumns": [c.parent_col],
+        }
+        for c in cands
+        if c.parent_is_unique and c.containment >= containment_threshold
+    ]
+
+
+def ref_containment_frame(
+    spark, candidates: List[RefCandidate]
+) -> DataFrame:
+    """Containment measurements as a small DataFrame (one row per pair) —
+    the oracle-hashable surface for the driver gate. ``containment`` is the
+    exact IEEE double ``1.0 - dangling/keys`` (never decimal-rounded:
+    Python's banker's rounding disagrees with SQL HALF_UP on ties, while
+    the raw division is bit-identical on every engine)."""
+    rows = [
+        (
+            c.child_col, c.parent_col, c.n_child_keys, c.n_dangling_keys,
+            c.containment, c.parent_n_keys, c.parent_is_unique,
+        )
+        for c in candidates
+    ]
+    return spark.createDataFrame(
+        rows,
+        "child_col string, parent_col string, n_child_keys long, "
+        "n_dangling_keys long, containment double, parent_n_keys long, "
+        "parent_is_unique boolean",
+    )
+
+
+def profile_drift(old: DataFrame, new: DataFrame,
+                  *,
+                  null_rate_jump: float = 0.01,
+                  distinct_rel_change: float = 0.5) -> DataFrame:
+    """Run-over-run schema/profile drift report (the Deequ dataset-
+    comparison step, closing the profiler loop the way
+    ``operators/anomaly.py`` closes the metrics loop): given two
+    ``profile_frame`` outputs — yesterday's partition vs today's — emit
+    one row per column with a status in {'added','removed',
+    'type_changed','kept'} and per-signal flags:
+
+    - ``null_jump``        null rate rose by more than ``null_rate_jump``
+    - ``distinct_shift``   |Δ distinct| / old distinct > ``distinct_rel_change``
+    - ``range_expanded``   new min/max (or length bounds) outside old
+    - ``enum_widened``     new values beyond the old enum set, or the
+                           enum blew past the profiler's cap entirely
+    - ``unique_regressed`` was an exact key, is not anymore
+
+    Both inputs are vocab-scale (one row per COLUMN), so this is a tiny
+    full-outer join — the expensive part already happened inside the two
+    profile scans. Everything is a null-gated Column expression."""
+    o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"n_{c}") for c in new.columns])
+    j = o.join(
+        n, o["o_column"] == n["n_column"], "full_outer"
+    )
+    status = (
+        F.when(F.col("o_column").isNull(), F.lit("added"))
+        .when(F.col("n_column").isNull(), F.lit("removed"))
+        .when(~F.col("o_json_type").eqNullSafe(F.col("n_json_type")),
+              F.lit("type_changed"))
+        .otherwise(F.lit("kept"))
+    )
+    both = F.col("o_column").isNotNull() & F.col("n_column").isNotNull()
+    nr_old = F.col("o_n_nulls") / F.greatest(F.col("o_n_rows"), F.lit(1))
+    nr_new = F.col("n_n_nulls") / F.greatest(F.col("n_n_rows"), F.lit(1))
+    null_jump = both & ((nr_new - nr_old) > F.lit(null_rate_jump))
+    distinct_shift = both & (
+        F.abs(F.col("n_n_distinct") - F.col("o_n_distinct"))
+        / F.greatest(F.col("o_n_distinct"), F.lit(1))
+        > F.lit(distinct_rel_change)
+    )
+    range_expanded = both & (
+        F.coalesce(F.col("n_min_num") < F.col("o_min_num"), F.lit(False))
+        | F.coalesce(F.col("n_max_num") > F.col("o_max_num"), F.lit(False))
+        | F.coalesce(F.col("n_min_len") < F.col("o_min_len"), F.lit(False))
+        | F.coalesce(F.col("n_max_len") > F.col("o_max_len"), F.lit(False))
+    )
+    # old had a bounded enum; new either has values outside it or blew
+    # past the profiler's enum cap (enum_vals null despite string type)
+    enum_widened = both & F.col("o_enum_vals").isNotNull() & (
+        F.col("n_enum_vals").isNull()
+        | (F.size(F.array_except(
+            F.split(F.col("n_enum_vals"), ","),
+            F.split(F.col("o_enum_vals"), ","),
+        )) > 0)
+    )
+    unique_regressed = both & F.coalesce(
+        F.col("o_is_unique") & ~F.col("n_is_unique"), F.lit(False)
+    )
+    flags = (null_jump | distinct_shift | range_expanded | enum_widened
+             | unique_regressed)
+    return j.select(
+        F.coalesce(F.col("o_column"), F.col("n_column")).alias("column"),
+        status.alias("status"),
+        F.round(nr_old, 6).alias("null_rate_old"),
+        F.round(nr_new, 6).alias("null_rate_new"),
+        F.col("o_n_distinct").alias("distinct_old"),
+        F.col("n_n_distinct").alias("distinct_new"),
+        null_jump.alias("null_jump"),
+        distinct_shift.alias("distinct_shift"),
+        range_expanded.alias("range_expanded"),
+        enum_widened.alias("enum_widened"),
+        unique_regressed.alias("unique_regressed"),
+        ((status != F.lit("kept")) | flags).alias("drifted"),
+    )
+
+
 def profile_frame(df: DataFrame, profiles: List[ColumnProfile]) -> DataFrame:
     """The profile as a small DataFrame (one row per column) — the
     oracle-hashable surface for the driver gate: every field is exactly

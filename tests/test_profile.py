@@ -17,8 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from json_to_avro_schema_spark.compiler.plan import compile_document
 from json_to_avro_schema_spark.operators.profile import (
+    profile_drift,
     profile_frame,
     profile_table,
+    ref_containment,
+    ref_containment_frame,
+    suggest_refs,
     suggest_spec,
 )
 from json_to_avro_schema_spark.runner import apply_row_checks, extract_violations
@@ -138,3 +142,137 @@ def test_empty_table(spark):
     doc = suggest_spec(df, exact_distinct=True, profiles=profs)
     assert doc["required"] == [] and "x-unique" not in doc
     assert compile_document(doc) is not None
+
+
+# ---------------------------------------------------------------- refs --
+
+
+@pytest.fixture(scope="module")
+def parent_child(spark):
+    parent = spark.createDataFrame(
+        [(i, f"grp{i % 3}") for i in range(1, 51)], "pk long, grp string"
+    )
+    # fk values 1..60: keys 51..60 dangle (10 of 60 distinct)
+    child = spark.createDataFrame(
+        [(i, (i % 60) + 1, f"grp{i % 5}") for i in range(1, 121)],
+        "id long, fk long, cgrp string",
+    )
+    return child, parent
+
+
+def test_ref_containment_values(spark, parent_child):
+    child, parent = parent_child
+    cands = {
+        (c.child_col, c.parent_col): c
+        for c in ref_containment(
+            child, parent, [("fk", "pk"), ("cgrp", "grp")]
+        )
+    }
+    fk = cands[("fk", "pk")]
+    assert fk.n_child_keys == 60 and fk.n_dangling_keys == 10
+    assert fk.containment == pytest.approx(1.0 - 10 / 60)
+    assert fk.parent_is_unique and fk.parent_n_keys == 50
+    grp = cands[("cgrp", "grp")]
+    # cgrp has grp0..grp4; parent grp only grp0..grp2 -> 2 of 5 dangle
+    assert grp.n_child_keys == 5 and grp.n_dangling_keys == 2
+    assert not grp.parent_is_unique and grp.parent_n_keys == 3
+
+
+def test_ref_containment_null_and_empty(spark, parent_child):
+    _, parent = parent_child
+    child = spark.createDataFrame(
+        [(None,), (1,), (999,)], "fk long"
+    )
+    (c,) = ref_containment(child, parent, [("fk", "pk")])
+    # nulls are excluded from containment (SQL FK semantics)
+    assert c.n_child_keys == 2 and c.n_dangling_keys == 1
+    empty = spark.createDataFrame([], "fk long")
+    (e,) = ref_containment(empty, parent, [("fk", "pk")])
+    assert e.n_child_keys == 0 and e.containment == 1.0
+
+
+def test_suggest_refs_round_trip(spark, parent_child):
+    """Suggested x-ref entries compile under the engine's own compiler and
+    the referential check passes on the data that suggested them."""
+    child, parent = parent_child
+    contained = child.filter(F.col("fk") <= 50)
+    refs = suggest_refs(
+        contained, parent, [("fk", "pk"), ("cgrp", "grp")],
+        ref_table="parent",
+    )
+    # cgrp→grp excluded twice over: dangling keys AND non-unique parent
+    assert refs == [{
+        "name": "ref_fk_parent", "columns": ["fk"],
+        "refTable": "parent", "refColumns": ["pk"],
+    }]
+    doc = {
+        "$schema": "http://json-schema.org/draft-06/schema#",
+        "$id": "http://engine.local/SuggestedRefs",
+        "type": "object", "properties": {}, "x-ref": refs,
+    }
+    plan = compile_document(doc)
+    verdicts = run_table_checks(
+        spark, contained, plan, ref_tables={"parent": parent}
+    ).collect()
+    assert verdicts and all(r["pass"] for r in verdicts)
+    # threshold relaxation admits the partially-contained pair's child col
+    loose = suggest_refs(
+        child, parent, [("fk", "pk")], ref_table="parent",
+        containment_threshold=0.8,
+    )
+    assert [r["name"] for r in loose] == ["ref_fk_parent"]
+
+
+def test_ref_containment_frame_shape(spark, parent_child):
+    child, parent = parent_child
+    cands = ref_containment(child, parent, [("fk", "pk")])
+    rows = ref_containment_frame(spark, cands).collect()
+    assert rows[0]["containment"] == 1.0 - 10 / 60  # exact double, unrounded
+
+
+# --------------------------------------------------------------- drift --
+
+
+def test_profile_drift_statuses_and_flags(spark):
+    old = spark.createDataFrame(
+        [(i, float(i), f"v{i % 3}", i, "x", i, "c") for i in range(100)],
+        "id long, num double, cat string, uid long, gone string, "
+        "mut long, keep string",
+    )
+    new = spark.createDataFrame(
+        [
+            (None if i < 10 else i,
+             500.0 if i == 99 else float(i),
+             f"v{i % 5}", i // 2, "s", 1.5, "c")
+            for i in range(100)
+        ],
+        "id long, num double, cat string, uid long, mut string, "
+        "added double, keep string",
+    )
+    opf = profile_frame(old, profile_table(old, exact_distinct=True))
+    npf = profile_frame(new, profile_table(new, exact_distinct=True))
+    d = {r["column"]: r for r in profile_drift(opf, npf).collect()}
+    assert d["gone"]["status"] == "removed" and d["gone"]["drifted"]
+    assert d["added"]["status"] == "added" and d["added"]["drifted"]
+    assert d["mut"]["status"] == "type_changed"  # integer -> string
+    assert d["id"]["null_jump"] and d["id"]["null_rate_new"] == 0.1
+    assert d["num"]["range_expanded"] and not d["num"]["null_jump"]
+    # cat: 3 -> 5 distinct (shift > 0.5) and values beyond the old enum
+    assert d["cat"]["distinct_shift"] and d["cat"]["enum_widened"]
+    assert d["uid"]["unique_regressed"]
+    assert d["keep"]["status"] == "kept" and not d["keep"]["drifted"]
+
+
+def test_profile_drift_enum_blew_cap(spark):
+    """A column whose enum fit the cap yesterday but not today must flag
+    enum_widened even though today's value set is unavailable."""
+    old = spark.createDataFrame(
+        [(f"v{i % 3}",) for i in range(50)], "cat string"
+    )
+    new = spark.createDataFrame(
+        [(f"v{i}",) for i in range(50)], "cat string"  # 50 > enum_max
+    )
+    opf = profile_frame(old, profile_table(old, exact_distinct=True))
+    npf = profile_frame(new, profile_table(new, exact_distinct=True))
+    (row,) = profile_drift(opf, npf).collect()
+    assert row["enum_widened"] and row["drifted"]

@@ -84,6 +84,8 @@ def test_overflow_entries_have_recorded_family_siblings():
         "streaming_dedup_watermarked": "streaming_dedup",
         "bpe_token_stats": "token_totals",
         "dup_event_users": "unique_orders",
+        "ref_suggest_containment": "ri_checks",
+        "profile_drift_lineitem": "suggested_spec_lineitem",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
