@@ -1270,13 +1270,16 @@ def _q_ref_suggest_containment(spark: SparkSession, sf: str) -> DataFrame:
     """FK/containment suggestion (operators/profile.py:ref_containment) —
     the data-driven bootstrap for x-ref checks: both sides deduped to key
     sets before the anti-join probe, parent uniqueness from ONE fused
-    aggregate over all referenced columns. Three candidate pairs exercise
-    the three outcomes: a real FK (l_orderkey→o_orderkey: full containment,
+    aggregate over all referenced columns. Four candidate pairs exercise
+    the outcomes: a real FK (l_orderkey→o_orderkey: full containment,
     unique parent), a coincidental containment against a NON-unique parent
     (l_suppkey→o_custkey — suggest_refs must refuse it: dangling-free
-    against a non-key is a join-explosion trap), and a dangling pair
-    (l_partkey→o_orderkey). ``containment`` is the raw IEEE double
-    1 - dangling/keys on both engines (bit-identical, no decimal round)."""
+    against a non-key is a join-explosion trap), a dangling pair
+    (l_partkey→o_orderkey), and a COMPOSITE key probe
+    ((l_orderkey,l_linenumber)→(o_orderkey,o_custkey): unique parent
+    tuple, heavily dangling child). ``containment`` is the raw IEEE
+    double 1 - dangling/keys on both engines (bit-identical, no decimal
+    round)."""
     from json_to_avro_schema_spark.operators.profile import (
         ref_containment,
         ref_containment_frame,
@@ -1287,7 +1290,8 @@ def _q_ref_suggest_containment(spark: SparkSession, sf: str) -> DataFrame:
     cands = ref_containment(
         li, orders,
         [("l_orderkey", "o_orderkey"), ("l_suppkey", "o_custkey"),
-         ("l_partkey", "o_orderkey")],
+         ("l_partkey", "o_orderkey"),
+         (("l_orderkey", "l_linenumber"), ("o_orderkey", "o_custkey"))],
     )
     return ref_containment_frame(spark, cands).orderBy(
         "child_col", "parent_col"
@@ -1295,28 +1299,73 @@ def _q_ref_suggest_containment(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _o_ref_suggest_containment() -> str:
-    def pair(cc: str, pc: str) -> str:
-        dang = "coalesce(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END), 0)"
+    def pair(cc, pc) -> str:
+        ccs = [cc] if isinstance(cc, str) else list(cc)
+        pcs = [pc] if isinstance(pc, str) else list(pc)
+        ks = [f"k{i}" for i in range(len(ccs))]
+        c_sel = ", ".join(f"{c} AS {k}" for c, k in zip(ccs, ks))
+        p_sel = ", ".join(f"{c} AS {k}" for c, k in zip(pcs, ks))
+        c_nn = " AND ".join(f"{c} IS NOT NULL" for c in ccs)
+        p_nn = " AND ".join(f"{c} IS NOT NULL" for c in pcs)
+        on = " AND ".join(f"c.{k} = p.{k}" for k in ks)
+        # WHERE p_nn makes struct-counting equal tuple-counting (a struct
+        # with a null field is non-null, unlike SQL's multi-arg DISTINCT)
+        p_tuple = f"({', '.join(pcs)})" if len(pcs) > 1 else pcs[0]
+        dang = (f"coalesce(sum(CASE WHEN p.{ks[0]} IS NULL "
+                f"THEN 1 ELSE 0 END), 0)")
         return f"""
-        SELECT '{cc}' AS child_col, '{pc}' AS parent_col,
+        SELECT '{",".join(ccs)}' AS child_col,
+               '{",".join(pcs)}' AS parent_col,
                CAST(count(*) AS BIGINT) AS n_child_keys,
                CAST({dang} AS BIGINT) AS n_dangling_keys,
                CASE WHEN count(*) = 0 THEN 1.0
                     ELSE 1.0 - (CAST({dang} AS DOUBLE) / CAST(count(*) AS DOUBLE))
                END AS containment,
-               (SELECT CAST(count(DISTINCT {pc}) AS BIGINT) FROM orders)
-                 AS parent_n_keys,
-               (SELECT count({pc}) > 0 AND count(DISTINCT {pc}) = count({pc})
-                FROM orders) AS parent_is_unique
-        FROM (SELECT DISTINCT {cc} AS k FROM lineitem
-              WHERE {cc} IS NOT NULL) c
-        LEFT JOIN (SELECT DISTINCT {pc} AS k FROM orders
-                   WHERE {pc} IS NOT NULL) p ON c.k = p.k"""
+               (SELECT CAST(count(DISTINCT {p_tuple}) AS BIGINT)
+                FROM orders WHERE {p_nn}) AS parent_n_keys,
+               (SELECT count(*) > 0 AND count(DISTINCT {p_tuple}) = count(*)
+                FROM orders WHERE {p_nn}) AS parent_is_unique
+        FROM (SELECT DISTINCT {c_sel} FROM lineitem WHERE {c_nn}) c
+        LEFT JOIN (SELECT DISTINCT {p_sel} FROM orders WHERE {p_nn}) p
+          ON {on}"""
 
     pairs = [("l_orderkey", "o_orderkey"), ("l_suppkey", "o_custkey"),
-             ("l_partkey", "o_orderkey")]
+             ("l_partkey", "o_orderkey"),
+             (("l_orderkey", "l_linenumber"), ("o_orderkey", "o_custkey"))]
     return (" UNION ALL ".join(pair(cc, pc) for cc, pc in pairs)
             + " ORDER BY child_col, parent_col")
+
+
+def _q_frequent_values_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Most-common-values report (operators/profile.py:frequent_values) —
+    the Deequ categorical-range suggestion input for columns past the
+    profiler's enum cap: one melted scan (explode over struct literals,
+    map-side), partial-agg counts, rank-limit-pushdown top-k per column
+    with deterministic (count DESC, value ASC NULLS FIRST) ordering."""
+    from json_to_avro_schema_spark.operators.profile import frequent_values
+
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    return frequent_values(docs, ["lang", "source"], k=5).orderBy(
+        "column", "rank"
+    )
+
+
+_O_FREQUENT_VALUES_DOCS = """
+WITH melted AS (
+  SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value FROM documents
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR) FROM documents
+), counts AS (
+  SELECT "column", value, CAST(count(*) AS BIGINT) AS n
+  FROM melted GROUP BY "column", value
+), ranked AS (
+  SELECT "column", value, n,
+         CAST(row_number() OVER (PARTITION BY "column"
+              ORDER BY n DESC, value ASC NULLS FIRST) AS INT) AS rank
+  FROM counts
+)
+SELECT * FROM ranked WHERE rank <= 5 ORDER BY "column", rank
+"""
 
 
 def _q_profile_drift_lineitem(spark: SparkSession, sf: str) -> DataFrame:
@@ -3465,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_event_users": _q_dup_event_users,
         "ref_suggest_containment": _q_ref_suggest_containment,
         "profile_drift_lineitem": _q_profile_drift_lineitem,
+        "frequent_values_docs": _q_frequent_values_docs,
     }
 
 
@@ -3550,4 +3600,5 @@ def oracle_sql() -> dict[str, str]:
         "exactsubstr_clean_docs": _O_EXACTSUBSTR_CLEAN_DOCS,
         "ref_suggest_containment": _o_ref_suggest_containment(),
         "profile_drift_lineitem": _o_profile_drift_lineitem(),
+        "frequent_values_docs": _O_FREQUENT_VALUES_DOCS,
     }

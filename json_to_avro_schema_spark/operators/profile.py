@@ -273,15 +273,21 @@ def suggest_spec(
 
 @dataclass(frozen=True)
 class RefCandidate:
-    """One (child_col → parent_col) containment measurement."""
+    """One (child key → parent key) containment measurement. For
+    composite keys ``child_col``/``parent_col`` are comma-joined column
+    lists and the measured key is the column TUPLE."""
 
     child_col: str
     parent_col: str
-    n_child_keys: int  # distinct non-null child keys
+    n_child_keys: int  # distinct fully-non-null child keys
     n_dangling_keys: int  # child keys with no parent match
     containment: float  # 1 - dangling/child_keys (1.0 for an empty child)
-    parent_n_keys: int  # distinct non-null parent keys
-    parent_is_unique: bool  # parent col is a key (distinct == non-null rows)
+    parent_n_keys: int  # distinct fully-non-null parent keys
+    parent_is_unique: bool  # parent key is exact (distinct == non-null rows)
+
+
+def _as_cols(spec) -> tuple:
+    return (spec,) if isinstance(spec, str) else tuple(spec)
 
 
 def ref_containment(
@@ -292,61 +298,71 @@ def ref_containment(
     broadcast_parent="auto",
 ) -> List[RefCandidate]:
     """Measure key containment for candidate FK ``pairs`` of
-    ``(child_col, parent_col)`` — the data-driven bootstrap for the
-    engine's ``x-ref`` checks (referential.py runs them; this suggests
-    them).
+    ``(child_key, parent_key)`` — each side a column name or a list of
+    names (composite FK) — the data-driven bootstrap for the engine's
+    ``x-ref`` checks (referential.py runs them; this suggests them).
+    Rows with ANY null key column are excluded on both sides, matching
+    SQL's FK match-simple semantics (referential.py's anti-join treats
+    them the same way).
 
     Distributed shape, per 10^12-row table: both sides are DEDUPED TO KEY
     SETS before any join (the anti-join input is |distinct keys|, not
-    |rows|), parent uniqueness comes from ONE fused aggregate over all
-    parent columns, and each pair costs exactly one join job emitting two
+    |rows|), parent key-ness comes from ONE fused aggregate over all
+    referenced keys, and each pair costs exactly one join job emitting two
     scalars (key count + dangling count) via a fused count/sum — never a
     row-level materialization. The candidate list is bounded (schema-
     sized), so driver state is O(pairs).
     """
     from .referential import _maybe_broadcast, AUTO_BROADCAST_BYTES
 
-    pairs = [tuple(p) for p in pairs]
-    # one fused aggregate for every referenced parent column
-    pcols = sorted({pc for _, pc in pairs})
-    pagg = parent.agg(*(
-        e for pc in pcols for e in (
-            F.count(F.col(pc)).alias(f"{pc}__n"),
-            F.count_distinct(F.col(pc)).alias(f"{pc}__nd"),
-        )
-    )).collect()[0].asDict()
+    norm = [(_as_cols(cc), _as_cols(pc)) for cc, pc in pairs]
+    # one fused aggregate for every referenced parent key (single- or
+    # multi-column): n = fully-non-null rows, nd = distinct key tuples
+    pkeys_list = sorted({pc for _, pc in norm})
+    aggs = []
+    for pc in pkeys_list:
+        tag = ",".join(pc)
+        nonnull = F.lit(True)
+        for c in pc:
+            nonnull = nonnull & F.col(c).isNotNull()
+        aggs.append(F.sum(nonnull.cast("long")).alias(f"{tag}__n"))
+        aggs.append(F.count_distinct(*[F.col(c) for c in pc]).alias(f"{tag}__nd"))
+    pagg = parent.agg(*aggs).collect()[0].asDict()
 
     out: List[RefCandidate] = []
-    for cc, pc in pairs:
-        pkeys = (
-            parent.select(F.col(pc).alias("__k"))
-            .filter(F.col("__k").isNotNull())
-            .distinct()
-            .withColumn("__hit", F.lit(True))
+    for cc, pc in norm:
+        tag = ",".join(pc)
+        knames = [f"__k{i}" for i in range(len(pc))]
+        pk = parent.select(
+            *[F.col(c).alias(k) for c, k in zip(pc, knames)]
         )
-        pkeys = _maybe_broadcast(pkeys, broadcast_parent, AUTO_BROADCAST_BYTES)
-        ckeys = (
-            child.select(F.col(cc).alias("__k"))
-            .filter(F.col("__k").isNotNull())
-            .distinct()
+        ck = child.select(
+            *[F.col(c).alias(k) for c, k in zip(cc, knames)]
         )
-        row = ckeys.join(pkeys, "__k", "left").agg(
+        for k in knames:
+            pk = pk.filter(F.col(k).isNotNull())
+            ck = ck.filter(F.col(k).isNotNull())
+        pk = _maybe_broadcast(
+            pk.distinct().withColumn("__hit", F.lit(True)),
+            broadcast_parent, AUTO_BROADCAST_BYTES,
+        )
+        row = ck.distinct().join(pk, knames, "left").agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.sum(F.col("__hit").isNull().cast("long")), F.lit(0)
             ).alias("dangling"),
         ).collect()[0]
         n, dang = int(row["n"]), int(row["dangling"])
+        n_parent = int(pagg[f"{tag}__n"] or 0)
         out.append(RefCandidate(
-            child_col=cc,
-            parent_col=pc,
+            child_col=",".join(cc),
+            parent_col=tag,
             n_child_keys=n,
             n_dangling_keys=dang,
             containment=1.0 - (dang / n) if n else 1.0,
-            parent_n_keys=int(pagg[f"{pc}__nd"]),
+            parent_n_keys=int(pagg[f"{tag}__nd"]),
             parent_is_unique=(
-                int(pagg[f"{pc}__n"]) > 0
-                and int(pagg[f"{pc}__nd"]) == int(pagg[f"{pc}__n"])
+                n_parent > 0 and int(pagg[f"{tag}__nd"]) == n_parent
             ),
         ))
     return out
@@ -370,10 +386,10 @@ def suggest_refs(
     )
     return [
         {
-            "name": f"ref_{c.child_col}_{ref_table}",
-            "columns": [c.child_col],
+            "name": f"ref_{c.child_col.replace(',', '_')}_{ref_table}",
+            "columns": c.child_col.split(","),
             "refTable": ref_table,
-            "refColumns": [c.parent_col],
+            "refColumns": c.parent_col.split(","),
         }
         for c in cands
         if c.parent_is_unique and c.containment >= containment_threshold
@@ -400,6 +416,45 @@ def ref_containment_frame(
         "child_col string, parent_col string, n_child_keys long, "
         "n_dangling_keys long, containment double, parent_n_keys long, "
         "parent_is_unique boolean",
+    )
+
+
+def frequent_values(
+    df: DataFrame, columns: Sequence[str], *, k: int = 10
+) -> DataFrame:
+    """Top-``k`` most frequent values per column — the Deequ
+    "most common values" / categorical-range suggestion input, for
+    columns whose cardinality blew past the profiler's ``enum_max`` cap.
+
+    ONE table scan: the columns are melted map-side into
+    (column, value-as-string) pairs with explode-over-struct-array (a
+    projection, no shuffle), counted with map-side partial aggregation
+    (the shuffle carries ≤ partitions × Σ per-column distincts), then cut
+    to k per group by :func:`operators.topk.grouped_topk` — Catalyst's
+    rank-limit pushdown keeps the final window O(tasks × columns × k).
+    NULL counts as a value (a null-modal column is the signal that
+    matters); ties break deterministically by value ASC NULLS FIRST.
+    Returns (column, value, n, rank).
+    """
+    from .topk import grouped_topk
+
+    pairs = F.explode(F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for c in columns
+    ]))
+    counts = (
+        df.select(pairs.alias("p"))
+        .select("p.column", "p.value")
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grouped_topk(
+        counts, ["column"],
+        [F.col("n").desc(), F.asc_nulls_first("value")],
+        ["value"], k, rank_col="rank",
     )
 
 

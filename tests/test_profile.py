@@ -223,11 +223,97 @@ def test_suggest_refs_round_trip(spark, parent_child):
     assert [r["name"] for r in loose] == ["ref_fk_parent"]
 
 
+def test_ref_containment_composite_key(spark, parent_child):
+    child, parent = parent_child
+    contained = child.filter(F.col("fk") <= 50)
+    (c,) = ref_containment(
+        contained, parent, [(("fk", "cgrp"), ("pk", "grp"))]
+    )
+    assert c.child_col == "fk,cgrp" and c.parent_col == "pk,grp"
+    # (pk, grp) is a key because pk alone already is
+    assert c.parent_is_unique and c.parent_n_keys == 50
+    # child tuple (fk, grp{(fk-1) % 5}) matches parent (fk, grp{fk % 3})
+    expected_dangling = sum(
+        1 for fk in range(1, 51) if (fk - 1) % 5 != fk % 3
+    )
+    assert c.n_child_keys == 50
+    assert c.n_dangling_keys == expected_dangling
+    # composite suggestion splits the key back into column lists
+    full = child.filter(F.col("fk") <= 50).withColumn(
+        "cgrp", F.concat(F.lit("grp"), ((F.col("fk") - 1) % 3).cast("string"))
+    )
+    refs = suggest_refs(
+        full.filter(F.col("cgrp") == F.concat(
+            F.lit("grp"), (F.col("fk") % 3).cast("string"))),
+        parent, [(("fk", "cgrp"), ("pk", "grp"))], ref_table="parent",
+    )
+    assert refs == [{
+        "name": "ref_fk_cgrp_parent", "columns": ["fk", "cgrp"],
+        "refTable": "parent", "refColumns": ["pk", "grp"],
+    }]
+
+
+def test_ref_containment_composite_null_rows_excluded(spark):
+    parent = spark.createDataFrame([(1, "a"), (2, "b")], "p1 long, p2 string")
+    child = spark.createDataFrame(
+        [(1, "a"), (1, None), (None, "b"), (9, "z")], "c1 long, c2 string"
+    )
+    (c,) = ref_containment(child, parent, [(("c1", "c2"), ("p1", "p2"))])
+    # rows with any null key column are excluded (FK match-simple)
+    assert c.n_child_keys == 2 and c.n_dangling_keys == 1
+
+
 def test_ref_containment_frame_shape(spark, parent_child):
     child, parent = parent_child
     cands = ref_containment(child, parent, [("fk", "pk")])
     rows = ref_containment_frame(spark, cands).collect()
     assert rows[0]["containment"] == 1.0 - 10 / 60  # exact double, unrounded
+
+
+# ------------------------------------------------------ frequent values --
+
+
+def test_frequent_values(spark):
+    from json_to_avro_schema_spark.operators.profile import frequent_values
+
+    rows = (
+        [("a", 1)] * 5 + [("b", 1)] * 3 + [("c", 2)] * 3 + [(None, 3)] * 4
+    )
+    df = spark.createDataFrame(rows, "s string, v int")
+    out = frequent_values(df, ["s", "v"], k=2).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r["column"], []).append(
+            (r["rank"], r["value"], r["n"])
+        )
+    # s: 'a'×5 then NULL×4 — null participates as a value
+    assert sorted(by_col["s"]) == [(1, "a", 5), (2, None, 4)]
+    # v: 1×8, then tie 3×(v=2) vs 4×(v=3) → v=3 wins on count
+    assert sorted(by_col["v"]) == [(1, "1", 8), (2, "3", 4)]
+
+
+def test_frequent_values_tiebreak_deterministic(spark):
+    from json_to_avro_schema_spark.operators.profile import frequent_values
+
+    df = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 3 + [("z",)] * 3, "s string"
+    )
+    out = frequent_values(df, ["s"], k=2).orderBy("rank").collect()
+    # equal counts -> value ASC breaks the tie, stable across runs
+    assert [(r["rank"], r["value"]) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_frequent_values_single_scan_plan(spark):
+    from json_to_avro_schema_spark.operators.profile import frequent_values
+
+    df = spark.range(100).selectExpr(
+        "cast(id % 7 as string) AS a", "cast(id % 3 as string) AS b"
+    )
+    plan = frequent_values(df, ["a", "b"], k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one scan melted map-side; the rank cut keeps the pushdown shape
+    assert plan.count("Range") == 1
+    assert "WindowGroupLimit" in plan
 
 
 # --------------------------------------------------------------- drift --

@@ -86,6 +86,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         "dup_event_users": "unique_orders",
         "ref_suggest_containment": "ri_checks",
         "profile_drift_lineitem": "suggested_spec_lineitem",
+        "frequent_values_docs": "suggested_spec_lineitem",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
