@@ -1397,7 +1397,11 @@ def _q_profile_drift_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     return profile_drift(opf, npf).orderBy("column")
 
 
-def _o_profile_drift_lineitem() -> str:
+def _o_profile_drift(old_src: str, new_src: str,
+                     old_cols, new_cols) -> str:
+    """Drift-report oracle builder: per-column SQL profiles of two table
+    expressions, full-outer-joined with every flag re-derived — mirrors
+    operators/profile.py:profile_drift over two profile_frame outputs."""
     # one profile row per (side, column) — mirrors profile_frame fields
     def prof(col: str, jt: str, src: str) -> str:
         num = jt in ("integer", "number")
@@ -1424,12 +1428,8 @@ def _o_profile_drift_lineitem() -> str:
                  AND count(*) > 0 AS uq
         FROM {src}"""
 
-    old_cols = [("l_orderkey", "integer"), ("l_quantity", "number"),
-                ("l_returnflag", "string")]
-    new_cols = [("l_orderkey", "integer"), ("l_quantity", "number"),
-                ("l_linestatus", "string")]
-    o_sql = " UNION ALL ".join(prof(c, t, "old_t") for c, t in old_cols)
-    n_sql = " UNION ALL ".join(prof(c, t, "lineitem") for c, t in new_cols)
+    o_sql = " UNION ALL ".join(prof(c, t, "o_src") for c, t in old_cols)
+    n_sql = " UNION ALL ".join(prof(c, t, "n_src") for c, t in new_cols)
     nr = ("CAST({s}.n_nulls AS DOUBLE) / (CASE WHEN {s}.n_rows >= 1 "
           "THEN {s}.n_rows ELSE 1 END)")
     nro, nrn = nr.format(s="o"), nr.format(s="n")
@@ -1458,7 +1458,8 @@ def _o_profile_drift_lineitem() -> str:
         "ELSE 'kept' END"
     )
     return f"""
-    WITH old_t AS (SELECT * FROM lineitem WHERE l_quantity <= 25),
+    WITH o_src AS ({old_src}),
+    n_src AS ({new_src}),
     o AS ({o_sql}),
     n AS ({n_sql})
     SELECT coalesce(o.col, n.col) AS "column",
@@ -1477,6 +1478,83 @@ def _o_profile_drift_lineitem() -> str:
     FROM o FULL JOIN n ON o.col = n.col
     ORDER BY "column"
     """
+
+
+def _o_profile_drift_lineitem() -> str:
+    return _o_profile_drift(
+        "SELECT * FROM lineitem WHERE l_quantity <= 25",
+        "SELECT * FROM lineitem",
+        [("l_orderkey", "integer"), ("l_quantity", "number"),
+         ("l_returnflag", "string")],
+        [("l_orderkey", "integer"), ("l_quantity", "number"),
+         ("l_linestatus", "string")],
+    )
+
+
+def _q_streaming_profile_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming profile history + drift (streaming/profile.py): the
+    documents table is split into two DETERMINISTIC micro-batches
+    (doc_id parity, file mtimes pinned so FileStreamSource's mtime order
+    is the parity order), each micro-batch is profiled inside
+    foreachBatch into a vocab-scale (epoch, column) history, and the
+    drift between the two epochs is the result — re-derived column by
+    column in the DuckDB oracle over the same parity split.
+    exact_distinct=True for SQL parity (streaming default is approx)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from json_to_avro_schema_spark.streaming import drain
+    from json_to_avro_schema_spark.streaming.profile import (
+        profile_history_drift,
+        profile_stream_to_history,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    base = tempfile.mkdtemp(prefix="stream_profile_gate_")
+    try:
+        src = os.path.join(base, "src")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        first = {f for f in os.listdir(src) if f.endswith(".parquet")}
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        now = time.time()
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                bump = 0 if f in first else 600
+                os.utime(os.path.join(src, f), (now + bump, now + bump))
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = profile_stream_to_history(
+            stream, os.path.join(base, "hist"), os.path.join(base, "ckpt"),
+            ["doc_id", "n_chars", "lang"], exact_distinct=True,
+        )
+        drain(q, 180)
+        out = profile_history_drift(
+            spark, os.path.join(base, "hist")
+        ).orderBy("column")
+        out = out.localCheckpoint()  # materialize before the tmp dir dies
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _o_streaming_profile_drift() -> str:
+    cols = [("doc_id", "integer"), ("n_chars", "integer"),
+            ("lang", "string")]
+    return _o_profile_drift(
+        "SELECT * FROM documents WHERE doc_id % 2 = 0",
+        "SELECT * FROM documents WHERE doc_id % 2 = 1",
+        cols, cols,
+    )
 
 
 def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -3515,6 +3593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_suggest_containment": _q_ref_suggest_containment,
         "profile_drift_lineitem": _q_profile_drift_lineitem,
         "frequent_values_docs": _q_frequent_values_docs,
+        "streaming_profile_drift": _q_streaming_profile_drift,
     }
 
 
@@ -3601,4 +3680,5 @@ def oracle_sql() -> dict[str, str]:
         "ref_suggest_containment": _o_ref_suggest_containment(),
         "profile_drift_lineitem": _o_profile_drift_lineitem(),
         "frequent_values_docs": _O_FREQUENT_VALUES_DOCS,
+        "streaming_profile_drift": _o_streaming_profile_drift(),
     }

@@ -202,3 +202,73 @@ def test_streaming_dedup_within_watermark_expires_state(spark, tmp_path):
     assert 2 not in kept                      # in-delay dup: guaranteed drop
     assert len(kept & {4, 5}) == 1            # state expired: one late copy
     assert len(kept) == 3
+
+
+def test_streaming_profile_history_drift(spark, tmp_path):
+    """Per-micro-batch profiling appends a vocab-scale history; drift
+    between the two most recent epochs flags the planted shape change."""
+    import os
+    import time
+
+    from json_to_avro_schema_spark.streaming.profile import (
+        profile_history_drift,
+        profile_stream_to_history,
+    )
+
+    src = str(tmp_path / "src")
+    # batch 1: tight range, enum {a, b}, null-free
+    spark.createDataFrame(
+        [(i, float(i % 50), ["a", "b"][i % 2]) for i in range(200)],
+        "id long, v double, cat string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    first = {f for f in os.listdir(src) if f.endswith(".parquet")}
+    # batch 2: range expanded, new enum value, nulls appear in v
+    spark.createDataFrame(
+        [
+            (i, None if i % 4 == 0 else float(i % 200),
+             ["a", "b", "c"][i % 3])
+            for i in range(200)
+        ],
+        "id long, v double, cat string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    # pin micro-batch ORDER (FileStreamSource sorts by mtime)
+    now = time.time()
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            bump = 0 if f in first else 600
+            os.utime(os.path.join(src, f), (now + bump, now + bump))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = profile_stream_to_history(
+        stream, str(tmp_path / "hist"), str(tmp_path / "ckpt"),
+        exact_distinct=True,
+    )
+    drain(q, 180)
+
+    hist = spark.read.parquet(str(tmp_path / "hist"))
+    assert hist.select("epoch").distinct().count() == 2
+    # one row per (epoch, column) — vocab-scale by construction
+    assert hist.count() == 2 * 3
+
+    d = {
+        r["column"]: r
+        for r in profile_history_drift(
+            spark, str(tmp_path / "hist")
+        ).collect()
+    }
+    assert d["v"]["null_jump"] and d["v"]["range_expanded"]
+    assert d["cat"]["enum_widened"]
+    assert d["id"]["status"] == "kept" and not d["id"]["drifted"]
+
+    # fewer than two epochs is an explicit error, not a silent empty frame
+    import pytest as _pytest
+
+    solo = str(tmp_path / "solo")
+    hist.filter(F.col("epoch") == 0).write.parquet(solo)
+    with _pytest.raises(ValueError, match="needs two"):
+        profile_history_drift(spark, solo)
