@@ -1339,9 +1339,10 @@ def _o_ref_suggest_containment() -> str:
 def _q_frequent_values_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Most-common-values report (operators/profile.py:frequent_values) —
     the Deequ categorical-range suggestion input for columns past the
-    profiler's enum cap: one melted scan (explode over struct literals,
-    map-side), partial-agg counts, rank-limit-pushdown top-k per column
-    with deterministic (count DESC, value ASC NULLS FIRST) ordering."""
+    profiler's enum cap: one column-pruned aggregate per column unioned
+    (the A/B'd default — same parquet bytes as a wide scan, no melt
+    explosion; BENCH/BASELINE.md §1c), rank-limit-pushdown top-k per
+    column, deterministic (count DESC, value ASC NULLS FIRST) order."""
     from json_to_avro_schema_spark.operators.profile import frequent_values
 
     docs = spread_to_cores(load_table(spark, sf, "documents"))

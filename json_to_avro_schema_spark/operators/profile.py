@@ -420,37 +420,61 @@ def ref_containment_frame(
 
 
 def frequent_values(
-    df: DataFrame, columns: Sequence[str], *, k: int = 10
+    df: DataFrame, columns: Sequence[str], *, k: int = 10,
+    single_pass: bool = False,
 ) -> DataFrame:
     """Top-``k`` most frequent values per column — the Deequ
     "most common values" / categorical-range suggestion input, for
     columns whose cardinality blew past the profiler's ``enum_max`` cap.
-
-    ONE table scan: the columns are melted map-side into
-    (column, value-as-string) pairs with explode-over-struct-array (a
-    projection, no shuffle), counted with map-side partial aggregation
-    (the shuffle carries ≤ partitions × Σ per-column distincts), then cut
-    to k per group by :func:`operators.topk.grouped_topk` — Catalyst's
-    rank-limit pushdown keeps the final window O(tasks × columns × k).
     NULL counts as a value (a null-modal column is the signal that
     matters); ties break deterministically by value ASC NULLS FIRST.
     Returns (column, value, n, rank).
+
+    Two plan shapes, A/B'd at 10 M rows × 3 columns on local[32]
+    (BENCH/BASELINE.md §1c, identical results pinned in tests):
+
+    - default (``single_pass=False``): one column-pruned aggregate PER
+      column, unioned. On a columnar source this reads the SAME bytes as
+      one wide scan (each scan prunes to its one column) and skips the
+      melt's n_cols× row explosion into the hash-agg — measured 1.6×
+      faster (median 0.93 s vs 1.50 s).
+    - ``single_pass=True``: melt every column map-side into
+      (column, value) pairs with explode-over-struct-array and count in
+      ONE pass. Use when ``df`` is an expensive COMPUTED plan (e.g. the
+      output of a cleaning pass), where per-column scans would recompute
+      the input n_cols times — the bytes argument flips.
+
+    Both end in :func:`operators.topk.grouped_topk`, so Catalyst's
+    rank-limit pushdown keeps the final window O(tasks × columns × k);
+    the pre-agg shuffle carries ≤ partitions × Σ per-column distincts.
     """
     from .topk import grouped_topk
 
-    pairs = F.explode(F.array(*[
-        F.struct(
-            F.lit(c).alias("column"),
-            F.col(c).cast("string").alias("value"),
+    if single_pass:
+        pairs = F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in columns
+        ]))
+        counts = (
+            df.select(pairs.alias("p"))
+            .select("p.column", "p.value")
+            .groupBy("column", "value")
+            .agg(F.count(F.lit(1)).alias("n"))
         )
-        for c in columns
-    ]))
-    counts = (
-        df.select(pairs.alias("p"))
-        .select("p.column", "p.value")
-        .groupBy("column", "value")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    else:
+        parts = [
+            df.groupBy(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("value"),
+            ).agg(F.count(F.lit(1)).alias("n"))
+            for c in columns
+        ]
+        counts = parts[0]
+        for p in parts[1:]:
+            counts = counts.unionByName(p)
     return grouped_topk(
         counts, ["column"],
         [F.col("n").desc(), F.asc_nulls_first("value")],

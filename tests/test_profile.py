@@ -273,14 +273,15 @@ def test_ref_containment_frame_shape(spark, parent_child):
 # ------------------------------------------------------ frequent values --
 
 
-def test_frequent_values(spark):
+@pytest.mark.parametrize("single_pass", [False, True])
+def test_frequent_values(spark, single_pass):
     from json_to_avro_schema_spark.operators.profile import frequent_values
 
     rows = (
         [("a", 1)] * 5 + [("b", 1)] * 3 + [("c", 2)] * 3 + [(None, 3)] * 4
     )
     df = spark.createDataFrame(rows, "s string, v int")
-    out = frequent_values(df, ["s", "v"], k=2).collect()
+    out = frequent_values(df, ["s", "v"], k=2, single_pass=single_pass).collect()
     by_col = {}
     for r in out:
         by_col.setdefault(r["column"], []).append(
@@ -303,17 +304,27 @@ def test_frequent_values_tiebreak_deterministic(spark):
     assert [(r["rank"], r["value"]) for r in out] == [(1, "x"), (2, "y")]
 
 
-def test_frequent_values_single_scan_plan(spark):
+def test_frequent_values_plan_shapes(spark):
+    """Default = one pruned aggregate per column (A/B'd 1.6× faster on a
+    columnar source, same bytes read); single_pass = one melted scan for
+    computed inputs. Both keep the rank-limit pushdown."""
     from json_to_avro_schema_spark.operators.profile import frequent_values
 
     df = spark.range(100).selectExpr(
         "cast(id % 7 as string) AS a", "cast(id % 3 as string) AS b"
     )
-    plan = frequent_values(df, ["a", "b"], k=3)._jdf.queryExecution() \
-        .executedPlan().toString()
-    # one scan melted map-side; the rank cut keeps the pushdown shape
-    assert plan.count("Range") == 1
-    assert "WindowGroupLimit" in plan
+    melted = frequent_values(df, ["a", "b"], k=3, single_pass=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert melted.count("Range") == 1
+    assert "WindowGroupLimit" in melted
+    unioned = frequent_values(df, ["a", "b"], k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert unioned.count("Range") == 2
+    assert "WindowGroupLimit" in unioned
+    # identical results from both shapes
+    a = frequent_values(df, ["a", "b"], k=3).collect()
+    b = frequent_values(df, ["a", "b"], k=3, single_pass=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 # --------------------------------------------------------------- drift --
