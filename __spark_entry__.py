@@ -3169,6 +3169,78 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_ngram_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 13-gram contamination (operators/dedup.py:
+    ngram_contamination — the GPT-3 Appendix-C leak check, complementing
+    the whole-doc Jaccard path): benchmark = exact copies of every 97th
+    doc (full collision: n_collisions == n_grams) + 20-token EXCERPTS of
+    every 101st-shifted doc (the leak shape Jaccard misses — 8
+    collisions each) + token-REVERSED decoys (must not flag). The oracle
+    re-derives grams as delimiter-joined token strings; the Spark side
+    hashes gram token-hash windows — membership is equivalent (64-bit,
+    bounded benchmark)."""
+    docs = load_table(spark, sf, "documents")
+    tok = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    copies = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"), "text"
+    )
+    excerpts = docs.filter(F.col("doc_id") % 101 == 3).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.array_join(F.slice(tok, 1, 20), " ").alias("text"),
+    )
+    decoys = docs.filter(F.col("doc_id") % 97 == 50).select(
+        (F.col("doc_id") + 60_000_000).alias("doc_id"),
+        F.array_join(F.reverse(tok), " ").alias("text"),
+    )
+    bench = copies.unionAll(excerpts).unionAll(decoys)
+    return dd.ngram_contamination(docs, bench, k=13).orderBy("doc_id")
+
+
+_O_NGRAM_DECONTAMINATION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), bench_text AS (
+  SELECT doc_id + 40000000 AS bid, text FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT doc_id + 50000000, array_to_string(t[1:20], ' ')
+  FROM tok WHERE doc_id % 101 = 3
+  UNION ALL
+  SELECT doc_id + 60000000, array_to_string(list_reverse(t), ' ')
+  FROM tok WHERE doc_id % 97 = 50
+), btok AS (
+  SELECT bid,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM bench_text
+), bpos AS (
+  SELECT t, unnest(range(1, len(t) - 11)) AS i FROM btok
+), bgrams AS (
+  SELECT DISTINCT array_to_string(t[CAST(i AS INT):CAST(i + 12 AS INT)],
+                                  chr(31)) AS g
+  FROM bpos
+), cpos AS (
+  SELECT doc_id, len(t) AS n, t, unnest(range(1, len(t) - 11)) AS i
+  FROM tok
+), cgrams AS (
+  SELECT doc_id, n,
+         array_to_string(t[CAST(i AS INT):CAST(i + 12 AS INT)],
+                         chr(31)) AS g
+  FROM cpos
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_collisions,
+       CAST(greatest(max(c.n) - 12, 0) AS BIGINT) AS n_grams
+FROM cgrams c JOIN bgrams b ON c.g = b.g
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
 def _q_decontaminate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Train-test contamination (operators/dedup.py:contamination_pairs):
     a synthetic benchmark set = exact copies of every 25th doc (must be
@@ -3595,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_drift_lineitem": _q_profile_drift_lineitem,
         "frequent_values_docs": _q_frequent_values_docs,
         "streaming_profile_drift": _q_streaming_profile_drift,
+        "ngram_decontamination": _q_ngram_decontamination,
     }
 
 
@@ -3682,4 +3755,5 @@ def oracle_sql() -> dict[str, str]:
         "profile_drift_lineitem": _o_profile_drift_lineitem(),
         "frequent_values_docs": _O_FREQUENT_VALUES_DOCS,
         "streaming_profile_drift": _o_streaming_profile_drift(),
+        "ngram_decontamination": _O_NGRAM_DECONTAMINATION,
     }

@@ -533,6 +533,88 @@ def decontaminate(
     return corpus.join(bad, id_col, "left_anti")
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 13,
+    min_collisions: int = 1,
+) -> DataFrame:
+    """GPT-3-style exact n-gram contamination signal (Brown et al. 2020
+    Appendix C uses 13-grams; PaLM 8-grams): a corpus doc is contaminated
+    when it shares ≥ ``min_collisions`` exact token k-grams with ANY
+    benchmark doc. Complements :func:`contamination_pairs` (whole-doc
+    shingle-Jaccard): the Jaccard path needs the documents to be globally
+    similar, while this catches a verbatim eval EXCERPT quoted inside an
+    otherwise-unrelated document — the common leak shape in crawls.
+
+    Shape at scale: benchmark grams collapse to a DISTINCT 8-byte hash
+    set (eval sets are small by contract — thousands of docs → ~10^6
+    hashes, comfortably under the auto-broadcast threshold via its
+    accurate post-agg size), so the corpus gram frame streams through a
+    BroadcastHashJoin: one corpus scan, and the only corpus-side shuffle
+    is the per-doc collision count. Gram hashing is the ExactSubstr
+    family's staged `_gram_frame` (no per-gram strings, O(n·k)/doc);
+    64-bit gram hashes make false collisions ~n²/2^64 — negligible
+    against a bounded benchmark.
+
+    Returns (``id_col``, n_collisions, n_grams) for contaminated docs
+    only; pass the result to :func:`decontaminate_ngrams` for the
+    filtered corpus."""
+    from .referential import _maybe_broadcast, AUTO_BROADCAST_BYTES
+
+    bg = (
+        _gram_frame(benchmark, text_col, id_col, k).persist()
+        .select(F.explode("_ghs").alias("_gh"))
+        .distinct()
+    )
+    bg = _maybe_broadcast(bg, "auto", AUTO_BROADCAST_BYTES)
+    # persist = plan barrier (same pattern as _dup_gram_positions): after
+    # the explode, _ghs is referenced once, so CollapseProject would fold
+    # the staged gram/token projections back into one expression tree and
+    # re-inline the tokenizer per gram position — the measured O(n²) trap
+    # _gram_frame's docstring documents (9.4 s vs 0.5 s on the gate corpus)
+    cg = _gram_frame(corpus, text_col, id_col, k).persist()
+    hits = cg.select(
+        "_id", "_n", F.explode("_ghs").alias("_gh")
+    ).join(bg, "_gh")  # bench grams are distinct: no hit duplication
+    return (
+        hits.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_collisions"),
+            F.max("_n").alias("_n_toks"),
+        )
+        .filter(F.col("n_collisions") >= min_collisions)
+        .select(
+            F.col("_id").alias(id_col),
+            "n_collisions",
+            F.greatest(
+                F.col("_n_toks") - F.lit(k - 1), F.lit(0)
+            ).cast("long").alias("n_grams"),
+        )
+    )
+
+
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 13,
+    min_collisions: int = 1,
+) -> DataFrame:
+    """Corpus minus docs sharing exact token k-grams with the benchmark
+    (anti-join on :func:`ngram_contamination`'s id side)."""
+    bad = ngram_contamination(
+        corpus, benchmark, text_col, id_col,
+        k=k, min_collisions=min_collisions,
+    ).select(id_col)
+    return corpus.join(bad, id_col, "left_anti")
+
+
 # ----------------------------------------------------------------- simhash
 
 def _simhash_vote_udf():

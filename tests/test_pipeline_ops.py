@@ -666,3 +666,52 @@ def test_quality_filters_and_clean_corpus(spark):
     kept = clean_corpus(df, min_tokens=15, max_top_token_frac=0.3)
     assert [r["doc_id"] for r in kept.collect()] == [1]
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_ngram_contamination(spark):
+    """GPT-3-style exact 13-gram leak detection: a verbatim EXCERPT of a
+    benchmark item inside an otherwise-unrelated doc must flag (the
+    Jaccard path can't see it); token-reversed decoys must not."""
+    from json_to_avro_schema_spark.operators.dedup import (
+        decontaminate_ngrams,
+        ngram_contamination,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    bench_text = " ".join(words[:20])           # 20 tokens -> 8 13-grams
+    corpus = spark.createDataFrame(
+        [
+            # doc 1: bench excerpt quoted inside unrelated padding
+            (1, "pad1 pad2 pad3 " + bench_text + " tail1 tail2"),
+            # doc 2: exact copy of the benchmark item
+            (2, bench_text),
+            # doc 3: shares only a 12-token run (w8..w19) — one short of k
+            (3, " ".join(words[8:28])),
+            # doc 4: reversed order decoy
+            (4, " ".join(reversed(words[:20]))),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_collisions"], r["n_grams"])
+        for r in ngram_contamination(corpus, bench, k=13).collect()
+    }
+    assert got[1] == (8, 13)   # 25 tokens -> 13 grams, 8 collide
+    assert got[2] == (8, 8)    # full collision: every gram of the copy
+    assert 3 not in got and 4 not in got
+    # min_collisions raises the bar
+    strict = {
+        r["doc_id"]
+        for r in ngram_contamination(
+            corpus, bench, k=13, min_collisions=9
+        ).collect()
+    }
+    assert strict == set()
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_ngrams(corpus, bench, k=13).collect()
+    }
+    assert kept == {3, 4}

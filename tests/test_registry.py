@@ -88,6 +88,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         "profile_drift_lineitem": "suggested_spec_lineitem",
         "frequent_values_docs": "suggested_spec_lineitem",
         "streaming_profile_drift": "streaming_windowed_metrics",
+        "ngram_decontamination": "decontaminate_pairs",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
