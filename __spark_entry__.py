@@ -1999,6 +1999,40 @@ FROM embeddings WHERE vec_id % 50 = 0 ORDER BY id_a, id_b
 """
 
 
+def _q_semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py:semantic_dedup) over the
+    embeddings table + planted clones. The gate runs k_cells=1 — a single
+    cell makes the keep-lowest-id policy brute-force re-derivable in SQL
+    (DuckDB list_cosine_similarity NOT EXISTS); the threshold 0.99 sits
+    far from every real pair's cosine (clones ≈ 1.0, max natural pair
+    ≈ 0.6), so engine float-ulp differences cannot flip a decision. The
+    clustered path (k_cells>1: IVF assignment bounding the pairwise
+    term) is pinned in tests/test_pipeline_ops.py::test_semantic_dedup."""
+    emb = load_table(spark, sf, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    both = emb.unionAll(clones)
+    kept = sim.semantic_dedup(both, threshold=0.99, k_cells=1)
+    return kept.select("vec_id").orderBy("vec_id")
+
+
+_O_SEMANTIC_DEDUP_EMBEDDINGS = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT c.vec_id FROM corpus c
+WHERE NOT EXISTS (
+  SELECT 1 FROM corpus o
+  WHERE o.vec_id < c.vec_id
+    AND list_cosine_similarity(o.embedding, c.embedding) >= 0.99
+)
+ORDER BY vec_id
+"""
+
+
 def _q_vector_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-column validation (training-data op): dimension
     consistency, NaN/null contamination, L2-norm stats — one fused JVM-side
@@ -3668,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_values_docs": _q_frequent_values_docs,
         "streaming_profile_drift": _q_streaming_profile_drift,
         "ngram_decontamination": _q_ngram_decontamination,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
     }
 
 
@@ -3756,4 +3791,5 @@ def oracle_sql() -> dict[str, str]:
         "frequent_values_docs": _O_FREQUENT_VALUES_DOCS,
         "streaming_profile_drift": _o_streaming_profile_drift(),
         "ngram_decontamination": _O_NGRAM_DECONTAMINATION,
+        "semantic_dedup_embeddings": _O_SEMANTIC_DEDUP_EMBEDDINGS,
     }

@@ -206,7 +206,8 @@ def ivf_train_centroids(
     import numpy as np
 
     rows = (
-        df.orderBy(id_col)
+        df.filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
         .limit(train_sample)
         .select(vec_col)
         .collect()
@@ -368,6 +369,64 @@ def embedding_near_duplicates(
         .distinct()
     )
     return pairs
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    k_cells: int = 16,
+    iters: int = 3,
+    train_sample: int = 50_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Optional[List[List[float]]] = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster embeddings with
+    the IVF coarse quantizer, then within each cluster drop every row
+    whose cosine with ANY lower-id row of the same cluster reaches
+    ``threshold``. Returns the kept rows.
+
+    Keep policy: lowest id per semantic-duplicate neighborhood —
+    deterministic, order-free, and SQL-expressible (NOT EXISTS), where
+    the paper's keep-farthest-from-centroid depends on the trained
+    centroid values; near threshold 1 the policies differ only in WHICH
+    twin survives. Cross-cluster near-dups are invisible by design (the
+    paper's accepted trade: clustering bounds the pairwise term — scale
+    ``k_cells`` with N, e.g. tens of thousands of cells at 10^8+ rows).
+
+    Scale shape: centroid training is bounded
+    (:func:`ivf_train_centroids`: deterministic sample, driver-side
+    numpy); assignment is one codegen'd projection of centroid literals;
+    the within-cell self-join shuffles the table ONCE on ``__cell`` and
+    its quadratic term is bounded by the largest cell. Rows with a null
+    ``vec_col`` are kept untouched (cosine with null is null, never ≥
+    threshold)."""
+    cents = centroids if centroids is not None else ivf_train_centroids(
+        df, k=k_cells, iters=iters, train_sample=train_sample,
+        vec_col=vec_col, id_col=id_col,
+    )
+    if not cents:
+        return df
+    base = ivf_assign(df, cents, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "__cell"
+    )
+    l, r = base.alias("l"), base.alias("r")
+    dropped = (
+        l.join(r, "__cell")
+        .filter(F.col("l.__id") > F.col("r.__id"))
+        .filter(
+            cosine(
+                F.col("l.__v").cast("array<double>"),
+                F.col("r.__v").cast("array<double>"),
+            )
+            >= threshold
+        )
+        .select(F.col("l.__id").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
 
 
 def vector_stats(

@@ -715,3 +715,35 @@ def test_ngram_contamination(spark):
         for r in decontaminate_ngrams(corpus, bench, k=13).collect()
     }
     assert kept == {3, 4}
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup: IVF-clustered embeddings, keep-lowest-id per semantic
+    neighborhood; scaled copies (cos=1) drop, distinct directions stay,
+    null embeddings pass through."""
+    from json_to_avro_schema_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.01, 0.0]),    # group A seed
+        (2, [0.0, 0.0, 1.0, 0.05]),    # group B seed (k-means init = ids 1,2)
+        (3, [1.0, 0.0, 0.01, 0.0]),    # twin of 1 -> dropped
+        (4, [0.0, 0.0, 1.0, 0.05]),    # twin of 2 -> dropped
+        (5, [2.0, 0.0, 0.02, 0.0]),    # scaled copy of 1 (cos=1) -> dropped
+        (6, [1.0, 0.8, 0.0, 0.0]),     # same cell as 1, cos~0.78 -> kept
+        (7, None),                     # null embedding -> kept untouched
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept2 = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, threshold=0.99, k_cells=2, train_sample=10
+        ).collect()
+    }
+    assert kept2 == {1, 2, 6, 7}
+    # single cell == brute force; clustering can only MISS cross-cell
+    # pairs, so the brute-force kept set is contained in the clustered one
+    kept1 = {
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.99, k_cells=1).collect()
+    }
+    assert kept1 == {1, 2, 6, 7} and kept1 <= kept2

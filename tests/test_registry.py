@@ -89,6 +89,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         "frequent_values_docs": "suggested_spec_lineitem",
         "streaming_profile_drift": "streaming_windowed_metrics",
         "ngram_decontamination": "decontaminate_pairs",
+        "semantic_dedup_embeddings": "embedding_near_dups",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
