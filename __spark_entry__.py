@@ -1247,8 +1247,8 @@ def _o_suggested_spec_lineitem() -> str:
         max_len = f"CAST(max(length({c})) AS BIGINT)" if s else "CAST(NULL AS BIGINT)"
         enum = (
             f"CASE WHEN count(DISTINCT {c}) <= 16 THEN (SELECT "
-            f"string_agg(v, ',' ORDER BY v) FROM (SELECT DISTINCT {c} AS v "
-            f"FROM lineitem WHERE {c} IS NOT NULL)) END"
+            f"string_agg(v, chr(31) ORDER BY v) FROM (SELECT DISTINCT {c} "
+            f"AS v FROM lineitem WHERE {c} IS NOT NULL)) END"
             if s else "CAST(NULL AS VARCHAR)"
         )
         parts.append(f"""
@@ -1414,7 +1414,7 @@ def _o_profile_drift(old_src: str, new_src: str,
                 else "CAST(NULL AS INT)")
         ev = (
             f"CASE WHEN count(DISTINCT {col}) <= 16 THEN (SELECT "
-            f"string_agg(v, ',' ORDER BY v) FROM (SELECT DISTINCT {col} "
+            f"string_agg(v, chr(31) ORDER BY v) FROM (SELECT DISTINCT {col} "
             f"AS v FROM {src} WHERE {col} IS NOT NULL)) END"
             if jt == "string" else "CAST(NULL AS VARCHAR)"
         )
@@ -1448,8 +1448,8 @@ def _o_profile_drift(old_src: str, new_src: str,
     )
     enum_widened = (
         f"({both} AND o.ev IS NOT NULL AND (n.ev IS NULL OR "
-        f"len(list_filter(string_split(n.ev, ','), "
-        f"x -> NOT list_contains(string_split(o.ev, ','), x))) > 0))"
+        f"len(list_filter(string_split(n.ev, chr(31)), "
+        f"x -> NOT list_contains(string_split(o.ev, chr(31)), x))) > 0))"
     )
     unique_regressed = f"({both} AND coalesce(o.uq AND NOT n.uq, false))"
     status = (

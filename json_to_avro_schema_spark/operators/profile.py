@@ -53,6 +53,11 @@ from pyspark.sql import types as T
 _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
 
+# delimiter for the profile_frame enum_vals string — the ASCII unit
+# separator, not a comma: profile_drift set-diffs the split string, so
+# the delimiter must be impossible inside a value
+ENUM_SEP = "\x1f"
+
 
 @dataclass(frozen=True)
 class ColumnProfile:
@@ -316,6 +321,12 @@ def ref_containment(
     from .referential import _maybe_broadcast, AUTO_BROADCAST_BYTES
 
     norm = [(_as_cols(cc), _as_cols(pc)) for cc, pc in pairs]
+    for cc, pc in norm:
+        if len(cc) != len(pc):
+            raise ValueError(
+                f"ref pair arity mismatch: child key {cc} has {len(cc)} "
+                f"column(s), parent key {pc} has {len(pc)}"
+            )
     # one fused aggregate for every referenced parent key (single- or
     # multi-column): n = fully-non-null rows, nd = distinct key tuples
     pkeys_list = sorted({pc for _, pc in norm})
@@ -450,6 +461,8 @@ def frequent_values(
     """
     from .topk import grouped_topk
 
+    if not columns:
+        raise ValueError("frequent_values needs at least one column")
     if single_pass:
         pairs = F.explode(F.array(*[
             F.struct(
@@ -535,8 +548,8 @@ def profile_drift(old: DataFrame, new: DataFrame,
     enum_widened = both & F.col("o_enum_vals").isNotNull() & (
         F.col("n_enum_vals").isNull()
         | (F.size(F.array_except(
-            F.split(F.col("n_enum_vals"), ","),
-            F.split(F.col("o_enum_vals"), ","),
+            F.split(F.col("n_enum_vals"), ENUM_SEP),
+            F.split(F.col("o_enum_vals"), ENUM_SEP),
         )) > 0)
     )
     unique_regressed = both & F.coalesce(
@@ -572,7 +585,11 @@ def profile_frame(df: DataFrame, profiles: List[ColumnProfile]) -> DataFrame:
             float(p.min_value) if p.min_value is not None else None,
             float(p.max_value) if p.max_value is not None else None,
             p.min_length, p.max_length,
-            ",".join(p.enum_values) if p.enum_values is not None else None,
+            # \x1f-joined (same unit separator as the uniqueness keys):
+            # profile_drift set-diffs this string, so the delimiter must
+            # never occur inside a value — a comma can
+            ENUM_SEP.join(p.enum_values) if p.enum_values is not None
+            else None,
         )
         for p in profiles
     ]

@@ -403,6 +403,8 @@ def semantic_dedup(
     its quadratic term is bounded by the largest cell. Rows with a null
     ``vec_col`` are kept untouched (cosine with null is null, never ≥
     threshold)."""
+    if centroids is None and k_cells < 1:
+        raise ValueError(f"k_cells must be >= 1, got {k_cells}")
     cents = centroids if centroids is not None else ivf_train_centroids(
         df, k=k_cells, iters=iters, train_sample=train_sample,
         vec_col=vec_col, id_col=id_col,

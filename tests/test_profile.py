@@ -132,7 +132,7 @@ def test_profile_frame_shape(spark, sample):
     pf = profile_frame(sample, profs)
     rows = {r["column"]: r for r in pf.collect()}
     assert rows["id"]["is_unique"] and rows["id"]["required"]
-    assert rows["flag"]["enum_vals"] == "A,N,R"
+    assert rows["flag"]["enum_vals"] == "A\x1fN\x1fR"
     assert rows["maybe"]["n_nulls"] == 200 // 7
 
 
