@@ -340,8 +340,8 @@ def ref_containment(
         aggs.append(F.count_distinct(*[F.col(c) for c in pc]).alias(f"{tag}__nd"))
     pagg = parent.agg(*aggs).collect()[0].asDict()
 
-    out: List[RefCandidate] = []
-    for cc, pc in norm:
+    def _measure(pair) -> RefCandidate:
+        cc, pc = pair
         tag = ",".join(pc)
         knames = [f"__k{i}" for i in range(len(pc))]
         pk = parent.select(
@@ -365,7 +365,7 @@ def ref_containment(
         ).collect()[0]
         n, dang = int(row["n"]), int(row["dangling"])
         n_parent = int(pagg[f"{tag}__n"] or 0)
-        out.append(RefCandidate(
+        return RefCandidate(
             child_col=",".join(cc),
             parent_col=tag,
             n_child_keys=n,
@@ -375,8 +375,17 @@ def ref_containment(
             parent_is_unique=(
                 n_parent > 0 and int(pagg[f"{tag}__nd"]) == n_parent
             ),
-        ))
-    return out
+        )
+
+    # per-pair jobs submit concurrently (same pattern as
+    # table_checks.run_table_checks): Spark job submission is
+    # thread-safe and the scheduler overlaps the scans
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(norm) <= 1:
+        return [_measure(p) for p in norm]
+    with ThreadPoolExecutor(max_workers=min(len(norm), 8)) as ex:
+        return list(ex.map(_measure, norm))
 
 
 def suggest_refs(
