@@ -869,6 +869,119 @@ FROM base GROUP BY source ORDER BY source
 """
 
 
+# deterministic structure plants for the gopher-rules gate query —
+# shared verbatim between the Spark plan and the DuckDB oracle
+_GOPHER_PLANT_BULLETS = "\n" + "\n".join(
+    f"- bullet {c}" for c in "abcdefghijk"
+)
+_GOPHER_PLANT_SYMBOLS = " ### ### ### ### ### ### ###"
+_GOPHER_PLANT_ELLIPSIS = "\ntrailing thought...\nanother one…\nplain line"
+
+
+def _sql_str(s: str) -> str:
+    """A Python string as a DuckDB expression: quoted segments joined
+    with chr(10) (DuckDB literals don't interpret backslash escapes)."""
+    parts = [
+        "'" + seg.replace("'", "''") + "'" for seg in s.split("\n")
+    ]
+    return " || chr(10) || ".join(parts)
+
+
+def _q_gopher_rules_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Published Gopher rule set (operators/text.py:gopher_rules, Rae et
+    al. 2021 A1) over documents with planted structure: every 11th doc
+    gains 11 bullet lines (bullet-line fraction > 0.9), every 13th+1 a
+    run of '#' symbols (symbol ratio > 0.1), every 17th+2 ellipsis-ended
+    lines — so each line-level rule fires on a known subset. Signals are
+    exact integers; flags are integer-ratio comparisons, engine-stable."""
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 11 == 0,
+               F.concat(F.col("text"), F.lit(_GOPHER_PLANT_BULLETS)))
+        .when(did % 13 == 1,
+              F.concat(F.col("text"), F.lit(_GOPHER_PLANT_SYMBOLS)))
+        .when(did % 17 == 2,
+              F.concat(F.col("text"), F.lit(_GOPHER_PLANT_ELLIPSIS)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    out = tx.gopher_rules(planted)
+    return out.select(
+        "doc_id", "n_words", "sum_word_chars", "n_symbol_hits", "n_lines",
+        "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
+        "n_stopword_hits", "pass_word_count", "pass_mean_word_len",
+        "pass_symbol", "pass_bullet", "pass_ellipsis", "pass_alpha",
+        "pass_stopwords", "pass_gopher",
+    ).orderBy("doc_id")
+
+
+def _o_gopher_rules_docs() -> str:
+    stop = ", ".join(f"'{w}'" for w in
+                     ("the", "be", "to", "of", "and", "that", "have",
+                      "with"))
+    return rf"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+                THEN text || {_sql_str(_GOPHER_PLANT_BULLETS)}
+              WHEN doc_id % 13 = 1
+                THEN text || {_sql_str(_GOPHER_PLANT_SYMBOLS)}
+              WHEN doc_id % 17 = 2
+                THEN text || {_sql_str(_GOPHER_PLANT_ELLIPSIS)}
+              ELSE text END AS text
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) != '') AS ls,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT)
+           AS n_symbol_hits
+  FROM planted
+), agg AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+              AS BIGINT) AS sum_word_chars,
+         n_symbol_hits,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(ls,
+              l -> regexp_matches(ltrim(l), '^[•‣▪*-]'))) AS BIGINT)
+           AS n_bullet_lines,
+         CAST(len(list_filter(ls,
+              l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+              AS BIGINT) AS n_ellipsis_lines,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(t), [{stop}])) AS BIGINT)
+           AS n_stopword_hits
+  FROM sig
+)
+SELECT *,
+       n_words >= 50 AND n_words <= 100000 AS pass_word_count,
+       sum_word_chars * 1.0 / greatest(n_words, 1) >= 3.0
+         AND sum_word_chars * 1.0 / greatest(n_words, 1) <= 10.0
+         AS pass_mean_word_len,
+       n_symbol_hits * 1.0 / greatest(n_words, 1) <= 0.1 AS pass_symbol,
+       n_bullet_lines * 1.0 / greatest(n_lines, 1) <= 0.9 AS pass_bullet,
+       n_ellipsis_lines * 1.0 / greatest(n_lines, 1) <= 0.3
+         AS pass_ellipsis,
+       n_alpha_words * 1.0 / greatest(n_words, 1) >= 0.8 AS pass_alpha,
+       n_stopword_hits >= 2 AS pass_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (sum_word_chars * 1.0 / greatest(n_words, 1) >= 3.0
+              AND sum_word_chars * 1.0 / greatest(n_words, 1) <= 10.0)
+         AND n_symbol_hits * 1.0 / greatest(n_words, 1) <= 0.1
+         AND n_bullet_lines * 1.0 / greatest(n_lines, 1) <= 0.9
+         AND n_ellipsis_lines * 1.0 / greatest(n_lines, 1) <= 0.3
+         AND n_alpha_words * 1.0 / greatest(n_words, 1) >= 0.8
+         AND n_stopword_hits >= 2 AS pass_gopher
+FROM agg ORDER BY doc_id
+"""
+
+
 def _q_packed_shards(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget shard packing (operators/packing.py): global running
     token offsets via the distributed prefix-sum shape (per-partition
@@ -3703,6 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_profile_drift": _q_streaming_profile_drift,
         "ngram_decontamination": _q_ngram_decontamination,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        "gopher_rules_docs": _q_gopher_rules_docs,
     }
 
 
@@ -3792,4 +3906,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_profile_drift": _o_streaming_profile_drift(),
         "ngram_decontamination": _O_NGRAM_DECONTAMINATION,
         "semantic_dedup_embeddings": _O_SEMANTIC_DEDUP_EMBEDDINGS,
+        "gopher_rules_docs": _o_gopher_rules_docs(),
     }

@@ -148,6 +148,102 @@ def _max_run(arr: Column) -> Column:
     return F.aggregate(arr, init, step, lambda acc: acc["best"])
 
 
+# Gopher rule constants (Rae et al. 2021, Appendix A1 "Quality filtering")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_SYMBOL_RE = r"#|\.\.\.|…"
+_GOPHER_BULLET_RE = r"^[•‣▪*-]"
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher quality rule set (Rae et al. 2021, Appendix
+    A1) as one projection of integer signals + per-rule flags: word-count
+    bounds, mean word length bounds, symbol-to-word ratio (#/ellipsis),
+    bullet-started and ellipsis-ended line fractions, alphabetic-word
+    fraction, and the ≥2-stopword requirement. Complements
+    :func:`quality_filters` (C4-style composite score) with the named
+    per-rule surface — and adds the LINE-level signals that need the raw
+    text's newline structure, which the token-based pass can't see.
+
+    One scan, two staging projections (token array, non-empty line
+    array — the HOF re-inlining rule in docs/PIPELINE.md), every signal
+    an exact integer so the flags are engine-stable ratio comparisons of
+    integers. The alpha-word test is ``[a-z]`` on lowercased tokens —
+    English-centric exactly as the paper's rules are (docstring caveat,
+    not a bug). Returns ``df``'s columns + signals + flags +
+    ``pass_gopher``."""
+    c = F.col(text_col)
+    staged = df.withColumn("__toks", tokens(c)).withColumn(
+        "__lines",
+        F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != ""),
+    )
+    toks, lines = F.col("__toks"), F.col("__lines")
+    n = F.size(toks)
+    n_lines = F.size(lines)
+    sum_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_sym = F.coalesce(
+        F.regexp_count(c, F.lit(_GOPHER_SYMBOL_RE)), F.lit(0)
+    ).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(_GOPHER_BULLET_RE))
+    )
+    n_ellipsis = F.size(F.filter(
+        lines,
+        lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+    ))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+    ))
+    nd = F.greatest(n, F.lit(1))
+    ld = F.greatest(n_lines, F.lit(1))
+    mean_len = sum_chars * F.lit(1.0) / nd
+    out = staged.select(
+        "*",
+        n.cast("long").alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_sym.alias("n_symbol_hits"),
+        n_lines.cast("long").alias("n_lines"),
+        n_bullet.cast("long").alias("n_bullet_lines"),
+        n_ellipsis.cast("long").alias("n_ellipsis_lines"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_stopword_hits"),
+        ((n >= min_words) & (n <= max_words)).alias("pass_word_count"),
+        ((mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len))
+        .alias("pass_mean_word_len"),
+        (n_sym * F.lit(1.0) / nd <= max_symbol_ratio).alias("pass_symbol"),
+        (n_bullet * F.lit(1.0) / ld <= max_bullet_line_frac)
+        .alias("pass_bullet"),
+        (n_ellipsis * F.lit(1.0) / ld <= max_ellipsis_line_frac)
+        .alias("pass_ellipsis"),
+        (n_alpha * F.lit(1.0) / nd >= min_alpha_word_frac)
+        .alias("pass_alpha"),
+        (n_stop >= min_stopword_hits).alias("pass_stopwords"),
+    ).drop("__toks", "__lines")
+    return out.withColumn(
+        "pass_gopher",
+        F.col("pass_word_count") & F.col("pass_mean_word_len")
+        & F.col("pass_symbol") & F.col("pass_bullet")
+        & F.col("pass_ellipsis") & F.col("pass_alpha")
+        & F.col("pass_stopwords"),
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher/C4-style repetition signals per document, all JVM-side:
     token totals, distinct tokens, and the top token / top bigram

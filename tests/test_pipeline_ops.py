@@ -747,3 +747,35 @@ def test_semantic_dedup(spark):
         for r in semantic_dedup(df, threshold=0.99, k_cells=1).collect()
     }
     assert kept1 == {1, 2, 6, 7} and kept1 <= kept2
+
+
+def test_gopher_rules(spark):
+    """Each published Gopher rule fires on a doc built to break exactly
+    that rule; the well-formed doc passes all seven."""
+    from json_to_avro_schema_spark.operators.text import gopher_rules
+
+    good = " ".join(["the", "and"] + ["word"] * 48)       # 50 words
+    rows = [
+        (1, good),
+        (2, "the and word word"),                          # too short
+        (3, good + " # # # # # # #"),                      # symbols 7/57
+        (4, good + "\n" + "\n".join(f"- b{i}" for i in range(10))),
+        (5, good + "\nend one...\nend two...\nplain"),
+        (6, " ".join(["the", "and"] + ["123"] * 48)),      # non-alpha words
+        (7, " ".join(["word"] * 50)),                      # no stopwords
+        (8, " ".join(["the", "and"] + ["ab"] * 48)),       # mean len 2.08
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["pass_gopher"]
+    assert out[1]["n_words"] == 50 and out[1]["n_stopword_hits"] == 2
+    assert not out[2]["pass_word_count"] and out[2]["pass_mean_word_len"]
+    assert not out[3]["pass_symbol"] and out[3]["n_symbol_hits"] == 7
+    # 10 bullet lines of 11 total -> 0.909 > 0.9
+    assert not out[4]["pass_bullet"] and out[4]["n_bullet_lines"] == 10
+    assert not out[5]["pass_ellipsis"] and out[5]["n_ellipsis_lines"] == 2
+    assert not out[6]["pass_alpha"]
+    assert not out[7]["pass_stopwords"] and out[7]["n_stopword_hits"] == 0
+    assert not out[8]["pass_mean_word_len"]
+    for d in (2, 3, 4, 5, 6, 7, 8):
+        assert not out[d]["pass_gopher"]
