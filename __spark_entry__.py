@@ -982,6 +982,83 @@ FROM agg ORDER BY doc_id
 """
 
 
+_C4_PLANT_GOOD = (
+    "\nThis line has at least five words."
+    "\nShort line."
+    "\nAnother full line with many words here!"
+    "\nno terminal punctuation line with words"
+    "\nIs this a question with enough words?"
+)
+_C4_PLANT_LOREM = "\nlorem ipsum dolor sit amet."
+_C4_PLANT_BRACE = "\nfunction() { return 1; }"
+
+
+def _q_c4_clean_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line-level cleaning (operators/text.py:c4_clean, Raffel et al.
+    2020 §2.2) with planted line structure: every doc gains a block of
+    qualifying + non-qualifying lines (the original one-line synthetic
+    text has no terminal punctuation, so it always drops); every 19th+4
+    doc gains a lorem-ipsum line, every 23rd+5 a curly-brace line — the
+    doc-level drop flags fire on known subsets. Counters are exact
+    integers; the cleaned text is compared via its exact length."""
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        (F.concat(
+            F.col("text"), F.lit(_C4_PLANT_GOOD),
+            F.when(did % 19 == 4, F.lit(_C4_PLANT_LOREM)).otherwise(F.lit("")),
+            F.when(did % 23 == 5, F.lit(_C4_PLANT_BRACE)).otherwise(F.lit("")),
+        )).alias("text"),
+    )
+    out = tx.c4_clean(planted)
+    return out.select(
+        "doc_id",
+        F.length("c4_text").cast("long").alias("c4_len"),
+        "n_lines_kept", "n_lines_dropped", "n_sentences",
+        "has_lorem", "has_brace", "keep_doc",
+    ).orderBy("doc_id")
+
+
+def _o_c4_clean_docs() -> str:
+    return rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text || {_sql_str(_C4_PLANT_GOOD)}
+              || CASE WHEN doc_id % 19 = 4
+                      THEN {_sql_str(_C4_PLANT_LOREM)} ELSE '' END
+              || CASE WHEN doc_id % 23 = 5
+                      THEN {_sql_str(_C4_PLANT_BRACE)} ELSE '' END AS text
+  FROM documents
+), sig AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+  FROM planted
+), kept AS (
+  SELECT doc_id, text, ls,
+         list_filter(ls, l ->
+           (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+            OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+           AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                               x -> x != '')) >= 5) AS kl
+  FROM sig
+)
+SELECT doc_id,
+       CAST(length(array_to_string(kl, chr(10))) AS BIGINT) AS c4_len,
+       CAST(len(kl) AS BIGINT) AS n_lines_kept,
+       CAST(len(ls) - len(kl) AS BIGINT) AS n_lines_dropped,
+       CAST(len(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]'))
+            AS BIGINT) AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{{') AS has_brace,
+       NOT contains(lower(text), 'lorem ipsum')
+         AND NOT contains(text, '{{')
+         AND len(regexp_extract_all(array_to_string(kl, chr(10)), '[.!?]'))
+             >= 3 AS keep_doc
+FROM kept ORDER BY doc_id
+"""
+
+
 def _q_packed_shards(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget shard packing (operators/packing.py): global running
     token offsets via the distributed prefix-sum shape (per-partition
@@ -3817,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontamination": _q_ngram_decontamination,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "gopher_rules_docs": _q_gopher_rules_docs,
+        "c4_clean_docs": _q_c4_clean_docs,
     }
 
 
@@ -3907,4 +3985,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontamination": _O_NGRAM_DECONTAMINATION,
         "semantic_dedup_embeddings": _O_SEMANTIC_DEDUP_EMBEDDINGS,
         "gopher_rules_docs": _o_gopher_rules_docs(),
+        "c4_clean_docs": _o_c4_clean_docs(),
     }

@@ -148,6 +148,70 @@ def _max_run(arr: Column) -> Column:
     return F.aggregate(arr, init, step, lambda acc: acc["best"])
 
 
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation (. ! ? ") AND contain at least
+    ``min_words_per_line`` words; flag (for doc-level drop) any page
+    containing "lorem ipsum" or a curly brace, or whose cleaned text has
+    fewer than ``min_sentences`` sentences (terminal-punct count — the
+    paper's sentence splitter approximated deterministically). The
+    paper's bad-words list and its cross-document three-sentence-span
+    dedup are intentionally NOT here: the former is a policy list to be
+    supplied by the deployment, the latter is the ExactSubstr family
+    (``dedup.remove_duplicated_ngrams``) at a different granularity.
+
+    One projection over a staged line array; emits ``c4_text`` (kept
+    lines rejoined), exact line/sentence counters, the two content
+    flags, and ``keep_doc``. Line filtering is a HOF over the split —
+    no explode, no shuffle."""
+    c = F.col(text_col)
+    staged = df.withColumn(
+        "__lines",
+        F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != ""),
+    )
+    lines = F.col("__lines")
+
+    def _line_ok(l):
+        r = F.rtrim(l)
+        terminal = (
+            r.endswith(".") | r.endswith("!") | r.endswith("?")
+            | r.endswith('"')
+        )
+        n_words = F.size(
+            F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != "")
+        )
+        return terminal & (n_words >= min_words_per_line)
+
+    kept = F.filter(lines, _line_ok)
+    cleaned = F.array_join(kept, "\n")
+    low = F.lower(c)
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = c.contains("{")
+    n_sent = F.coalesce(
+        F.regexp_count(cleaned, F.lit(r"[.!?]")), F.lit(0)
+    ).cast("long")
+    out = staged.select(
+        "*",
+        cleaned.alias("c4_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+    ).drop("__lines")
+    return out.withColumn(
+        "keep_doc",
+        ~F.col("has_lorem") & ~F.col("has_brace")
+        & (F.col("n_sentences") >= min_sentences),
+    )
+
+
 # Gopher rule constants (Rae et al. 2021, Appendix A1 "Quality filtering")
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_SYMBOL_RE = r"#|\.\.\.|…"

@@ -779,3 +779,35 @@ def test_gopher_rules(spark):
     assert not out[8]["pass_mean_word_len"]
     for d in (2, 3, 4, 5, 6, 7, 8):
         assert not out[d]["pass_gopher"]
+
+
+def test_c4_clean(spark):
+    """C4 line filters: terminal punctuation + min words per line; doc
+    flags for lorem ipsum / braces / too few sentences."""
+    from json_to_avro_schema_spark.operators.text import c4_clean
+
+    good = (
+        "This line has at least five words.\n"
+        "Short line.\n"                                   # < 5 words
+        "Another full line with many words here!\n"
+        "no terminal punctuation line with words\n"       # no punct
+        "Is this a question with enough words?"
+    )
+    rows = [
+        (1, good),                                        # 3 kept -> keep
+        (2, good + "\nlorem ipsum dolor sit amet."),      # lorem -> drop
+        (3, good + "\nfunction() { return 1; }"),         # brace -> drop
+        (4, "Only one qualifying sentence lives here."),  # < 3 sentences
+        (5, "nothing qualifies here at all"),             # 0 kept lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert out[1]["keep_doc"] and out[1]["n_lines_kept"] == 3
+    assert out[1]["n_lines_dropped"] == 2 and out[1]["n_sentences"] == 3
+    assert out[1]["c4_text"].count("\n") == 2
+    assert out[2]["has_lorem"] and not out[2]["keep_doc"]
+    # the lorem line itself qualifies as a line (5 words, terminal '.')
+    assert out[2]["n_lines_kept"] == 4
+    assert out[3]["has_brace"] and not out[3]["keep_doc"]
+    assert out[4]["n_lines_kept"] == 1 and not out[4]["keep_doc"]
+    assert out[5]["n_lines_kept"] == 0 and out[5]["c4_text"] == ""

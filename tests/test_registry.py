@@ -91,6 +91,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         "ngram_decontamination": "decontaminate_pairs",
         "semantic_dedup_embeddings": "embedding_near_dups",
         "gopher_rules_docs": "clean_corpus_report",
+        "c4_clean_docs": "clean_corpus_report",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
