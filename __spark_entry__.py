@@ -2020,6 +2020,77 @@ FROM base GROUP BY source ORDER BY source
 """
 
 
+def _q_exactsubstr_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """The paper-faithful keep-one variant of the ExactSubstr removal
+    (remove_duplicated_ngrams(keep_first=True)): each duplicated 8-gram's
+    globally-first occurrence (min (doc id, position)) survives, every
+    other occurrence is removed. Same per-source integer aggregates and
+    content checksum as exactsubstr_clean_docs — the DELTA between the
+    two queries is exactly the preserved first copies."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    d = dd.remove_duplicated_ngrams(
+        docs.select("doc_id", "source", "text"), k=8, min_docs=2,
+        keep_first=True,
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("kept_tokens").alias("sum_kept"),
+            F.sum(
+                (F.col("kept_tokens") < F.col("n_tokens")).cast("long")
+            ).alias("docs_modified"),
+            F.sum(F.length("clean_text").cast("long")).alias("sum_clean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_O_EXACTSUBSTR_KEEP_FIRST = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM toks)
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), ranked AS (
+  SELECT g.doc_id, g.pos,
+         row_number() OVER (PARTITION BY g.gram
+                            ORDER BY g.doc_id, g.pos) AS rn
+  FROM g JOIN dup USING (gram)
+), covp AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS p
+  FROM ranked WHERE rn > 1
+), toku AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p
+  FROM toks
+), kept AS (
+  SELECT tk.doc_id,
+         count(*) AS kept,
+         string_agg(tok, ' ' ORDER BY tk.p) AS clean_text
+  FROM toku tk LEFT JOIN covp c ON tk.doc_id = c.doc_id AND tk.p = c.p
+  WHERE c.p IS NULL GROUP BY tk.doc_id
+), base AS (
+  SELECT k.doc_id, source, len(t) AS nt,
+         coalesce(kp.kept, 0) AS kept,
+         coalesce(kp.clean_text, '') AS clean_text
+  FROM toks k LEFT JOIN kept kp ON k.doc_id = kp.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       CAST(sum(kept) AS BIGINT) AS sum_kept,
+       CAST(sum(CASE WHEN kept < nt THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_modified,
+       CAST(sum(length(clean_text)) AS BIGINT) AS sum_clean_chars
+FROM base GROUP BY source ORDER BY source
+"""
+
+
 def _q_fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """xxhash64 fingerprint cardinality == normalized-text cardinality
     (collision-free at this scale) — oracles the dedup key itself."""
@@ -3895,6 +3966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "gopher_rules_docs": _q_gopher_rules_docs,
         "c4_clean_docs": _q_c4_clean_docs,
+        "exactsubstr_keep_first": _q_exactsubstr_keep_first,
     }
 
 
@@ -3986,4 +4058,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": _O_SEMANTIC_DEDUP_EMBEDDINGS,
         "gopher_rules_docs": _o_gopher_rules_docs(),
         "c4_clean_docs": _o_c4_clean_docs(),
+        "exactsubstr_keep_first": _O_EXACTSUBSTR_KEEP_FIRST,
     }

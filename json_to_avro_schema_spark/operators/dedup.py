@@ -901,26 +901,38 @@ def _gram_frame(
 
 
 def _dup_gram_positions(
-    df: DataFrame, text_col: str, id_col: str, k: int, min_docs: int
+    df: DataFrame, text_col: str, id_col: str, k: int, min_docs: int,
+    *, keep_first: bool = False,
 ):
     """Shared candidate machinery for the exact-substring family:
     returns ``(gram_frame.persist(), dup_pos)`` where ``dup_pos`` is
     (_id, _dps = sorted start positions of corpus-duplicated k-grams).
-    The gram frame is persisted: it feeds both the dup-set aggregate and
-    the position rejoin (same pattern as simhash/minhash band rows)."""
+    With ``keep_first`` each duplicated gram's globally-first occurrence
+    (lexicographic min (doc id, position)) is EXCLUDED from the removal
+    set — the paper's keep-one-occurrence rule; one extra vocab-scale
+    aggregate + one join on the gram hash. The gram frame is persisted:
+    it feeds both the dup-set aggregate and the position rejoin (same
+    pattern as simhash/minhash band rows)."""
     hashes = _gram_frame(df, text_col, id_col, k).persist()
     exploded = hashes.select("_id", F.posexplode("_ghs").alias("_pos", "_gh"))
-    dup_set = (
+    dup_occ = exploded.join(
         exploded.groupBy("_gh")
         .agg(F.count_distinct("_id").alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
-        .select("_gh")
+        .select("_gh"),
+        "_gh", "left_semi",
     )
+    if keep_first:
+        winners = dup_occ.groupBy("_gh").agg(
+            F.min(F.struct("_id", "_pos")).alias("_w")
+        )
+        dup_occ = dup_occ.join(winners, "_gh").filter(
+            ~((F.col("_id") == F.col("_w._id"))
+              & (F.col("_pos") == F.col("_w._pos")))
+        )
     # sorted so downstream interval work is a single forward pass
-    dup_pos = (
-        exploded.join(dup_set, "_gh", "left_semi")
-        .groupBy("_id")
-        .agg(F.sort_array(F.collect_list("_pos")).alias("_dps"))
+    dup_pos = dup_occ.groupBy("_id").agg(
+        F.sort_array(F.collect_list("_pos")).alias("_dps")
     )
     return hashes, dup_pos
 
@@ -1008,13 +1020,19 @@ def remove_duplicated_ngrams(
     k: int = 5,
     min_docs: int = 2,
     clean_col: str = "clean_text",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Rewrite each document with corpus-duplicated k-gram spans REMOVED —
     the acting half of the Lee et al. 2022 ExactSubstr dedup (the stats
-    half is :func:`duplicated_ngrams`).  Deviation from the paper,
-    documented: ALL occurrences of a duplicated span are dropped (the
-    paper keeps one); at pretraining scale the duplicated mass is
-    boilerplate and the symmetric rule needs no global tie-break pass.
+    half is :func:`duplicated_ngrams`).  Default semantics deviate from
+    the paper, documented: ALL occurrences of a duplicated span are
+    dropped (the paper keeps one); at pretraining scale the duplicated
+    mass is boilerplate and the symmetric rule needs no global tie-break
+    pass.  ``keep_first=True`` restores the paper's keep-one rule: each
+    duplicated gram's globally-first occurrence (min (doc id, position))
+    survives — though it can still fall inside the removal span of a
+    DIFFERENT overlapping duplicated gram whose first occurrence lives
+    elsewhere (inherent to span semantics, same as the paper's).
 
     Adds ``{clean_col}`` (tokens outside every duplicated span, space
     rejoined; empty string when everything is duplicated), ``n_tokens``
@@ -1030,7 +1048,9 @@ def remove_duplicated_ngrams(
     """
     from .text import tokens as _tokens
 
-    hashes, dup_pos = _dup_gram_positions(df, text_col, id_col, k, min_docs)
+    hashes, dup_pos = _dup_gram_positions(
+        df, text_col, id_col, k, min_docs, keep_first=keep_first
+    )
     # _dps starts are 0-based (posexplode); covered positions are emitted
     # 1-based (a gram starting at 0-based index s covers 1-based token
     # positions s+1 .. s+k) and the filter lambda converts its 0-based

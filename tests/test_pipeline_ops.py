@@ -811,3 +811,30 @@ def test_c4_clean(spark):
     assert out[3]["has_brace"] and not out[3]["keep_doc"]
     assert out[4]["n_lines_kept"] == 1 and not out[4]["keep_doc"]
     assert out[5]["n_lines_kept"] == 0 and out[5]["c4_text"] == ""
+
+
+def test_remove_duplicated_ngrams_keep_first(spark):
+    """keep_first restores the paper's keep-one-occurrence rule: the
+    globally-first (doc id, position) occurrence of a duplicated gram
+    survives; every other occurrence — including intra-doc repeats —
+    is removed."""
+    from json_to_avro_schema_spark.operators.dedup import (
+        remove_duplicated_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c x y"), (2, "z a b c w"), (3, "a b c q a b c")],
+        "doc_id long, text string",
+    )
+    sym = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicated_ngrams(docs, k=3).collect()
+    }
+    assert sym == {1: "x y", 2: "z w", 3: "q"}
+    kf = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicated_ngrams(
+            docs, k=3, keep_first=True
+        ).collect()
+    }
+    assert kf == {1: "a b c x y", 2: "z w", 3: "q"}

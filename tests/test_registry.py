@@ -92,6 +92,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         "semantic_dedup_embeddings": "embedding_near_dups",
         "gopher_rules_docs": "clean_corpus_report",
         "c4_clean_docs": "clean_corpus_report",
+        "exactsubstr_keep_first": "dup_ngram_coverage",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
