@@ -163,6 +163,10 @@ def run_bench() -> dict:
         # the oracle path, not what a user runs at 100 TB)
         ("metric_anomalies_events", qs["metric_anomalies_events"]),
         ("profile_lineitem_approx", _profile_approx),
+        # r4 session 4: named rule sets + excerpt-level decontamination
+        ("gopher_rules_docs", qs["gopher_rules_docs"]),
+        ("c4_clean_docs", qs["c4_clean_docs"]),
+        ("ngram_decontamination", qs["ngram_decontamination"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers
