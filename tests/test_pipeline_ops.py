@@ -838,3 +838,37 @@ def test_remove_duplicated_ngrams_keep_first(spark):
         ).collect()
     }
     assert kf == {1: "a b c x y", 2: "z w", 3: "q"}
+
+
+def test_session4_operator_plan_shapes(spark):
+    """Plan pins for the session-4 operators: the rule sets are one
+    shuffle-free scan each; ngram contamination broadcasts the benchmark
+    gram set; semantic dedup shuffles once on the cell id."""
+    from json_to_avro_schema_spark.operators.dedup import ngram_contamination
+    from json_to_avro_schema_spark.operators.similarity import semantic_dedup
+    from json_to_avro_schema_spark.operators.text import c4_clean, gopher_rules
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} the and of text line {i % 7}") for i in range(500)],
+        "doc_id long, text string",
+    )
+    for op in (gopher_rules, c4_clean):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, f"{op.__name__} must not shuffle"
+        assert plan.count("Scan ExistingRDD") == 1
+
+    nc = ngram_contamination(docs, docs.filter("doc_id % 97 = 0"), k=5)
+    nc.count()
+    plan = nc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan, (
+        "benchmark gram set must broadcast; the corpus side streams"
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 13), float(i % 7), 1.0, 0.5]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    sd = semantic_dedup(emb, threshold=0.99, k_cells=4, train_sample=50)
+    sd.count()
+    plan = sd._jdf.queryExecution().executedPlan().toString()
+    assert "__cell" in plan  # the one data shuffle keys on the cell id
