@@ -31,6 +31,7 @@ from json_to_avro_schema_spark.operators import similarity as sim
 from json_to_avro_schema_spark.operators import stats as st
 from json_to_avro_schema_spark.operators import text as tx
 from json_to_avro_schema_spark.operators import uniqueness as uq
+from json_to_avro_schema_spark.operators import web as wb
 from json_to_avro_schema_spark.operators.tdigest import tdigest_quantiles
 from json_to_avro_schema_spark.runner import run_validation
 from json_to_avro_schema_spark.sources.derived_spans import (
@@ -3870,6 +3871,109 @@ ORDER BY doc_id
 """
 
 
+def _q_url_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + URL dedup + per-domain caps
+    (operators/web.py) — the crawl-side stages that run BEFORE any content
+    dedup (RefinedWeb §3.1 / CCNet / Dolma). Every 4 consecutive doc_ids
+    get 4 SURFACE VARIANTS of one planted page URL (query-param order
+    swap; scheme+host case and a www. prefix; an explicit :443 port +
+    trailing slash + utm_source param; a #fragment + interleaved
+    utm_campaign param), so normalize_url must collapse exactly the
+    planted groups — the oracle re-derives the groups from the planting,
+    making the hash match an end-to-end check of the canonicalization.
+    Pipeline order matches production: domain_filter (planted 2-domain
+    blocklist — those domains must vanish) -> url_dedup (min doc_id per
+    canonical URL) -> domain_caps (first 7 canonical pages per domain in
+    doc_id order — an SQL-portable order so the oracle can re-derive the
+    capped set; the default hash order is exercised in
+    tests/test_pipeline_ops.py). url_word_score({'utm': 1.0}) over the
+    RAW url scores exactly the two utm-planted variants per group.
+    Output: one row per surviving planted domain with pre-dedup,
+    post-dedup, and post-cap counts + kept-id sums + the summed URL word
+    score."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    d = F.col("doc_id")
+    g = F.floor(d / 4).cast("long")
+    ks = (g % 20).cast("string")
+    gs = g.cast("string")
+    site = F.concat(F.lit("site"), ks, F.lit(".com"))
+    site_mixed = F.concat(F.lit("Site"), ks, F.lit(".COM"))
+    v = d % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://"), site, F.lit("/Docs/"), gs, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://WWW."), site_mixed, F.lit("/Docs/"), gs,
+            F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(
+            F.lit("https://"), site, F.lit(":443/Docs/"), gs,
+            F.lit("/?a=1&b=2&utm_source=feed")))
+        .otherwise(F.concat(
+            F.lit("https://"), site, F.lit("/Docs/"), gs,
+            F.lit("?a=1&utm_campaign=x&b=2#frag")))
+    )
+    tbl = docs.select("doc_id", url.alias("url")).withColumn(
+        "domain", wb.url_domain(F.col("url")))
+    blocked = spark.createDataFrame(
+        [("site4.com",), ("site13.com",)], "domain string")
+    tbl = wb.domain_filter(tbl, blocked, domain_col="domain")
+    pre = tbl.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(wb.url_word_score(F.col("url"), {"utm": 1.0})), 1
+        ).alias("sum_url_score"),
+    )
+    kept = wb.url_dedup(tbl, url_col="url", id_col="doc_id")
+    kept_stats = kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+    )
+    capped = wb.domain_caps(
+        kept, cap=7, domain_col="domain", id_col="doc_id",
+        order_by=[F.col("doc_id").asc()],
+    )
+    cap_stats = capped.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_capped"),
+        F.sum("doc_id").alias("sum_capped_ids"),
+    )
+    return (
+        pre.join(kept_stats, "domain").join(cap_stats, "domain")
+        .orderBy("domain")
+    )
+
+
+_O_URL_DEDUP_DOCS = """
+WITH planted AS (
+  SELECT doc_id, doc_id // 4 AS g,
+         'site' || CAST((doc_id // 4) % 20 AS VARCHAR) || '.com' AS domain
+  FROM documents
+  WHERE 'site' || CAST((doc_id // 4) % 20 AS VARCHAR) || '.com'
+        NOT IN ('site4.com', 'site13.com')
+), groups AS (
+  SELECT domain, g, min(doc_id) AS kept_id
+  FROM planted GROUP BY domain, g
+), capped AS (
+  SELECT domain, kept_id,
+         row_number() OVER (PARTITION BY domain ORDER BY kept_id) AS rn
+  FROM groups
+)
+SELECT g1.domain, g1.n_docs, g1.sum_url_score, g2.n_canonical,
+       g2.sum_kept_ids, g3.n_capped, g3.sum_capped_ids
+FROM (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(round(sum(CASE WHEN doc_id % 4 IN (2, 3)
+                                 THEN 1.0 ELSE 0.0 END), 1) AS DOUBLE)
+               AS sum_url_score
+      FROM planted GROUP BY domain) g1
+JOIN (SELECT domain, CAST(count(*) AS BIGINT) AS n_canonical,
+             CAST(sum(kept_id) AS BIGINT) AS sum_kept_ids
+      FROM groups GROUP BY domain) g2 USING (domain)
+JOIN (SELECT domain, CAST(count(*) AS BIGINT) AS n_capped,
+             CAST(sum(kept_id) AS BIGINT) AS sum_capped_ids
+      FROM capped WHERE rn <= 7 GROUP BY domain) g3 USING (domain)
+ORDER BY domain
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -3967,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules_docs": _q_gopher_rules_docs,
         "c4_clean_docs": _q_c4_clean_docs,
         "exactsubstr_keep_first": _q_exactsubstr_keep_first,
+        "url_dedup_docs": _q_url_dedup_docs,
     }
 
 
@@ -4059,4 +4164,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules_docs": _o_gopher_rules_docs(),
         "c4_clean_docs": _o_c4_clean_docs(),
         "exactsubstr_keep_first": _O_EXACTSUBSTR_KEEP_FIRST,
+        "url_dedup_docs": _O_URL_DEDUP_DOCS,
     }

@@ -167,6 +167,8 @@ def run_bench() -> dict:
         ("gopher_rules_docs", qs["gopher_rules_docs"]),
         ("c4_clean_docs", qs["c4_clean_docs"]),
         ("ngram_decontamination", qs["ngram_decontamination"]),
+        # r4 session 5: crawl-side URL canonicalization/dedup/domain caps
+        ("url_dedup_docs", qs["url_dedup_docs"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

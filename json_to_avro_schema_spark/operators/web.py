@@ -1,0 +1,239 @@
+"""URL-level corpus operators: canonicalization, URL dedup, domain caps.
+
+The web-crawl pipeline stage that runs BEFORE content dedup (RefinedWeb
+§3.1 "URL deduplication", CCNet, Dolma all dedup crawl snapshots by
+normalized URL first — it removes the bulk of refetches for the cost of a
+string projection, no text comparison at all), plus the per-domain quota
+cap that keeps one hot domain from dominating a training mixture.
+
+Everything here is pure ``pyspark.sql.functions`` Column expressions
+(JVM-side, codegen'd, zero UDFs):
+
+- :func:`normalize_url` — one projection; the documented canonical form.
+- :func:`url_dedup` — one shuffle on the canonical URL. The key is
+  near-unique (groups are refetch variants of one page, a handful of
+  rows), so there is no skew to handle; Catalyst's rank-limit pushdown
+  (``InferWindowGroupLimit``, see operators/topk.py) prunes map-side
+  anyway, so the exchange carries ≤ tasks × |canon| × 1 rows.
+- :func:`domain_filter` — blocklist anti-join (broadcast under a count
+  guard); :func:`url_word_score` — the soft word-level URL score that
+  complements the hard blocklist.
+- :func:`domain_caps` — grouped top-``cap`` per registered domain. Domains
+  ARE heavily skewed in a crawl (one domain can be a double-digit share of
+  pages), which is exactly the shape the rank-limit pushdown was measured
+  on: each map task keeps only its local ``cap`` rows per domain before
+  the shuffle, so a 10-billion-page domain contributes O(tasks × cap)
+  shuffled rows, not 10 billion.
+
+Canonical form (documented contract — applied in this order):
+
+1. fragment (``#…``) stripped;
+2. ``scheme://authority`` lowercased (path/query case preserved);
+3. a leading ``www.`` host label dropped;
+4. an explicit default port (``:80``/``:443``) dropped;
+5. trailing ``/`` stripped from the path;
+6. tracking query params removed (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``mc_cid``/``mc_eid``, ``ref``/``ref_src``);
+7. surviving query params sorted bytewise (order-insensitive form); an
+   emptied query drops its ``?``.
+
+A URL with no ``scheme://`` prefix passes through steps 1/5/6/7 only
+(nothing is treated as an authority). :func:`url_domain` approximates the
+registered domain as the last two host labels — a documented
+approximation (no public-suffix list in this environment: ``co.uk``-style
+suffixes come out as the suffix itself; swap in a PSL join table for
+production crawls).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .topk import grouped_topk
+
+# query params that never identify content (analytics/attribution noise)
+TRACKING_PARAM_REGEX = (
+    r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
+)
+
+# scheme://authority — scheme per RFC 3986, authority = up to first / ? #
+_AUTH_PAT = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL (module-docstring contract) as one codegen'd projection."""
+    base = F.regexp_replace(col, r"#.*$", "")
+    raw_auth = F.regexp_extract(base, _AUTH_PAT, 0)
+    schost = F.regexp_replace(
+        F.regexp_replace(F.lower(raw_auth), r"://www\.", "://"),
+        r":(80|443)$",
+        "",
+    )
+    rest = F.substr(base, F.length(raw_auth) + F.lit(1))
+    path = F.regexp_replace(F.regexp_replace(rest, r"\?.*$", ""), r"/+$", "")
+    query = F.when(
+        rest.contains("?"), F.regexp_extract(rest, r"\?(.*)$", 1)
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        schost,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host with any leading ``www.`` and port dropped; empty
+    string when the value has no ``scheme://`` prefix."""
+    h = F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1))
+    return F.regexp_replace(h, r"^www\.", "")
+
+
+def url_domain(col: Column) -> Column:
+    """Registered-domain approximation: the last two dot-labels of the host
+    (the full host when it has fewer). See module docstring for the
+    no-PSL caveat."""
+    host = url_host(col)
+    apex = F.regexp_extract(host, r"[^.]+\.[^.]+$", 0)
+    return F.when(apex != "", apex).otherwise(host)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    canon_col: str = "canonical_url",
+) -> DataFrame:
+    """Keep exactly one row per canonical URL — the one with the smallest
+    ``id_col`` (deterministic across runs, retries, and repartitioning).
+
+    Returns ``df``'s columns plus ``canon_col``. One wide projection + one
+    shuffle on the canonical URL; scale notes in the module docstring.
+    """
+    clash = {canon_col, "__url_rk"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"url_dedup working/output columns {sorted(clash)} already exist "
+            f"on the input — rename them or pass a different canon_col"
+        )
+    with_c = df.withColumn(canon_col, normalize_url(F.col(url_col)))
+    kept = grouped_topk(
+        with_c,
+        [canon_col],
+        [F.col(id_col).asc()],
+        [id_col],
+        1,
+        rank_col="__url_rk",
+    )
+    return kept.drop("__url_rk")
+
+
+def domain_caps(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: Optional[str] = None,
+    order_by: Optional[Sequence[Column]] = None,
+    out_domain_col: str = "domain",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per registered domain.
+
+    Default order is a deterministic hash of ``id_col`` (an unbiased
+    within-domain sample, reproducible across runs); pass ``order_by``
+    (e.g. ``[F.col("quality").desc(), F.col("doc_id")]``) to keep the
+    best-scored pages instead. ``domain_col`` names a precomputed domain
+    column; otherwise the domain is derived from ``url_col``.
+
+    Skew note: hot domains are the NORM in crawls; the plan's Partial
+    WindowGroupLimit (pinned in tests/test_pipeline_ops.py) prunes each
+    map task to its local ``cap`` per domain before the exchange.
+    """
+    if domain_col is None:
+        src = df.withColumn(out_domain_col, url_domain(F.col(url_col)))
+        dcol = out_domain_col
+    else:
+        src = df
+        dcol = domain_col
+    order = list(order_by) if order_by is not None else [
+        F.xxhash64(F.col(id_col)).asc(),
+        F.col(id_col).asc(),
+    ]
+    kept = grouped_topk(src, [dcol], order, [id_col], cap, rank_col="__dom_rk")
+    return kept.drop("__dom_rk")
+
+
+def domain_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    domain_col: Optional[str] = None,
+    out_domain_col: str = "domain",
+    max_broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Drop rows whose registered domain appears in ``blocked`` (a
+    one-column DataFrame of domains) — the RefinedWeb §3.1 blocklist stage
+    (their production list is 4.6 M domains).
+
+    LEFT ANTI join on the domain. The blocklist is broadcast when a cheap
+    count says it fits (a 4.6 M-domain list is ~100 MB — still broadcast
+    territory); past ``max_broadcast_rows`` the hint is dropped and the
+    join shuffles, the same count-guard contract as
+    ``lm.score_documents``. ``domain_col`` names a precomputed domain
+    column; otherwise one is derived from ``url_col`` into
+    ``out_domain_col``.
+    """
+    b_col = blocked.columns[0]
+    b = blocked.select(F.col(b_col).alias("__blocked_domain")).distinct()
+    if domain_col is None:
+        src = df.withColumn(out_domain_col, url_domain(F.col(url_col)))
+        dcol = out_domain_col
+    else:
+        src = df
+        dcol = domain_col
+    if b.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows:
+        b = F.broadcast(b)
+    return src.join(b, F.col(dcol) == F.col("__blocked_domain"), "left_anti")
+
+
+def url_word_score(
+    col: Column,
+    weighted_words: dict,
+) -> Column:
+    """Soft URL scoring (RefinedWeb §3.1's word-level URL score): the sum
+    of weights of the flagged words that occur as substrings of the
+    lowercased URL. One codegen'd projection — a chain of
+    ``contains``-gated adds, no regex backtracking, no UDF. Callers
+    threshold the score; the weight list is policy, so none ships here.
+    """
+    low = F.lower(col)
+    score: Column = F.lit(0.0)
+    for word, weight in sorted(weighted_words.items()):
+        score = score + F.when(
+            low.contains(word.lower()), F.lit(float(weight))
+        ).otherwise(F.lit(0.0))
+    return score
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` domains by page count (desc, domain asc tie-break) — the
+    crawl-composition report. Plans into hash-agg +
+    ``TakeOrderedAndProject`` (never a full sort)."""
+    return (
+        df.select(url_domain(F.col(url_col)).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .orderBy(F.col("n_pages").desc(), F.col("domain").asc())
+        .limit(k)
+    )

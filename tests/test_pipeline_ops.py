@@ -872,3 +872,156 @@ def test_session4_operator_plan_shapes(spark):
     sd.count()
     plan = sd._jdf.queryExecution().executedPlan().toString()
     assert "__cell" in plan  # the one data shuffle keys on the cell id
+
+
+# ------------------------------------------------------------ URL operators
+
+
+def test_normalize_url_canonical_form(spark):
+    """The documented canonicalization contract (operators/web.py module
+    docstring), one assertion per rule, including the no-authority and
+    PSL-approximation edge cases."""
+    from json_to_avro_schema_spark.operators.web import (
+        normalize_url,
+        url_domain,
+        url_host,
+    )
+
+    cases = [
+        # the four planted surface variants all collapse to one form
+        ("https://site3.com/Docs/9?b=2&a=1",
+         "https://site3.com/Docs/9?a=1&b=2"),
+        ("HTTPS://WWW.Site3.COM/Docs/9?a=1&b=2",
+         "https://site3.com/Docs/9?a=1&b=2"),
+        ("https://site3.com:443/Docs/9/?a=1&b=2&utm_source=feed",
+         "https://site3.com/Docs/9?a=1&b=2"),
+        ("https://site3.com/Docs/9?a=1&utm_campaign=x&b=2#frag",
+         "https://site3.com/Docs/9?a=1&b=2"),
+        # default port + root path; tracking-only query drops its '?'
+        ("http://Example.org:80/", "http://example.org"),
+        ("https://x.com/?utm_source=o&gclid=1", "https://x.com"),
+        # repeated trailing slashes; path case preserved
+        ("https://x.com/A///", "https://x.com/A"),
+        # non-default port survives
+        ("https://x.com:8443/a", "https://x.com:8443/a"),
+        # no scheme://authority: steps 1/5/6/7 only, case untouched
+        ("Relative/Path/?utm_source=x&z=1#f", "Relative/Path?z=1"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    bad = df.withColumn("got", normalize_url(F.col("url"))).filter(
+        "got IS DISTINCT FROM expected"
+    )
+    assert bad.count() == 0, bad.collect()
+
+    hosts = (
+        spark.createDataFrame(
+            [("https://WWW.Foo.COM:8080/x",), ("https://a.b.co.uk/x",),
+             ("plain-text",)],
+            "url string",
+        )
+        .select(
+            url_host(F.col("url")).alias("h"),
+            url_domain(F.col("url")).alias("d"),
+        )
+        .collect()
+    )
+    assert (hosts[0]["h"], hosts[0]["d"]) == ("foo.com", "foo.com")
+    # documented approximation: last two labels, no public-suffix list
+    assert (hosts[1]["h"], hosts[1]["d"]) == ("a.b.co.uk", "co.uk")
+    assert (hosts[2]["h"], hosts[2]["d"]) == ("", "")
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    from json_to_avro_schema_spark.operators.web import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (2, "https://a.com/x?a=1&b=1"),
+            (1, "https://A.com/x?b=1&a=1"),       # same page, param swap
+            (3, "https://a.com/y"),
+            (7, "https://WWW.a.com/y/"),          # same page, www + slash
+            (9, "https://b.com/y"),               # different host
+        ],
+        "doc_id long, url string",
+    )
+    kept = url_dedup(df)
+    assert set(kept.columns) == {"doc_id", "url", "canonical_url"}
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 9]
+    with pytest.raises(ValueError):
+        url_dedup(df.withColumn("canonical_url", F.lit("x")))
+
+
+def test_domain_caps_cap_order_determinism_and_plan(spark):
+    from json_to_avro_schema_spark.operators.web import domain_caps
+
+    rows = [(i, f"https://hot.com/p{i}") for i in range(20)]
+    rows += [(100 + i, f"https://cold.org/p{i}") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    # explicit portable order: lowest doc_ids survive
+    by_id = domain_caps(df, cap=3, order_by=[F.col("doc_id").asc()])
+    kept_hot = sorted(
+        r["doc_id"] for r in by_id.filter("domain = 'hot.com'").collect()
+    )
+    assert kept_hot == [0, 1, 2]
+    assert by_id.filter("domain = 'cold.org'").count() == 2
+
+    # default hash order: an unbiased but DETERMINISTIC within-domain sample
+    h1 = sorted(r["doc_id"] for r in domain_caps(df, cap=3).collect())
+    h2 = sorted(r["doc_id"] for r in domain_caps(df, cap=3).collect())
+    assert h1 == h2 and len(h1) == 5
+
+    # skew safety IS this plan shape: map-side Partial WindowGroupLimit
+    plan = (
+        domain_caps(df, cap=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_domain_filter_blocklist_and_broadcast_guard(spark):
+    from json_to_avro_schema_spark.operators.web import domain_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://bad.com/a"), (2, "https://www.BAD.com/b"),
+         (3, "https://ok.org/c"), (4, "https://sub.bad.com/d")],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = domain_filter(df, blocked)
+    # www/case variants AND subdomains share the registered domain: all out
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+
+    # guard pins the HINT only (same contract as lm.score_documents):
+    # with auto-broadcast off, under-cap must still force a broadcast,
+    # over-cap (max_broadcast_rows=0) must plan a non-broadcast anti-join
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_bc = (domain_filter(df, blocked)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in p_bc and "LeftAnti" in p_bc
+        p_no = (domain_filter(df, blocked, max_broadcast_rows=0)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" not in p_no
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_url_word_score_weighted_substrings(spark):
+    from json_to_avro_schema_spark.operators.web import url_word_score
+
+    df = spark.createDataFrame(
+        [("https://x.com/casino-games?utm_source=a",),
+         ("https://x.com/UTM/page",),   # case-insensitive match
+         ("https://x.com/clean",)],
+        "url string",
+    )
+    got = df.select(
+        url_word_score(
+            F.col("url"), {"casino": 2.0, "utm": 0.5}
+        ).alias("s")
+    ).collect()
+    assert [r["s"] for r in got] == [2.5, 0.5, 0.0]
