@@ -169,6 +169,8 @@ def run_bench() -> dict:
         ("ngram_decontamination", qs["ngram_decontamination"]),
         # r4 session 5: crawl-side URL canonicalization/dedup/domain caps
         ("url_dedup_docs", qs["url_dedup_docs"]),
+        # r4 session 5: Dolma-granularity cross-doc paragraph dedup
+        ("paragraph_dedup_docs", qs["paragraph_dedup_docs"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import spread_to_cores as _spread
 from .text import fingerprint
+from .topk import grouped_topk
 
 
 # ------------------------------------------------------------------ exact
@@ -1085,4 +1086,115 @@ def remove_duplicated_ngrams(
             F.array_join("__kept", " ").alias(clean_col),
         )
         .drop("_dps", "__toks", "__cov", "__kept")
+    )
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_chars: int = 1,
+    clean_col: str = "clean_text",
+) -> DataFrame:
+    """Cross-document paragraph dedup, keep-first-occurrence (the Dolma
+    paragraph-dedup stage; CCNet dedups at the same granularity — one
+    level coarser than ExactSubstr k-gram spans, one finer than whole-doc
+    exact dedup; reference repo has no dedup surface at all).
+
+    A paragraph is a ``\\n``-separated line of ``text_col``; its identity
+    is the case/trim-insensitive content (``lower(trim(p))``) hashed to 64
+    bits — the same collision-accepting contract as :func:`dedup_exact`
+    (Dolma accepts strictly more error from its Bloom filter). Paragraphs
+    shorter than ``min_chars`` after trimming are STRUCTURE, not content:
+    never counted, never removed (blank separator lines survive in every
+    doc). Of the corpus-wide occurrences of one paragraph, only the
+    globally-first — min ``(id_col, position)`` — survives; every later
+    occurrence is dropped from its document.
+
+    Returns ``df``'s columns plus
+
+    - ``n_paras``     dedup-eligible paragraphs in the doc
+    - ``dup_paras``   occurrences removed (eligible and not globally-first)
+    - ``{clean_col}`` surviving paragraphs re-joined with ``\\n`` in
+      original order (structure lines included; ``""`` when nothing
+      survives)
+
+    Distributed shape — text never enters a shuffle. The occurrence frame
+    is ``(id, pos, hash)`` only; boilerplate paragraphs are the WORST skew
+    case (one cookie banner can appear in a double-digit share of a
+    crawl), so the winner rule is :func:`~.topk.grouped_topk` rank-1 over
+    the hash: Catalyst's rank-limit pushdown plans a Partial
+    WindowGroupLimit, each map task pre-prunes to ONE occurrence per hash,
+    and the exchange carries O(tasks × distinct-paragraphs) 20-byte rows
+    no matter how hot a paragraph is (plan pinned in
+    tests/test_pipeline_ops.py). Winner positions regroup per doc as an
+    int array, and the cleaned text is rebuilt as a PROJECTION on the
+    original row: re-split ``text_col``, keep structure lines and
+    positions in the winner set. The per-element ``array_contains`` is
+    O(paras × kept) per doc — bounded by document length, which the
+    pipeline bounds upstream (chunk_documents), the same contract as
+    remove_duplicated_ngrams. One explode, one pruned shuffle, one int
+    regroup, no driver state.
+    """
+    out_clash = {clean_col, "n_paras", "dup_paras"} & set(df.columns)
+    work_clash = {"__ps", "__pos", "__pkey", "__prk", "__kept_pos"} & set(
+        df.columns
+    )
+    if out_clash or work_clash:
+        raise ValueError(
+            f"paragraph_dedup output/working columns "
+            f"{sorted(out_clash | work_clash)} already exist on the input"
+        )
+    # stage the array in its own projection (HOF re-inlining trap — see
+    # _gram_frame), explode to (id, pos, hash); structure lines never
+    # leave the doc, so they are filtered here, not carried
+    occ = (
+        df.select(id_col, F.split(F.col(text_col), "\n").alias("__ps"))
+        .select(id_col, F.posexplode("__ps").alias("__pos", "__para"))
+        .filter(F.length(F.trim(F.col("__para"))) >= min_chars)
+        .select(
+            id_col,
+            "__pos",
+            F.xxhash64(F.lower(F.trim(F.col("__para")))).alias("__pkey"),
+        )
+    )
+    winners = grouped_topk(
+        occ,
+        ["__pkey"],
+        [F.col(id_col).asc(), F.col("__pos").asc()],
+        [id_col, "__pos"],
+        1,
+        rank_col="__prk",
+    )
+    per_doc = winners.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__pos")).alias("__kept_pos")
+    )
+    staged = (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            "__kept_pos", F.coalesce("__kept_pos", F.array().cast("array<int>"))
+        )
+        .withColumn(
+            "__ps", F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        )
+    )
+    kept = F.filter(
+        F.col("__ps"),
+        lambda p, i: (F.length(F.trim(p)) < min_chars)
+        | F.array_contains(F.col("__kept_pos"), i),
+    )
+    n_paras = F.size(
+        F.filter(F.col("__ps"), lambda p: F.length(F.trim(p)) >= min_chars)
+    )
+    return (
+        staged.select(
+            "*",
+            n_paras.alias("n_paras"),
+            (n_paras - F.size("__kept_pos")).alias("dup_paras"),
+            F.array_join(kept, "\n").alias(clean_col),
+        )
+        .drop("__ps", "__kept_pos")
     )

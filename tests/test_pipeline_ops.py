@@ -1025,3 +1025,70 @@ def test_url_word_score_weighted_substrings(spark):
         ).alias("s")
     ).collect()
     assert [r["s"] for r in got] == [2.5, 0.5, 0.0]
+
+
+# ------------------------------------------------------ paragraph dedup
+
+
+def test_paragraph_dedup_keep_first_and_structure(spark):
+    """Dolma-granularity semantics: case/trim-insensitive identity,
+    globally-first (min doc_id, pos) occurrence survives, blank structure
+    lines survive everywhere, null/empty docs pass through."""
+    from json_to_avro_schema_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "Intro A\n\nShared cookie banner\nBody one"),
+        (2, "Shared cookie banner\nBody two\n\nIntro A"),
+        (3, "  shared COOKIE banner  \nUnique three"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+
+    # doc 1 holds every first occurrence: untouched
+    assert (got[1]["n_paras"], got[1]["dup_paras"]) == (3, 0)
+    assert got[1]["clean_text"] == rows[0][1]
+    # doc 2 loses both cross-doc repeats, keeps its blank structure line
+    assert (got[2]["n_paras"], got[2]["dup_paras"]) == (3, 2)
+    assert got[2]["clean_text"] == "Body two\n"
+    # case/trim variant is the same paragraph
+    assert (got[3]["n_paras"], got[3]["dup_paras"]) == (2, 1)
+    assert got[3]["clean_text"] == "Unique three"
+    # null and empty text: zero signals, empty clean text
+    for d in (4, 5):
+        assert (got[d]["n_paras"], got[d]["dup_paras"]) == (0, 0)
+        assert got[d]["clean_text"] == ""
+
+    # intra-doc repeat: first position wins within one doc too
+    one = paragraph_dedup(
+        spark.createDataFrame([(9, "Same line\nSame line\nOther")],
+                              "doc_id long, text string")
+    ).collect()[0]
+    assert (one["n_paras"], one["dup_paras"]) == (3, 1)
+    assert one["clean_text"] == "Same line\nOther"
+
+    with pytest.raises(ValueError):
+        paragraph_dedup(df.withColumn("n_paras", F.lit(1)))
+
+
+def test_paragraph_dedup_min_chars_and_plan(spark):
+    """min_chars widens the structure class; skew safety IS the plan
+    shape — the winner rule must ride the map-side Partial
+    WindowGroupLimit prune (the module-docstring cookie-banner case)."""
+    from json_to_avro_schema_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "ab\nLong paragraph here"), (2, "ab\nLong paragraph here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(df, min_chars=3).collect()}
+    # "ab" is structure at min_chars=3: kept in BOTH docs, not counted
+    assert (got[1]["n_paras"], got[2]["n_paras"]) == (1, 1)
+    assert got[2]["dup_paras"] == 1 and got[2]["clean_text"] == "ab"
+    assert got[1]["clean_text"] == "ab\nLong paragraph here"
+
+    out = paragraph_dedup(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan

@@ -18,7 +18,7 @@ FAMILY_REPRESENTATIVES = {
     "derived_validation_verdicts", "derived_validation_violations",
     "span_ri_dangling", "span_monotonic_violations",
     # sketches / checkpoint / multimodal
-    "tdigest_price", "checkpoint_resume", "multimodal_features", "resize_plan",
+    "tdigest_price", "checkpoint_resume", "multimodal_features",
     # near-dup + ANN
     "simhash_near_dups", "near_dup_clusters", "ivf_indexed_topk_cosine",
     "minhash_near_dups", "decontaminate_pairs", "embedding_near_dups",
@@ -29,7 +29,7 @@ FAMILY_REPRESENTATIVES = {
     # table-level checks
     "stats_lineitem", "unique_orders", "metric_anomalies_events", "ri_checks",
     "enum_returnflag", "range_lineitem", "histograms", "psi_drift",
-    "categorical_drift", "table_checks_lineitem", "format_json_checks",
+    "table_checks_lineitem", "format_json_checks",
     "grouping_verdicts", "verdict_set_ops", "topk_price_by_flag",
     "approx_unique_lineitem", "skew_report_events",
     # training-data pipeline ops (+ the constraint-suggestion profiler)
@@ -38,6 +38,8 @@ FAMILY_REPRESENTATIVES = {
     "chunked_docs", "clean_corpus_report", "exact_dup_groups",
     "dedup_incremental", "colocated_dedup",
     "stratified_sample_events", "lm_perplexity_docs", "dsir_weights",
+    # crawl-side web pipeline + paragraph-granularity dedup (r4 session 5)
+    "url_dedup_docs", "paragraph_dedup_docs",
 }
 
 
@@ -93,6 +95,10 @@ def test_overflow_entries_have_recorded_family_siblings():
         "gopher_rules_docs": "clean_corpus_report",
         "c4_clean_docs": "clean_corpus_report",
         "exactsubstr_keep_first": "dup_ngram_coverage",
+        # demoted r4s5 to make room for the two new families: their
+        # families stay attested by the recorded siblings below
+        "resize_plan": "multimodal_features",
+        "categorical_drift": "psi_drift",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
