@@ -3974,6 +3974,73 @@ ORDER BY domain
 """
 
 
+def _q_url_dedup_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental URL dedup against a stored snapshot index
+    (web.url_dedup_incremental). Same planted 4-variant page groups as
+    url_dedup_docs; the prior-snapshot index holds the canonical-URL
+    hashes of every EVEN group (built here from the v=0 surface form —
+    normalize_url makes the form irrelevant), so the batch must drop all
+    even groups (index hits) plus the 3 later variants of each odd group
+    (within-batch refetches), keeping exactly min doc_id = 4g per odd
+    group g. The oracle re-derives the kept set from the planting. Output:
+    per planted domain, surviving-page count and kept-id sum."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    d = F.col("doc_id")
+    g = F.floor(d / 4).cast("long")
+    ks = (g % 20).cast("string")
+    gs = g.cast("string")
+    site = F.concat(F.lit("site"), ks, F.lit(".com"))
+    site_mixed = F.concat(F.lit("Site"), ks, F.lit(".COM"))
+    v = d % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://"), site, F.lit("/Docs/"), gs, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://WWW."), site_mixed, F.lit("/Docs/"), gs,
+            F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(
+            F.lit("https://"), site, F.lit(":443/Docs/"), gs,
+            F.lit("/?a=1&b=2&utm_source=feed")))
+        .otherwise(F.concat(
+            F.lit("https://"), site, F.lit("/Docs/"), gs,
+            F.lit("?a=1&utm_campaign=x&b=2#frag")))
+    )
+    batch = docs.select("doc_id", url.alias("url"))
+    index = (
+        batch.filter((F.floor(d / 4) % 2 == 0) & (v == 0))
+        .select(
+            F.xxhash64(wb.normalize_url(F.col("url"))).alias("url_hash")
+        )
+        .distinct()
+    )
+    kept = wb.url_dedup_incremental(batch, index)
+    return (
+        kept.select(wb.url_domain(F.col("url")).alias("domain"), "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_kept_ids"),
+        )
+        .orderBy("domain")
+    )
+
+
+_O_URL_DEDUP_INCREMENTAL_DOCS = """
+WITH odd_groups AS (
+  SELECT DISTINCT doc_id // 4 AS g,
+         'site' || CAST((doc_id // 4) % 20 AS VARCHAR) || '.com' AS domain
+  FROM documents
+  WHERE (doc_id // 4) % 2 = 1
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(4 * g) AS BIGINT) AS sum_kept_ids
+FROM odd_groups
+GROUP BY domain
+ORDER BY domain
+"""
+
+
 def _q_paragraph_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document paragraph dedup, keep-first-occurrence
     (dedup.paragraph_dedup — the Dolma/CCNet paragraph-granularity
@@ -4153,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules_docs": _q_gopher_rules_docs,
         "c4_clean_docs": _q_c4_clean_docs,
         "exactsubstr_keep_first": _q_exactsubstr_keep_first,
+        "url_dedup_incremental_docs": _q_url_dedup_incremental_docs,
         "resize_plan": _q_resize_plan,
         "categorical_drift": _q_categorical_drift,
     }
@@ -4248,5 +4316,6 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean_docs": _o_c4_clean_docs(),
         "exactsubstr_keep_first": _O_EXACTSUBSTR_KEEP_FIRST,
         "url_dedup_docs": _O_URL_DEDUP_DOCS,
+        "url_dedup_incremental_docs": _O_URL_DEDUP_INCREMENTAL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

@@ -1092,3 +1092,43 @@ def test_paragraph_dedup_min_chars_and_plan(spark):
     out = paragraph_dedup(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_url_dedup_incremental_against_stored_index(spark):
+    """Continuous-crawl shape: canonical URLs already in the snapshot
+    index are dropped even when the batch carries a different surface
+    form; within-batch refetches keep the min id; the kept frame carries
+    the hash column a pipeline appends back to the index."""
+    from json_to_avro_schema_spark.operators.web import (
+        normalize_url,
+        url_dedup_incremental,
+    )
+
+    prior = spark.createDataFrame(
+        [("https://a.com/old?x=1",), ("https://a.com/known",)],
+        "url string",
+    ).select(F.xxhash64(normalize_url(F.col("url"))).alias("url_hash"))
+    batch = spark.createDataFrame(
+        [
+            (10, "https://WWW.a.com/known/"),       # in index via variant
+            (11, "https://a.com/new?b=2&a=1"),
+            (12, "https://a.com/new?a=1&b=2"),      # batch-internal refetch
+            (13, "https://b.org/fresh"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = url_dedup_incremental(batch, prior)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+    assert {"canonical_url", "url_hash"} <= set(kept.columns)
+
+    # appending the kept hashes makes the next batch idempotent
+    idx2 = prior.unionByName(kept.select("url_hash"))
+    again = url_dedup_incremental(
+        batch.withColumn("doc_id", F.col("doc_id") + 100), idx2
+    )
+    assert again.count() == 0
+
+    with pytest.raises(ValueError):
+        url_dedup_incremental(batch, prior.withColumnRenamed("url_hash", "h"))
+    with pytest.raises(ValueError):
+        url_dedup_incremental(batch.withColumn("url_hash", F.lit(1)), prior)
