@@ -75,6 +75,18 @@ FORMAT_REGEX = {
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
 }
 
+# draft-7 §8.3 ``contentEncoding`` values with checkable syntax (strict
+# RFC-4648: base64 enforces 4-char groups + =/== padding, base16 an even
+# count of hex digits). The other RFC-2045 names (7bit, 8bit, binary,
+# quoted-printable) are annotation-only, like unknown ``format`` names.
+CONTENT_ENCODING_REGEX = {
+    "base64": (
+        r"^(?:[A-Za-z0-9+/]{4})*"
+        r"(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+    ),
+    "base16": r"^(?:[0-9A-Fa-f]{2})*$",
+}
+
 
 def gate(expr: Column, pred: Column) -> Column:
     """Null-gate: an absent value passes every value-level constraint."""
@@ -215,6 +227,24 @@ def _scalar_keyword_predicates(
             preds.append(sv.rlike(s.pattern))
         if s.format is not None and s.format in FORMAT_REGEX:
             preds.append(sv.rlike(FORMAT_REGEX[s.format]))
+        enc = (s.content_encoding or "").lower()
+        if enc in CONTENT_ENCODING_REGEX:
+            preds.append(sv.rlike(CONTENT_ENCODING_REGEX[enc]))
+        mt = (s.content_media_type or "").lower()
+        if mt == "application/json" or mt.endswith("+json"):
+            if enc == "base64":
+                # draft-7 §8.4: the media type describes the DECODED
+                # content; gate on syntactic base64 so unbase64 never sees
+                # junk (a failed gate nulls the pred → row already fails
+                # via the encoding check, and _as_bool treats null as
+                # non-conforming)
+                payload = F.when(
+                    sv.rlike(CONTENT_ENCODING_REGEX["base64"]),
+                    F.unbase64(sv).cast("string"),
+                )
+            else:
+                payload = sv
+            preds.append(F.try_parse_json(payload).isNotNull())
 
     return preds
 

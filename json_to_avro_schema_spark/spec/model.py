@@ -78,6 +78,16 @@ class ConstraintSpec:
     pattern: Optional[str] = None
     format: Optional[str] = None
 
+    # draft-7 §8 content keywords — BEYOND the reference's draft-6 surface
+    # (like if/then/else). contentEncoding is asserted for the encodings
+    # with checkable syntax (base64, base16); the other RFC-2045 names
+    # (7bit, 8bit, binary, quoted-printable) are annotations, mirroring
+    # format's best-effort SHOULD. contentMediaType asserts
+    # application/json (or +json) well-formedness — on the DECODED value
+    # when contentEncoding is base64.
+    content_encoding: Optional[str] = None
+    content_media_type: Optional[str] = None
+
     # array
     items: Optional[Union[JSchema, Tuple[JSchema, ...]]] = None  # uniform | positional
     additional_items: Optional[JSchema] = None

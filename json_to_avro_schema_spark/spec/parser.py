@@ -232,6 +232,8 @@ def _parse_object(obj: Dict[str, Any]) -> ConstraintSpec:
         min_length=_non_negative_int(obj, "minLength", default=0),
         pattern=_str(obj, "pattern"),
         format=_str(obj, "format"),
+        content_encoding=_str(obj, "contentEncoding"),
+        content_media_type=_str(obj, "contentMediaType"),
         items=_parse_items(obj),
         additional_items=_opt_schema(obj, "additionalItems"),
         max_items=_non_negative_int(obj, "maxItems"),

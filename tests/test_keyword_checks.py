@@ -425,3 +425,36 @@ def test_if_without_then_else_and_inert_then(spark):
         "v": {"type": "integer", "then": {"maximum": 0}},
     })
     assert _failing_ids(spark, doc_then_only, rows, "id long, v long") == set()
+
+
+def test_content_encoding_and_media_type(spark):
+    """draft-7 §8 content keywords (beyond the reference's draft-6
+    surface, like if/then/else): strict RFC-4648 base64/base16 syntax,
+    application/json well-formedness, and the combined form where the
+    media type applies to the DECODED value. Encodings without checkable
+    syntax (quoted-printable) are annotation-only."""
+    doc = _spec({
+        "b": {"type": "string", "contentEncoding": "base64"},
+        "h": {"type": "string", "contentEncoding": "base16"},
+        "j": {"type": "string", "contentMediaType": "application/json"},
+        "bj": {"type": "string", "contentEncoding": "base64",
+               "contentMediaType": "application/json"},
+        "q": {"type": "string", "contentEncoding": "quoted-printable"},
+    })
+    ok = ("Zm9v", "deadBEEF", '{"a": 1}', "eyJhIjoxfQ==", "=?junk?=")
+    rows = [
+        (1, *ok),                                      # pass
+        (2, "Zm9v", "", "123", "eyJhIjoxfQ==", "x"),   # pass: empty hex,
+                                                       # scalar JSON
+        (3, "Zm9#v", *ok[1:]),                         # bad b64 char
+        (4, "Zm9vYQ", *ok[1:]),                        # missing == padding
+        (5, ok[0], "abc", *ok[2:]),                    # odd hex digits
+        (6, ok[0], ok[1], "{not json", *ok[3:]),       # malformed JSON
+        (7, *ok[:3], "bm90IGpzb24=", ok[4]),           # decodes to non-JSON
+        (8, *ok[:3], "!!notb64!!", ok[4]),             # fails the enc check
+        (9, None, None, None, None, None),             # optional: nulls pass
+    ]
+    assert _failing_ids(
+        spark, doc, rows,
+        "id long, b string, h string, j string, bj string, q string",
+    ) == {3, 4, 5, 6, 7, 8}
