@@ -4026,16 +4026,24 @@ def _q_url_dedup_incremental_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _O_URL_DEDUP_INCREMENTAL_DOCS = """
-WITH odd_groups AS (
-  SELECT DISTINCT doc_id // 4 AS g,
+WITH pl AS (
+  SELECT doc_id, doc_id // 4 AS g,
          'site' || CAST((doc_id // 4) % 20 AS VARCHAR) || '.com' AS domain
   FROM documents
-  WHERE (doc_id // 4) % 2 = 1
+), indexed AS (
+  -- the index is built from the v=0 surface rows of even groups; derive
+  -- it the same way rather than assuming every even group has one
+  SELECT DISTINCT g FROM pl WHERE g % 2 = 0 AND doc_id % 4 = 0
+), kept AS (
+  SELECT domain, g, min(doc_id) AS kid
+  FROM pl
+  WHERE g NOT IN (SELECT g FROM indexed)
+  GROUP BY domain, g
 )
 SELECT domain,
        CAST(count(*) AS BIGINT) AS n_kept,
-       CAST(sum(4 * g) AS BIGINT) AS sum_kept_ids
-FROM odd_groups
+       CAST(sum(kid) AS BIGINT) AS sum_kept_ids
+FROM kept
 GROUP BY domain
 ORDER BY domain
 """

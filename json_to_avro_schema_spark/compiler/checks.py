@@ -232,19 +232,31 @@ def _scalar_keyword_predicates(
             preds.append(sv.rlike(CONTENT_ENCODING_REGEX[enc]))
         mt = (s.content_media_type or "").lower()
         if mt == "application/json" or mt.endswith("+json"):
+            # draft-7 §8.4: the media type describes the DECODED content.
+            # Gate on the encoding's syntax so the decoder never sees junk
+            # (a failed gate nulls the pred → the row already fails via
+            # the encoding check, and _as_bool treats null as
+            # non-conforming). Encodings the engine cannot decode
+            # (quoted-printable, ...) make the media type annotation-only
+            # — asserting JSON-ness of the TRANSPORT form would reject
+            # spec-valid values.
             if enc == "base64":
-                # draft-7 §8.4: the media type describes the DECODED
-                # content; gate on syntactic base64 so unbase64 never sees
-                # junk (a failed gate nulls the pred → row already fails
-                # via the encoding check, and _as_bool treats null as
-                # non-conforming)
                 payload = F.when(
                     sv.rlike(CONTENT_ENCODING_REGEX["base64"]),
                     F.unbase64(sv).cast("string"),
                 )
-            else:
+            elif enc == "base16":
+                payload = F.when(
+                    sv.rlike(CONTENT_ENCODING_REGEX["base16"]),
+                    F.unhex(sv).cast("string"),
+                )
+            elif s.content_encoding is None or enc in ("7bit", "8bit", "binary"):
+                # RFC-2045 identity encodings: the content IS the value
                 payload = sv
-            preds.append(F.try_parse_json(payload).isNotNull())
+            else:
+                payload = None
+            if payload is not None:
+                preds.append(F.try_parse_json(payload).isNotNull())
 
     return preds
 

@@ -1104,7 +1104,11 @@ def paragraph_dedup(
     level coarser than ExactSubstr k-gram spans, one finer than whole-doc
     exact dedup; reference repo has no dedup surface at all).
 
-    A paragraph is a ``\\n``-separated line of ``text_col``; its identity
+    A paragraph is a ``\\r?\\n``-separated line of ``text_col`` (CRLF and
+    LF corpora split identically, so a ``\\r``-terminated boilerplate line
+    dedups against its LF twin and CRLF blank separators stay structure;
+    the rebuilt text joins with ``\\n`` — i.e. CRLF normalizes to LF);
+    its identity
     is the case/trim-insensitive content (``lower(trim(p))``) hashed to 64
     bits — the same collision-accepting contract as :func:`dedup_exact`
     (Dolma accepts strictly more error from its Bloom filter). Paragraphs
@@ -1152,7 +1156,7 @@ def paragraph_dedup(
     # _gram_frame), explode to (id, pos, hash); structure lines never
     # leave the doc, so they are filtered here, not carried
     occ = (
-        df.select(id_col, F.split(F.col(text_col), "\n").alias("__ps"))
+        df.select(id_col, F.split(F.col(text_col), "\r?\n").alias("__ps"))
         .select(id_col, F.posexplode("__ps").alias("__pos", "__para"))
         .filter(F.length(F.trim(F.col("__para"))) >= min_chars)
         .select(
@@ -1178,7 +1182,8 @@ def paragraph_dedup(
             "__kept_pos", F.coalesce("__kept_pos", F.array().cast("array<int>"))
         )
         .withColumn(
-            "__ps", F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            "__ps",
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\r?\n"),
         )
     )
     kept = F.filter(

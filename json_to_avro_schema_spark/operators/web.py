@@ -29,13 +29,22 @@ Canonical form (documented contract — applied in this order):
 
 1. fragment (``#…``) stripped;
 2. ``scheme://authority`` lowercased (path/query case preserved);
-3. a leading ``www.`` host label dropped;
-4. an explicit default port (``:80``/``:443``) dropped;
+3. a leading ``www.`` host label and a trailing root-dot (``host.`` ≡
+   ``host``) dropped;
+4. an explicit SCHEME-DEFAULT port dropped — ``:80`` under ``http``,
+   ``:443`` under ``https`` only (``http://h:443/a`` is a different
+   resource than ``http://h/a`` and does not collapse);
 5. trailing ``/`` stripped from the path;
-6. tracking query params removed (``utm_*``, ``fbclid``, ``gclid``,
-   ``msclkid``, ``mc_cid``/``mc_eid``, ``ref``/``ref_src``);
+6. tracking query params removed, case-insensitively (``utm_*``,
+   ``fbclid``, ``gclid``, ``msclkid``, ``mc_cid``/``mc_eid``,
+   ``ref``/``ref_src``);
 7. surviving query params sorted bytewise (order-insensitive form); an
    emptied query drops its ``?``.
+
+RFC-3986 userinfo is kept in the canonical form (conservative: no false
+merges) but ALWAYS stripped by :func:`url_host`/:func:`url_domain`, so
+the ``https://google.com@evil.site/`` evasion cannot bypass
+:func:`domain_filter` blocklists or splinter :func:`domain_caps` groups.
 
 A URL with no ``scheme://`` prefix passes through steps 1/5/6/7 only
 (nothing is treated as an authority). :func:`url_domain` approximates the
@@ -54,9 +63,10 @@ from pyspark.sql import functions as F
 
 from .topk import grouped_topk
 
-# query params that never identify content (analytics/attribution noise)
+# query params that never identify content (analytics/attribution noise);
+# matched case-insensitively — UTM_SOURCE= is as much tracking as utm_source=
 TRACKING_PARAM_REGEX = (
-    r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
+    r"(?i)^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
 )
 
 # scheme://authority — scheme per RFC 3986, authority = up to first / ? #
@@ -67,11 +77,20 @@ def normalize_url(col: Column) -> Column:
     """Canonical URL (module-docstring contract) as one codegen'd projection."""
     base = F.regexp_replace(col, r"#.*$", "")
     raw_auth = F.regexp_extract(base, _AUTH_PAT, 0)
+    # default ports are scheme-relative: :80 is only redundant under
+    # http, :443 only under https ("http://h:443/a" is a DIFFERENT
+    # resource than "http://h/a" and must not collapse into it)
     schost = F.regexp_replace(
-        F.regexp_replace(F.lower(raw_auth), r"://www\.", "://"),
-        r":(80|443)$",
-        "",
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw_auth), r"://www\.", "://"),
+            r"^(http://[^/]*):80$",
+            "$1",
+        ),
+        r"^(https://[^/]*):443$",
+        "$1",
     )
+    # a trailing root-dot FQDN host is DNS-identical to the dotless form
+    schost = F.regexp_replace(schost, r"\.(:\d+)?$", "$1")
     rest = F.substr(base, F.length(raw_auth) + F.lit(1))
     path = F.regexp_replace(F.regexp_replace(rest, r"\?.*$", ""), r"/+$", "")
     query = F.when(
@@ -90,10 +109,19 @@ def normalize_url(col: Column) -> Column:
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased host with any leading ``www.`` and port dropped; empty
-    string when the value has no ``scheme://`` prefix."""
-    h = F.lower(F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1))
-    return F.regexp_replace(h, r"^www\.", "")
+    """Lowercased host with RFC-3986 userinfo (``user:pass@`` — the
+    classic ``https://google.com@evil.site/`` blocklist evasion), any
+    leading ``www.``, the port, and a trailing root-dot (``bad.com.`` is
+    DNS-identical to ``bad.com``) all dropped; empty string when the
+    value has no ``scheme://`` prefix."""
+    h = F.lower(
+        F.regexp_extract(
+            col,
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?([^/:?#]*)",
+            1,
+        )
+    )
+    return F.regexp_replace(h, r"^www\.|\.$", "")
 
 
 def url_domain(col: Column) -> Column:
@@ -103,6 +131,33 @@ def url_domain(col: Column) -> Column:
     host = url_host(col)
     apex = F.regexp_extract(host, r"[^.]+\.[^.]+$", 0)
     return F.when(apex != "", apex).otherwise(host)
+
+
+def _derive_domain_col(
+    df: DataFrame,
+    url_col: str,
+    domain_col: Optional[str],
+    out_domain_col: str,
+) -> str:
+    """Shared domain-column resolution: a precomputed ``domain_col`` is
+    used as-is; otherwise the domain is DERIVED into ``out_domain_col``,
+    which must not already exist (silently replacing a caller's
+    precomputed — possibly PSL-accurate — domain with the two-label
+    approximation is the clobber the other operators' guards exist for)."""
+    if domain_col is not None:
+        if domain_col not in df.columns:
+            raise ValueError(
+                f"domain_col {domain_col!r} not found on the input "
+                f"(have: {df.columns})"
+            )
+        return domain_col
+    if out_domain_col in df.columns:
+        raise ValueError(
+            f"output column {out_domain_col!r} already exists on the input "
+            f"— pass domain_col={out_domain_col!r} to use it, or a "
+            f"different out_domain_col"
+        )
+    return out_domain_col
 
 
 def url_dedup(
@@ -156,12 +211,10 @@ def domain_caps(
     WindowGroupLimit (pinned in tests/test_pipeline_ops.py) prunes each
     map task to its local ``cap`` per domain before the exchange.
     """
-    if domain_col is None:
-        src = df.withColumn(out_domain_col, url_domain(F.col(url_col)))
-        dcol = out_domain_col
-    else:
-        src = df
-        dcol = domain_col
+    dcol = _derive_domain_col(df, url_col, domain_col, out_domain_col)
+    src = df if domain_col is not None else df.withColumn(
+        dcol, url_domain(F.col(url_col))
+    )
     order = list(order_by) if order_by is not None else [
         F.xxhash64(F.col(id_col)).asc(),
         F.col(id_col).asc(),
@@ -192,12 +245,10 @@ def domain_filter(
     """
     b_col = blocked.columns[0]
     b = blocked.select(F.col(b_col).alias("__blocked_domain")).distinct()
-    if domain_col is None:
-        src = df.withColumn(out_domain_col, url_domain(F.col(url_col)))
-        dcol = out_domain_col
-    else:
-        src = df
-        dcol = domain_col
+    dcol = _derive_domain_col(df, url_col, domain_col, out_domain_col)
+    src = df if domain_col is not None else df.withColumn(
+        dcol, url_domain(F.col(url_col))
+    )
     if b.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows:
         b = F.broadcast(b)
     return src.join(b, F.col(dcol) == F.col("__blocked_domain"), "left_anti")

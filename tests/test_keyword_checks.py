@@ -439,22 +439,36 @@ def test_content_encoding_and_media_type(spark):
         "j": {"type": "string", "contentMediaType": "application/json"},
         "bj": {"type": "string", "contentEncoding": "base64",
                "contentMediaType": "application/json"},
-        "q": {"type": "string", "contentEncoding": "quoted-printable"},
+        # media type applies to the DECODED value for base16 too, to the
+        # literal value under the RFC-2045 identity encodings, and stays
+        # annotation-only for encodings the engine cannot decode
+        "hj": {"type": "string", "contentEncoding": "base16",
+               "contentMediaType": "application/json"},
+        "ij": {"type": "string", "contentEncoding": "8bit",
+               "contentMediaType": "application/json"},
+        "q": {"type": "string", "contentEncoding": "quoted-printable",
+              "contentMediaType": "application/json"},
     })
-    ok = ("Zm9v", "deadBEEF", '{"a": 1}', "eyJhIjoxfQ==", "=?junk?=")
+    hex_json = '{"a":1}'.encode().hex().upper()  # 7B2261223A317D
+    ok = ("Zm9v", "deadBEEF", '{"a": 1}', "eyJhIjoxfQ==",
+          hex_json, '{"b": 2}', "=3D?junk?=")
     rows = [
-        (1, *ok),                                      # pass
-        (2, "Zm9v", "", "123", "eyJhIjoxfQ==", "x"),   # pass: empty hex,
-                                                       # scalar JSON
-        (3, "Zm9#v", *ok[1:]),                         # bad b64 char
-        (4, "Zm9vYQ", *ok[1:]),                        # missing == padding
-        (5, ok[0], "abc", *ok[2:]),                    # odd hex digits
-        (6, ok[0], ok[1], "{not json", *ok[3:]),       # malformed JSON
-        (7, *ok[:3], "bm90IGpzb24=", ok[4]),           # decodes to non-JSON
-        (8, *ok[:3], "!!notb64!!", ok[4]),             # fails the enc check
-        (9, None, None, None, None, None),             # optional: nulls pass
+        (1, *ok),                                          # pass
+        (2, "Zm9v", "", "123", "eyJhIjoxfQ==",             # pass: empty hex,
+         hex_json, ok[5], "x"),                            # scalar JSON
+        (3, "Zm9#v", *ok[1:]),                             # bad b64 char
+        (4, "Zm9vYQ", *ok[1:]),                            # missing padding
+        (5, ok[0], "abc", *ok[2:]),                        # odd hex digits
+        (6, ok[0], ok[1], "{not json", *ok[3:]),           # malformed JSON
+        (7, *ok[:3], "bm90IGpzb24=", *ok[4:]),             # decodes non-JSON
+        (8, *ok[:3], "!!notb64!!", *ok[4:]),               # fails enc check
+        (9, *ok[:4], "6E6F74206A736F6E", *ok[5:]),         # hex of 'not json'
+        (10, *ok[:5], "not json", ok[6]),                  # identity enc sees
+                                                           # the literal value
+        (11, None, None, None, None, None, None, None),    # nulls pass
     ]
     assert _failing_ids(
         spark, doc, rows,
-        "id long, b string, h string, j string, bj string, q string",
-    ) == {3, 4, 5, 6, 7, 8}
+        "id long, b string, h string, j string, bj string, hj string, "
+        "ij string, q string",
+    ) == {3, 4, 5, 6, 7, 8, 9, 10}
