@@ -51,12 +51,18 @@ from .types import carrier_type, has_null_arm
 
 @dataclass(frozen=True)
 class RowCheck:
-    """A named per-row predicate; True = row passes this check."""
+    """A named per-row predicate; True = row passes this check.
+
+    ``severity`` is the expectation level (spec keyword ``x-severity``):
+    "enforce" failures make the row a violation; "warn" failures are
+    reported in the verdicts but leave the row valid.
+    """
 
     name: str
     path: str
     description: str
     factory: Callable[[], Column]
+    severity: str = "enforce"
 
     def predicate(self) -> Column:
         return self.factory()
@@ -313,6 +319,12 @@ def _compile_row_checks(spec: ConstraintSpec, plan: CompiledPlan) -> None:
             )
         return
 
+    def _severity(prop: str) -> str:
+        sub = spec.properties.get(prop)
+        if isinstance(sub, ConstraintSpec) and sub.x_severity is not None:
+            return sub.x_severity
+        return "enforce"
+
     for prop in spec.required:
         if prop not in spec.properties:
             continue
@@ -322,6 +334,7 @@ def _compile_row_checks(spec: ConstraintSpec, plan: CompiledPlan) -> None:
                 path=f"$.{prop}",
                 description=f"required property '{prop}' must be non-null",
                 factory=(lambda p=prop: F.col(p).isNotNull()),
+                severity=_severity(prop),
             )
         )
 
@@ -341,6 +354,7 @@ def _compile_row_checks(spec: ConstraintSpec, plan: CompiledPlan) -> None:
                 factory=(
                     lambda p=prop, s=sub: node_predicate(s, F.col(p), f"$.{p}")
                 ),
+                severity=_severity(prop),
             )
         )
 

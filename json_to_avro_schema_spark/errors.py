@@ -35,3 +35,20 @@ class SchemaMismatchError(SpecError):
         super().__init__(
             "table schema does not conform to spec: " + "; ".join(self.problems)
         )
+
+
+class ValidationFailedError(SpecError):
+    """Raised by runner.fail_on_violations when a validated table carries
+    more enforce-severity violations than the caller allows — the
+    fail-the-pipeline expectation level (Delta Live Tables' expect_or_fail,
+    Deequ's error level), on top of the always-on report (warn) and
+    violations-frame (drop) levels."""
+
+    def __init__(self, n_violations: int, limit: int, sample):
+        self.n_violations = n_violations
+        self.limit = limit
+        self.sample = sample
+        super().__init__(
+            f"validation failed: {n_violations} violation rows "
+            f"(allowed: {limit}); sample: {sample}"
+        )

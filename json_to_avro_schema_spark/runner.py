@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .compiler.plan import CompiledPlan
-from .errors import SchemaMismatchError
+from .errors import SchemaMismatchError, ValidationFailedError
 
 ROW_PASS = "__row_pass"
 CHECK_PREFIX = "__chk_"
@@ -66,6 +66,9 @@ class ValidationResult:
     checked: DataFrame          # original columns + one boolean col per check + __row_pass
     violations: DataFrame       # failing rows, original columns byte-identical
     verdicts: DataFrame         # (part_key, check_name, n_rows, n_fail, pass)
+    valid: DataFrame            # rows passing every enforce check, original
+                                # columns byte-identical (the expect_or_drop
+                                # sink: valid ∪ violations = input, disjoint)
     schema_problems: List[str] = dc_field(default_factory=list)
     unchecked_paths: List[str] = dc_field(default_factory=list)
 
@@ -87,7 +90,14 @@ def apply_row_checks(
     out = df.select(*orig, *checks)
     if part_key is not None and "part_key" not in df.columns:
         out = out.withColumn("part_key", part_key)
-    pass_cols = [F.col(CHECK_PREFIX + c.name) for c in plan.row_checks]
+    # only enforce-severity checks gate the row; warn-severity checks
+    # (x-severity: warn) still get their column + verdict line but a
+    # failing row stays valid (DLT's plain `expect` level)
+    pass_cols = [
+        F.col(CHECK_PREFIX + c.name)
+        for c in plan.row_checks
+        if c.severity == "enforce"
+    ]
     row_pass = F.lit(True)
     for c in pass_cols:
         row_pass = row_pass & c
@@ -276,6 +286,30 @@ def run_validation(
         checked=checked,
         violations=extract_violations(checked, original_columns),
         verdicts=partition_verdicts(checked, plan),
+        valid=checked.filter(F.col(ROW_PASS)).select(
+            *[F.col(c) for c in original_columns]
+        ),
         schema_problems=problems,
         unchecked_paths=list(plan.unchecked_paths),
     )
+
+
+def fail_on_violations(
+    result: ValidationResult, *, limit: int = 0, sample: int = 5
+) -> int:
+    """The fail-the-pipeline expectation level (DLT's ``expect_or_fail``,
+    Deequ's error level): count the enforce-severity violation rows and
+    raise :class:`ValidationFailedError` past ``limit``, carrying up to
+    ``sample`` violating rows for the error report. Returns the count when
+    within the limit.
+
+    This triggers ONE action over the violations frame (the count and the
+    bounded sample share its scan via ``limit(sample).collect`` only on
+    the failure path); callers gating a write should run it BEFORE the
+    write action.
+    """
+    n = result.violations.count()
+    if n > limit:
+        rows = [r.asDict() for r in result.violations.limit(sample).collect()]
+        raise ValidationFailedError(n, limit, rows)
+    return n

@@ -131,6 +131,11 @@ class ConstraintSpec:
     # The reference maps integer→long ("JSON is capable of 53 bit ints",
     # docs/TypeMappings.md); this extension pins narrower physical columns.
     x_bits: Optional[int] = None
+    # x-severity on a property spec: "enforce" (default — failing rows are
+    # violations) or "warn" (failures are REPORTED in the verdicts but the
+    # row still passes — Delta Live Tables' plain `expect`, Deequ's
+    # warning level). Applies to the property's required+conforms checks.
+    x_severity: Optional[str] = None
 
     def evolve(self, **kw: Any) -> "ConstraintSpec":
         return replace(self, **kw)

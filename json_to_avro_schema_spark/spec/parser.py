@@ -260,7 +260,17 @@ def _parse_object(obj: Dict[str, Any]) -> ConstraintSpec:
         else_=_opt_schema(obj, "else"),
         x_monotonic=_parse_string_array(obj, "x-monotonicIncreasing"),
         x_bits=_parse_bits(obj),
+        x_severity=_parse_severity(obj),
     )
+
+
+def _parse_severity(obj: Dict[str, Any]) -> Any:
+    v = obj.get("x-severity")
+    if v is None:
+        return None
+    if v not in ("warn", "enforce"):
+        raise SpecParseError("x-severity must be 'warn' or 'enforce'")
+    return v
 
 
 def _parse_bits(obj: Dict[str, Any]) -> Any:

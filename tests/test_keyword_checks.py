@@ -472,3 +472,50 @@ def test_content_encoding_and_media_type(spark):
         "id long, b string, h string, j string, bj string, hj string, "
         "ij string, q string",
     ) == {3, 4, 5, 6, 7, 8, 9, 10}
+
+
+def test_x_severity_warn_enforce_and_fail_levels(spark):
+    """The three expectation levels: warn (x-severity: warn — reported in
+    verdicts, row stays valid), drop (default enforce — row lands in
+    violations, not in valid), fail (fail_on_violations raises past the
+    limit with a bounded sample)."""
+    from json_to_avro_schema_spark.errors import (
+        SpecParseError,
+        ValidationFailedError,
+    )
+    from json_to_avro_schema_spark.runner import (
+        fail_on_violations,
+        run_validation,
+    )
+
+    doc = _spec({
+        "hard": {"type": "integer", "minimum": 0},
+        "soft": {"type": "string", "maxLength": 3, "x-severity": "warn"},
+    }, required=["hard"])
+    rows = [
+        (1, 5, "ok"),          # clean
+        (2, -1, "ok"),         # enforce failure → violation
+        (3, 5, "too-long"),    # warn-only failure → still valid
+        (4, None, "toolong"),  # required (enforce) + warn failures
+    ]
+    plan = compile_document(doc)
+    df = spark.createDataFrame(rows, "id long, hard long, soft string")
+    res = run_validation(spark, df, plan)
+
+    assert {r["id"] for r in res.violations.select("id").collect()} == {2, 4}
+    assert {r["id"] for r in res.valid.select("id").collect()} == {1, 3}
+    assert res.valid.columns == df.columns  # original columns untouched
+
+    # the warn check still reports: its verdict line shows the failures
+    v = {r["check_name"]: r for r in res.verdicts.collect()}
+    soft = next(n for n in v if "soft" in n)
+    assert v[soft]["n_fail"] == 2 and v[soft]["pass"] is False
+
+    # fail level: limit 2 tolerates the two violations, limit 1 raises
+    assert fail_on_violations(res, limit=2) == 2
+    with pytest.raises(ValidationFailedError) as ei:
+        fail_on_violations(res, limit=1, sample=1)
+    assert ei.value.n_violations == 2 and len(ei.value.sample) == 1
+
+    with pytest.raises(SpecParseError):
+        compile_document(_spec({"s": {"type": "string", "x-severity": "loud"}}))
