@@ -629,6 +629,113 @@ def run_packing_bench() -> dict:
     return out
 
 
+def run_web_bench() -> dict:
+    """Scale-point evidence for the r4s5 crawl-side operators (10 M rows,
+    deliberately skewed): (a) the paragraph-dedup winner rule — rank-1
+    WindowGroupLimit pushdown vs the groupBy(min)+join composition it
+    replaced — under a 30%%-hot paragraph key (the cookie-banner shape);
+    (b) URL canonicalization + domain extraction throughput (one codegen'd
+    projection over 10 M URLs); (c) domain_caps under a 30%%-hot domain.
+    SPARK_GRAFT_WEB_DOCS overrides the row count."""
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.operators.topk import grouped_topk
+    from json_to_avro_schema_spark.operators.web import (
+        domain_caps,
+        normalize_url,
+        url_domain,
+    )
+    from json_to_avro_schema_spark.session import get_spark
+
+    n = int(os.environ.get("SPARK_GRAFT_WEB_DOCS", "10000000"))
+    spark = get_spark(app="web-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"n_rows": n, "cpus": CPUS, "hot_share": 0.3}
+
+    def timed(build):
+        runs = []
+        build().collect()  # warm codegen
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build().collect()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)
+
+    # (a) paragraph winner rule: 30% of occurrences share ONE key
+    occ = (
+        spark.range(n)
+        .repartition(CPUS * 2)
+        .selectExpr(
+            "id AS doc_id",
+            "CAST(id % 40 AS INT) AS __pos",
+            "CASE WHEN id % 10 < 3 THEN CAST(0 AS LONG) "
+            "ELSE xxhash64(id) END AS __pkey",
+        )
+        .persist()
+    )
+    occ.count()
+    out["winner_rank1_pushdown_sec"] = timed(
+        lambda: grouped_topk(
+            occ, ["__pkey"],
+            [F.col("doc_id").asc(), F.col("__pos").asc()],
+            ["doc_id", "__pos"], 1, rank_col="__prk",
+        ).agg(F.count(F.lit(1)), F.sum("doc_id"))
+    )
+
+    def agg_join():
+        winners = occ.groupBy("__pkey").agg(
+            F.min(F.struct("doc_id", "__pos")).alias("__first")
+        )
+        return (
+            occ.join(winners, "__pkey")
+            .filter(
+                (F.col("__first.doc_id") == F.col("doc_id"))
+                & (F.col("__first.__pos") == F.col("__pos"))
+            )
+            .agg(F.count(F.lit(1)), F.sum("doc_id"))
+        )
+
+    out["winner_aggjoin_sec"] = timed(agg_join)
+    plan = grouped_topk(
+        occ, ["__pkey"],
+        [F.col("doc_id").asc(), F.col("__pos").asc()],
+        ["doc_id", "__pos"], 1, rank_col="__prk",
+    )._jdf.queryExecution().executedPlan().toString()
+    out["winner_plan_partial_wgl"] = (
+        "WindowGroupLimit" in plan and "Partial" in plan
+    )
+    occ.unpersist()
+
+    # (b)+(c) URL surface: 10 M planted URLs, one 30%-hot domain
+    urls = (
+        spark.range(n)
+        .repartition(CPUS * 2)
+        .selectExpr(
+            "id AS doc_id",
+            "concat('https://WWW.Site', "
+            "CASE WHEN id % 10 < 3 THEN '0' ELSE CAST(id % 100000 AS STRING) "
+            "END, '.com:443/Path/', CAST(id AS STRING), "
+            "'/?b=2&a=1&utm_source=feed#frag') AS url",
+        )
+        .persist()
+    )
+    urls.count()
+    out["normalize_url_10m_sec"] = timed(
+        lambda: urls.select(
+            normalize_url(F.col("url")).alias("c"),
+            url_domain(F.col("url")).alias("d"),
+        ).agg(F.count_distinct("d"), F.max(F.length("c")))
+    )
+    out["domain_caps_hot_domain_sec"] = timed(
+        lambda: domain_caps(urls, cap=100).agg(
+            F.count(F.lit(1)), F.sum("doc_id")
+        )
+    )
+    urls.unpersist()
+    out["urls_per_sec"] = round(n / out["normalize_url_10m_sec"])
+    return out
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-gen":
         _scaling_gen()
@@ -646,5 +753,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--packing-bench":
         print(json.dumps(run_packing_bench()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--web-bench":
+        print(json.dumps(run_web_bench()))
     else:
         print(json.dumps(run_bench()))
