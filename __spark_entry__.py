@@ -4049,6 +4049,96 @@ ORDER BY domain
 """
 
 
+def _q_streaming_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming URL dedup (streaming/dedup.url_dedup_stream): a planted
+    crawl feed arrives in two micro-batches — batch 1 carries two surface
+    variants per page group (param-order swap; WWW+case), batch 2 REFETCHES
+    every page under a third form (:443 + trailing slash + utm param).
+    The state store keyed on the canonical hash must keep exactly one row
+    per page group and drop the whole second pass — the kept-hash set
+    and counts are arrival-order-independent facts the oracle re-derives
+    from the planting (pages = distinct doc_id//2 groups)."""
+    import shutil
+    import tempfile
+
+    from json_to_avro_schema_spark.streaming import drain
+    from json_to_avro_schema_spark.streaming.dedup import (
+        url_dedup_stream_to_parquet,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    d = F.col("doc_id")
+    gs = F.floor(d / 2).cast("long").cast("string")
+    b1 = docs.select(
+        "doc_id",
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("https://crawl"), gs, F.lit(".net/p?b=2&a=1")),
+        ).otherwise(
+            F.concat(F.lit("HTTPS://WWW.Crawl"), gs, F.lit(".NET/p?a=1&b=2"))
+        ).alias("url"),
+    )
+    b2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://crawl"), gs,
+            F.lit(".net:443/p/?a=1&b=2&utm_source=f"),
+        ).alias("url"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_urldedup_")
+    try:
+        src = os.path.join(tmp, "src")
+        b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+        b2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+        # one dir of part-files ordered by mtime: copy b2's file after b1's
+        feed = os.path.join(tmp, "feed")
+        os.makedirs(feed)
+        import glob as _glob
+        import time as _time
+        for i, d_ in enumerate(("b1", "b2")):
+            for f in _glob.glob(os.path.join(src, d_, "part-*.parquet")):
+                dst = os.path.join(feed, f"pass{i}.parquet")
+                shutil.copy(f, dst)
+                t = _time.time() + (0 if i else -60)
+                os.utime(dst, (t, t))
+        schema = spark.read.parquet(feed).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = url_dedup_stream_to_parquet(
+                stream, os.path.join(tmp, "kept"), os.path.join(tmp, "ckpt")
+            )
+            drain(q, 120)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        kept = spark.read.parquet(os.path.join(tmp, "kept"))
+        out = kept.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.count_distinct("url_hash").alias("n_distinct"),
+        ).select(
+            "n_kept", "n_distinct",
+            (F.col("n_kept") == F.col("n_distinct")).alias("no_dup_survived"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# one survivor per planted page group (doc_id // 2), second pass dropped
+_O_STREAMING_URL_DEDUP = """
+SELECT CAST(count(DISTINCT doc_id // 2) AS BIGINT) AS n_kept,
+       CAST(count(DISTINCT doc_id // 2) AS BIGINT) AS n_distinct,
+       TRUE AS no_dup_survived
+FROM documents
+"""
+
+
 def _q_paragraph_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-document paragraph dedup, keep-first-occurrence
     (dedup.paragraph_dedup — the Dolma/CCNet paragraph-granularity
@@ -4229,6 +4319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_docs": _q_c4_clean_docs,
         "exactsubstr_keep_first": _q_exactsubstr_keep_first,
         "url_dedup_incremental_docs": _q_url_dedup_incremental_docs,
+        "streaming_url_dedup": _q_streaming_url_dedup,
         "resize_plan": _q_resize_plan,
         "categorical_drift": _q_categorical_drift,
     }
@@ -4325,5 +4416,6 @@ def oracle_sql() -> dict[str, str]:
         "exactsubstr_keep_first": _O_EXACTSUBSTR_KEEP_FIRST,
         "url_dedup_docs": _O_URL_DEDUP_DOCS,
         "url_dedup_incremental_docs": _O_URL_DEDUP_INCREMENTAL_DOCS,
+        "streaming_url_dedup": _O_STREAMING_URL_DEDUP,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

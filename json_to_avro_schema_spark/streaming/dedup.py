@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.text import fingerprint
+from ..operators.web import normalize_url
 
 
 def dedup_stream(
@@ -71,6 +72,64 @@ def dedup_stream_to_parquet(
     accepted trade for state that stops growing with the distinct corpus."""
     deduped = dedup_stream(
         stream_df, text_col, fingerprint_col=fingerprint_col,
+        within_watermark_col=within_watermark_col,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def url_dedup_stream(
+    stream_df: DataFrame,
+    url_col: str = "url",
+    *,
+    canon_col: str = "canonical_url",
+    hash_col: str = "url_hash",
+    within_watermark_col: Optional[str] = None,
+) -> DataFrame:
+    """Streaming URL dedup for a live crawl feed: canonicalize
+    (``operators/web.normalize_url`` — the same documented 7-rule form as
+    the batch path), key on the 64-bit canonical hash, and drop refetches
+    seen ANYWHERE earlier in the stream via the state store — the stream
+    twin of ``operators/web.url_dedup_incremental`` with the state store
+    playing the snapshot index (8 bytes per distinct page, hash-
+    partitioned across executors).
+
+    ``within_watermark_col`` switches to bounded-retention
+    ``dropDuplicatesWithinWatermark`` (caller applies ``withWatermark``
+    first): a page's state expires past the watermark delay, so refetches
+    FARTHER apart than the delay are kept — the right trade for crawl
+    feeds, where refetch bursts cluster near the first fetch and a
+    months-later refetch usually IS new content.
+    """
+    with_h = stream_df.withColumn(
+        canon_col, normalize_url(F.col(url_col))
+    ).withColumn(hash_col, F.xxhash64(F.col(canon_col)))
+    if within_watermark_col is not None:
+        return with_h.dropDuplicatesWithinWatermark([hash_col])
+    return with_h.dropDuplicates([hash_col])
+
+
+def url_dedup_stream_to_parquet(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_location: str,
+    url_col: str = "url",
+    *,
+    canon_col: str = "canonical_url",
+    hash_col: str = "url_hash",
+    within_watermark_col: Optional[str] = None,
+):
+    """:func:`url_dedup_stream` into an append parquet sink with
+    ``availableNow`` (drain-everything-then-stop). Returns the
+    StreamingQuery; callers ``drain``/``awaitTermination``."""
+    deduped = url_dedup_stream(
+        stream_df, url_col, canon_col=canon_col, hash_col=hash_col,
         within_watermark_col=within_watermark_col,
     )
     return (

@@ -96,6 +96,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         "c4_clean_docs": "clean_corpus_report",
         "exactsubstr_keep_first": "dup_ngram_coverage",
         "url_dedup_incremental_docs": "url_dedup_docs",
+        "streaming_url_dedup": "streaming_dedup",
         # demoted r4s5 to make room for the two new families: their
         # families stay attested by the recorded siblings below
         "resize_plan": "multimodal_features",

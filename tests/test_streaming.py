@@ -272,3 +272,48 @@ def test_streaming_profile_history_drift(spark, tmp_path):
     hist.filter(F.col("epoch") == 0).write.parquet(solo)
     with _pytest.raises(ValueError, match="needs two"):
         profile_history_drift(spark, solo)
+
+
+def test_streaming_url_dedup_cross_batch_state(spark, tmp_path):
+    """A refetch arriving in a LATER micro-batch under a different surface
+    form (www/case/port/param-order) must be dropped by the state store
+    keyed on the canonical-URL hash."""
+    from json_to_avro_schema_spark.streaming.dedup import (
+        url_dedup_stream_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [(1, "https://a.com/x?b=2&a=1"), (2, "https://a.com/y")],
+        "doc_id long, url string",
+    )
+    batch2 = spark.createDataFrame(
+        [(3, "HTTPS://WWW.A.com:443/x/?a=1&b=2&utm_source=f"),  # ≡ 1
+         (4, "https://b.org/z")],
+        "doc_id long, url string",
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    first_files = {f for f in os.listdir(src) if f.endswith(".parquet")}
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    import time as _t
+    now = _t.time()
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            offset = -60 if f in first_files else 0
+            os.utime(os.path.join(src, f), (now + offset, now + offset))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = url_dedup_stream_to_parquet(
+        stream, str(tmp_path / "kept"), str(tmp_path / "ckpt")
+    )
+    drain(q, 120)
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    rows = kept.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 4}
+    assert {"canonical_url", "url_hash"} <= set(kept.columns)
+    assert len({r["url_hash"] for r in rows}) == 3
