@@ -32,6 +32,7 @@ from json_to_avro_schema_spark.operators import stats as st
 from json_to_avro_schema_spark.operators import text as tx
 from json_to_avro_schema_spark.operators import uniqueness as uq
 from json_to_avro_schema_spark.operators import web as wb
+from json_to_avro_schema_spark.operators import funnel as fn
 from json_to_avro_schema_spark.operators.tdigest import tdigest_quantiles
 from json_to_avro_schema_spark.runner import run_validation
 from json_to_avro_schema_spark.sources.derived_spans import (
@@ -4049,6 +4050,100 @@ ORDER BY domain
 """
 
 
+def _q_corpus_funnel_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed cleaning funnel (operators/funnel.corpus_funnel) — the
+    RefinedWeb-style attrition table from ONE action. Planting: the
+    url_dedup_docs 4-variant page groups over 20 domains (2 blocked),
+    plus planted page text keyed by (g%5 length class, g%37 content
+    class) so URL winners in different groups share text — every stage
+    fires: blocked domains, the 3 losing surface variants per group,
+    later text twins among URL winners, and a 200-char length gate as
+    the quality policy. The oracle re-derives the ENTIRE funnel in SQL —
+    blocklist, per-group canonical winner among unblocked rows, the
+    normalized-text first-occurrence rule among URL winners, then the
+    length gate — and the per-stage doc_id sums pin the exact
+    attribution, not just the counts."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    d = F.col("doc_id")
+    g = F.floor(d / 4).cast("long")
+    ks = (g % 20).cast("string")
+    gs = g.cast("string")
+    site = F.concat(F.lit("site"), ks, F.lit(".com"))
+    v = d % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://"), site, F.lit("/Docs/"), gs, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://WWW."), site, F.lit("/Docs/"), gs,
+            F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(
+            F.lit("https://"), site, F.lit(":443/Docs/"), gs,
+            F.lit("/?a=1&b=2&utm_source=feed")))
+        .otherwise(F.concat(
+            F.lit("https://"), site, F.lit("/Docs/"), gs,
+            F.lit("?a=1&utm_campaign=x&b=2#frag")))
+    )
+    planted_text = F.concat(
+        F.repeat(F.lit("x"), F.when(g % 5 == 0, 100).otherwise(250)),
+        (g % 37).cast("string"),
+    )
+    tbl = docs.select("doc_id", url.alias("url"), planted_text.alias("text"))
+    blocked = spark.createDataFrame(
+        [("site4.com",), ("site13.com",)], "domain string")
+    res = fn.corpus_funnel(
+        tbl,
+        blocked_domains=blocked,
+        keep_if=F.length("text") >= 200,
+    )
+    return (
+        res.annotated.groupBy(
+            F.coalesce(F.col(fn.DROP_STAGE), F.lit("kept")).alias("stage")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("stage")
+    )
+
+
+_O_CORPUS_FUNNEL_DOCS = r"""
+WITH pl AS (
+  SELECT doc_id, doc_id // 4 AS g,
+         repeat('x', CASE WHEN (doc_id // 4) % 5 = 0 THEN 100 ELSE 250 END)
+           || CAST((doc_id // 4) % 37 AS VARCHAR) AS text,
+         'site' || CAST((doc_id // 4) % 20 AS VARCHAR) || '.com' AS domain
+  FROM documents
+), s1 AS (
+  SELECT *, domain IN ('site4.com', 'site13.com') AS blocked FROM pl
+), urlwin AS (
+  SELECT g, min(doc_id) AS win_id FROM s1 WHERE NOT blocked GROUP BY g
+), s2 AS (
+  SELECT s1.*, (NOT blocked AND doc_id IN (SELECT win_id FROM urlwin))
+         AS url_win
+  FROM s1
+), textwin AS (
+  SELECT min(doc_id) AS win_id
+  FROM (SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM s2 WHERE url_win)
+  GROUP BY norm
+), staged AS (
+  SELECT doc_id,
+         CASE WHEN blocked THEN 'domain_blocked'
+              WHEN NOT url_win THEN 'url_duplicate'
+              WHEN doc_id NOT IN (SELECT win_id FROM textwin)
+                THEN 'text_duplicate'
+              WHEN length(text) < 200 THEN 'low_quality'
+              ELSE 'kept' END AS stage
+  FROM s2
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
 def _q_streaming_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming URL dedup (streaming/dedup.url_dedup_stream): a planted
     crawl feed arrives in two micro-batches — batch 1 carries two surface
@@ -4320,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_keep_first": _q_exactsubstr_keep_first,
         "url_dedup_incremental_docs": _q_url_dedup_incremental_docs,
         "streaming_url_dedup": _q_streaming_url_dedup,
+        "corpus_funnel_docs": _q_corpus_funnel_docs,
         "resize_plan": _q_resize_plan,
         "categorical_drift": _q_categorical_drift,
     }
@@ -4417,5 +4513,6 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_docs": _O_URL_DEDUP_DOCS,
         "url_dedup_incremental_docs": _O_URL_DEDUP_INCREMENTAL_DOCS,
         "streaming_url_dedup": _O_STREAMING_URL_DEDUP,
+        "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

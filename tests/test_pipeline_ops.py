@@ -1182,3 +1182,57 @@ def test_url_dedup_incremental_against_stored_index(spark):
         url_dedup_incremental(batch, prior.withColumnRenamed("url_hash", "h"))
     with pytest.raises(ValueError):
         url_dedup_incremental(batch.withColumn("url_hash", F.lit(1)), prior)
+
+
+# --------------------------------------------------------- corpus funnel
+
+
+def test_corpus_funnel_stage_attribution_and_order(spark):
+    """The funnel's load-bearing properties: each row is attributed to the
+    FIRST stage that drops it; dedup winners are chosen among rows ALIVE
+    after earlier stages (a blocked page cannot steal a canonical-URL
+    win); kept/annotated/report agree from one lineage."""
+    from json_to_avro_schema_spark.operators.funnel import corpus_funnel
+
+    rows = [
+        # blocked domain holds the min-id copy of page P — must NOT win
+        (1, "https://bad.com@mirror.bad.net/p", "shared page text"),
+        (2, "https://ok.org/p?b=2&a=1", "shared page text"),
+        (3, "https://OK.org/p?a=1&b=2", "other text entirely"),  # url dup of 2
+        (4, "https://fine.net/q", "shared  PAGE   text"),  # text dup of 2
+        (5, "https://fine.net/r", "tiny"),                 # quality drop
+        (6, "https://fine.net/s", "long enough to keep around"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    blocked = spark.createDataFrame([("bad.net",)], "domain string")
+    res = corpus_funnel(
+        df,
+        blocked_domains=blocked,
+        keep_if=F.length("text") >= 10,
+    )
+    got = {r["doc_id"]: r["drop_stage"] for r in res.annotated.collect()}
+    assert got == {
+        1: "domain_blocked",   # userinfo-proof domain identity
+        2: None,               # url winner among ALIVE rows (1 is out)
+        3: "url_duplicate",
+        4: "text_duplicate",   # fingerprint is case/space-insensitive
+        5: "low_quality",
+        6: None,
+    }
+    assert sorted(r["doc_id"] for r in res.kept.collect()) == [2, 6]
+    assert res.kept.columns == df.columns
+    rep = {r["stage"]: r["n_docs"] for r in res.report.collect()}
+    assert rep == {
+        "domain_blocked": 1, "url_duplicate": 1, "text_duplicate": 1,
+        "low_quality": 1, "kept": 2,
+    }
+
+    # stages are individually optional; null keep_if values drop
+    res2 = corpus_funnel(df, dedup_urls=False, dedup_text=False,
+                         keep_if=F.col("text").rlike("^s"))
+    got2 = {r["doc_id"]: r["drop_stage"] for r in res2.annotated.collect()}
+    # no dedup stages: the url-dup doc 3 survives unless quality drops it
+    assert got2[3] == "low_quality" and got2[1] is None and got2[2] is None
+
+    with pytest.raises(ValueError):
+        corpus_funnel(df.withColumn("drop_stage", F.lit("x")))

@@ -97,6 +97,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         "exactsubstr_keep_first": "dup_ngram_coverage",
         "url_dedup_incremental_docs": "url_dedup_docs",
         "streaming_url_dedup": "streaming_dedup",
+        "corpus_funnel_docs": "clean_corpus_report",
         # demoted r4s5 to make room for the two new families: their
         # families stay attested by the recorded siblings below
         "resize_plan": "multimodal_features",
