@@ -171,6 +171,8 @@ def run_bench() -> dict:
         ("url_dedup_docs", qs["url_dedup_docs"]),
         # r4 session 5: Dolma-granularity cross-doc paragraph dedup
         ("paragraph_dedup_docs", qs["paragraph_dedup_docs"]),
+        # r4 session 5: composed cleaning funnel (attrition report)
+        ("corpus_funnel_docs", qs["corpus_funnel_docs"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers
