@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .compiler.plan import CompiledPlan
 from .operators import drift as dr
@@ -224,3 +225,22 @@ def run_table_checks(
     rows.extend(task_rows)
     rows.extend(drift_skips)
     return spark.createDataFrame(rows, VERDICT_SCHEMA)
+
+
+def fail_on_failed_checks(
+    verdicts: DataFrame, *, limit: int = 0, sample: int = 5
+) -> int:
+    """Abort-level gate over the unified verdict table (the table-check
+    counterpart of ``runner.fail_on_violations``): count verdict rows with
+    ``pass = false`` and raise :class:`~.errors.ValidationFailedError`
+    past ``limit``, carrying up to ``sample`` failing verdict rows.
+    Returns the count when within the limit. The verdict table is a
+    handful of rows, so this is a driver-side check, not a job."""
+    from .errors import ValidationFailedError
+
+    failing = verdicts.filter(~F.col("pass"))
+    n = failing.count()
+    if n > limit:
+        rows = [r.asDict() for r in failing.limit(sample).collect()]
+        raise ValidationFailedError(n, limit, rows)
+    return n

@@ -510,3 +510,21 @@ def test_partitioned_drift_include_total(spark):
     assert abs(tot["psi"] - rep.psi) < 1e-9
     assert tot["n_current"] == rep.n_current
     assert tot["n_baseline"] == rep.n_baseline
+
+
+def test_fail_on_failed_checks_gate(spark):
+    """Abort-level gate over the unified verdict table: within-limit
+    returns the count, past-limit raises with a bounded verdict sample."""
+    from json_to_avro_schema_spark.errors import ValidationFailedError
+    from json_to_avro_schema_spark.table_checks import fail_on_failed_checks
+
+    verdicts = spark.createDataFrame(
+        [("u", "unique", 10, 0, True), ("r", "ref", 10, 2, False),
+         ("d", "drift", 10, 1, False)],
+        "check_name string, kind string, n_rows long, n_bad long, pass boolean",
+    )
+    assert fail_on_failed_checks(verdicts, limit=2) == 2
+    with pytest.raises(ValidationFailedError) as ei:
+        fail_on_failed_checks(verdicts, sample=1)
+    assert ei.value.n_violations == 2 and len(ei.value.sample) == 1
+    assert ei.value.sample[0]["pass"] is False
