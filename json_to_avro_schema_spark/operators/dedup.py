@@ -843,15 +843,43 @@ def dedup_near(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    *,
+    keep_by: Optional[list] = None,
 ) -> DataFrame:
-    """Keep one representative (the min id) per transitive near-duplicate
-    cluster: rows whose id is a non-representative cluster member are
-    dropped; rows in no cluster are kept. One broadcast-sized join when the
-    pair set is small (it is, post-LSH-verify), plain shuffle join else."""
+    """Keep one representative per transitive near-duplicate cluster:
+    rows whose id is a non-representative cluster member are dropped;
+    rows in no cluster are kept. One broadcast-sized join when the pair
+    set is small (it is, post-LSH-verify), plain shuffle join else.
+
+    Default representative: the min id (deterministic, no data read).
+    ``keep_by`` (a list of ordering Columns over ``df``'s columns, e.g.
+    ``[F.col("quality").desc()]``) keeps the BEST cluster member instead —
+    the production recipe choice (FineWeb keeps the longest/best-scored
+    member, not an arbitrary one). Ties break on ascending id so the
+    choice stays deterministic. Cost: one extra join of the (small)
+    cluster table against the ordering columns + a rank-1 pushdown over
+    clusters — cluster tables are pair-bounded, never corpus-sized."""
     clusters = cluster_pairs(pairs)
-    losers = clusters.filter(F.col("id") != F.col("cluster_rep")).select(
-        F.col("id").alias(id_col)
-    )
+    if keep_by is not None:
+        members = clusters.withColumnRenamed("id", id_col).join(
+            df, id_col, "inner"
+        )
+        best = grouped_topk(
+            members,
+            ["cluster_rep"],
+            [*keep_by, F.col(id_col).asc()],
+            [id_col],
+            1,
+            rank_col="__nrk",
+        ).select(F.col(id_col), F.lit(True).alias("__nkeep"))
+        losers = (
+            clusters.select(F.col("id").alias(id_col))
+            .join(best, id_col, "left_anti")
+        )
+    else:
+        losers = clusters.filter(F.col("id") != F.col("cluster_rep")).select(
+            F.col("id").alias(id_col)
+        )
     return df.join(losers, id_col, "left_anti")
 
 

@@ -1236,3 +1236,26 @@ def test_corpus_funnel_stage_attribution_and_order(spark):
 
     with pytest.raises(ValueError):
         corpus_funnel(df.withColumn("drop_stage", F.lit("x")))
+
+
+def test_dedup_near_keep_best_representative(spark):
+    """keep_by keeps the best-scored cluster member (FineWeb-style)
+    instead of the min id; ties break on ascending id; unclustered rows
+    are untouched."""
+    from json_to_avro_schema_spark.operators.dedup import dedup_near
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    # clusters: {1,2,3} and {7}∉pairs… pair 7-9 forms a second cluster
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    # default: min id per cluster
+    assert sorted(
+        r["doc_id"] for r in dedup_near(df, pairs).collect()
+    ) == [1, 7]
+    # keep-best: quality desc, tie 2-vs-3 broken by ascending id
+    best = dedup_near(df, pairs, keep_by=[F.col("quality").desc()])
+    assert sorted(r["doc_id"] for r in best.collect()) == [2, 7]
