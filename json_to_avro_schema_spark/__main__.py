@@ -93,17 +93,29 @@ def _run(spark, df, plan, args) -> int:
             "unchecked_paths": plan.unchecked_paths,
         }
     else:
-        from .runner import verdicts_from_violations
+        from .runner import partition_verdicts, verdicts_from_violations
 
         res = run_validation(spark, df, plan)
         res.violations.write.mode("overwrite").parquet(f"{args.out}/violations")
         # one full compute scan: verdicts derive from the written violations
+        # (unless the spec carries warn-severity checks, whose failures
+        # never reach the violations sink — then the second scan is the
+        # price of truthful verdict lines)
         viol = spark.read.schema(res.violations.schema).parquet(
             f"{args.out}/violations"
         )
-        verdicts_from_violations(
-            df, viol, plan, part_key_col=args.part_key_col
-        ).write.mode("overwrite").parquet(f"{args.out}/verdicts")
+        if any(c.severity != "enforce" for c in plan.row_checks):
+            checked = res.checked
+            if args.part_key_col != "part_key":
+                checked = checked.withColumnRenamed(
+                    args.part_key_col, "part_key"
+                )
+            verdicts = partition_verdicts(checked, plan)
+        else:
+            verdicts = verdicts_from_violations(
+                df, viol, plan, part_key_col=args.part_key_col
+            )
+        verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts")
         verd = spark.read.parquet(f"{args.out}/verdicts")
         n_fail = verd.agg({"n_fail": "sum"}).collect()[0][0] or 0
         summary = {

@@ -153,11 +153,22 @@ def run_with_checkpoint(
         )
     except Exception:  # zero violations ⇒ no files to infer from
         viol_written = spark.createDataFrame([], res.violations.schema)
-    from .runner import verdicts_from_violations
+    from .runner import partition_verdicts, verdicts_from_violations
 
-    verdicts = verdicts_from_violations(
-        sub, viol_written, plan, part_key_col=part_key_col
-    )
+    if any(c.severity != "enforce" for c in plan.row_checks):
+        # warn-severity failures never reach the violations sink, so the
+        # fused derivation cannot count them — pay the second compute
+        # scan to keep their verdict lines truthful
+        checked = res.checked
+        if part_key_col != "part_key":
+            checked = checked.withColumnRenamed(part_key_col, "part_key")
+        verdicts = partition_verdicts(checked, plan)
+        if part_key_col != "part_key":
+            verdicts = verdicts.withColumnRenamed("part_key", part_key_col)
+    else:
+        verdicts = verdicts_from_violations(
+            sub, viol_written, plan, part_key_col=part_key_col
+        )
     verdicts.write.mode("overwrite").partitionBy(part_key_col).parquet(verd_path)
 
     # state rows AFTER both sinks committed (per-partition metrics = lineage)

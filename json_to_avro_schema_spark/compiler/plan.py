@@ -228,6 +228,78 @@ def spec_name_from_id(root_id: str) -> str:
     return frag.split("/")[-1] or "root"
 
 
+def _assert_severity_positions(spec: ConstraintSpec) -> None:
+    """``x-severity`` is honored only on TOP-LEVEL property specs (the
+    nodes that own ``__required``/``__conforms`` checks). Anywhere deeper
+    it would be silently ignored — rows the author meant to merely warn
+    on would become violations — so unsupported positions are a
+    compile-time error, not a no-op."""
+    from ..errors import SpecCompileError
+
+    def children(node: ConstraintSpec, path: str) -> List[Tuple[Any, str]]:
+        """Every child schema node EXCEPT ``properties`` values (handled
+        by the caller, because only the ROOT's are severity-eligible)."""
+        out: List[Tuple[Any, str]] = []
+        items = node.items
+        if isinstance(items, tuple):
+            out += [(s, f"{path}.items[{i}]") for i, s in enumerate(items)]
+        elif items is not None:
+            out.append((items, f"{path}.items"))
+        for group in ("all_of", "any_of", "one_of"):
+            out += [
+                (s, f"{path}.{group}[{i}]")
+                for i, s in enumerate(getattr(node, group))
+            ]
+        for label, extra in (
+            ("additionalItems", node.additional_items),
+            ("contains", node.contains),
+            ("propertyNames", node.property_names),
+            ("additionalProperties", node.additional_properties),
+            ("not", node.not_), ("if", node.if_),
+            ("then", node.then_), ("else", node.else_),
+        ):
+            out.append((extra, f"{path}.{label}"))
+        out += [
+            (s, f"{path}.patternProperties")
+            for s in node.pattern_properties.values()
+        ]
+        out += [
+            (s, f"{path}.definitions.{k}")
+            for k, s in node.definitions.items()
+        ]
+        out += [
+            (d, f"{path}.dependencies.{k}")
+            for k, d in node.dependencies.items()
+            if not isinstance(d, tuple)
+        ]
+        return out
+
+    def walk(node: Any, path: str, allowed: bool) -> None:
+        if not isinstance(node, ConstraintSpec):
+            return
+        if node.x_severity is not None and not allowed:
+            raise SpecCompileError(
+                f"x-severity at {path} is not honored there — it applies "
+                f"only to top-level property specs"
+            )
+        for prop, sub in node.properties.items():
+            walk(sub, f"{path}.properties.{prop}", allowed=False)
+        for sub, p in children(node, path):
+            walk(sub, p, allowed=False)
+
+    # allowed ONLY on the direct values of root.properties; the root
+    # itself and every deeper node are errors
+    if spec.x_severity is not None:
+        raise SpecCompileError(
+            "x-severity at $ (root) is not honored — it applies only to "
+            "top-level property specs"
+        )
+    for prop, sub in spec.properties.items():
+        walk(sub, f"$.properties.{prop}", allowed=True)
+    for sub, p in children(spec, "$"):
+        walk(sub, p, allowed=False)
+
+
 def compile_document(
     doc: Dict[str, Any],
     *,
@@ -244,6 +316,7 @@ def compile_document(
 
     if strict_enums:
         _assert_string_enums(spec, "$")
+    _assert_severity_positions(spec)
 
     name = spec_name_from_id(normalized.spec.id or "root")
     spec_hash = hashlib.sha256(

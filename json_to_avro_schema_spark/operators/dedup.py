@@ -861,6 +861,12 @@ def dedup_near(
     clusters — cluster tables are pair-bounded, never corpus-sized."""
     clusters = cluster_pairs(pairs)
     if keep_by is not None:
+        clash = {"cluster_rep", "__nrk"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"dedup_near keep_by working columns {sorted(clash)} "
+                f"already exist on the input — rename them first"
+            )
         members = clusters.withColumnRenamed("id", id_col).join(
             df, id_col, "inner"
         )
@@ -871,7 +877,7 @@ def dedup_near(
             [id_col],
             1,
             rank_col="__nrk",
-        ).select(F.col(id_col), F.lit(True).alias("__nkeep"))
+        ).select(id_col)
         losers = (
             clusters.select(F.col("id").alias(id_col))
             .join(best, id_col, "left_anti")

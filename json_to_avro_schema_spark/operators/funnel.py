@@ -63,8 +63,9 @@ STAGES = ("domain_blocked", "url_duplicate", "text_duplicate", "low_quality")
 class FunnelResult:
     annotated: DataFrame   # original columns + drop_stage (null = kept)
     kept: DataFrame        # surviving rows, original columns untouched
-    report: DataFrame      # (stage, n_docs) — stages in funnel order,
-                           # plus the terminal "kept" row
+    report: DataFrame      # (stage, n_docs): one row per stage that
+                           # dropped anything + the terminal "kept" row;
+                           # unordered (aggregation output) — sort on read
 
 
 def _first_alive_winner(
@@ -94,24 +95,30 @@ def corpus_funnel(
     dedup_urls: bool = True,
     dedup_text: bool = True,
     keep_if: Optional[Column] = None,
+    max_broadcast_rows: int = 1_000_000,
 ) -> FunnelResult:
     """Run the funnel; see module docstring for stages and semantics."""
-    clash = {DROP_STAGE} & set(df.columns)
+    clash = {
+        DROP_STAGE, "__blocked_domain", "__win_url", "__win_text",
+        "__fkey", "__frk",
+    } & set(df.columns)
     if clash:
         raise ValueError(
-            f"corpus_funnel output column {sorted(clash)} already exists "
-            f"on the input"
+            f"corpus_funnel output/working columns {sorted(clash)} already "
+            f"exist on the input"
         )
     original_columns = list(df.columns)
     cur = df.withColumn(DROP_STAGE, F.lit(None).cast("string"))
 
     if blocked_domains is not None:
         b_col = blocked_domains.columns[0]
-        b = F.broadcast(
-            blocked_domains.select(
-                F.col(b_col).alias("__blocked_domain")
-            ).distinct()
-        )
+        b = blocked_domains.select(
+            F.col(b_col).alias("__blocked_domain")
+        ).distinct()
+        # same count-guarded broadcast contract as web.domain_filter: past
+        # the cap the hint is dropped and Spark plans the join itself
+        if b.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows:
+            b = F.broadcast(b)
         cur = (
             cur.join(
                 b,

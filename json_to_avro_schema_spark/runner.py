@@ -223,7 +223,21 @@ def verdicts_from_violations(
     the data instead of two; at 100 TB the verdict agg becomes ~free.
     Output is identical to :func:`partition_verdicts` (zero-filled for
     checks with no failures).
+
+    Requires an all-enforce plan: warn-severity failures on rows that
+    pass every enforce check never enter ``violations``, so their counts
+    are unrecoverable from it — this function raises rather than silently
+    under-reporting them; use :func:`partition_verdicts` (one extra
+    aggregation over the checked frame) when the spec carries
+    ``x-severity: warn``.
     """
+    warn = [c.name for c in plan.row_checks if c.severity != "enforce"]
+    if warn:
+        raise ValueError(
+            f"verdicts_from_violations cannot count warn-severity checks "
+            f"{warn} (their failures are not violations) — use "
+            f"partition_verdicts for this plan"
+        )
     key = (
         F.col(part_key_col) if part_key_col in df.columns else F.lit("__all__")
     )
@@ -303,9 +317,11 @@ def fail_on_violations(
     ``sample`` violating rows for the error report. Returns the count when
     within the limit.
 
-    This triggers ONE action over the violations frame (the count and the
-    bounded sample share its scan via ``limit(sample).collect`` only on
-    the failure path); callers gating a write should run it BEFORE the
+    Cost: one count action; the failure path adds a second
+    ``limit(sample)`` job to fetch the report rows. At large scale,
+    ``result.checked.persist()`` before calling (the violations and valid
+    frames both derive from it) keeps the failure path from recomputing
+    the full lineage. Callers gating a write should run this BEFORE the
     write action.
     """
     n = result.violations.count()

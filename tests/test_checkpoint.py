@@ -171,3 +171,37 @@ def test_spec_change_invalidates_completion(spark, tmp_path):
     r = run_with_checkpoint(spark, df, plan_b, store, "run1", out)
     # new spec version ⇒ lineage mismatch ⇒ everything re-validated
     assert r.n_partitions_processed == r.n_partitions_total
+
+
+def test_checkpoint_warn_severity_verdicts_truthful(spark, tmp_path):
+    """A warn-bearing plan must take the partition_verdicts fallback in
+    the checkpoint sink: warn failures never reach the violations sink,
+    so the fused derivation would report n_fail=0 for them."""
+    spec = documents_iv_spec()
+    spec["properties"]["doc_id"]["x-severity"] = "warn"
+    # tighten the doc_id pattern so a slice of VALID docs fails ONLY the
+    # warn check ('00'-prefixed part keys fail the new prefix rule)
+    spec["properties"]["doc_id"]["pattern"] = "^[1-9a-f]"
+    plan = compile_document(spec)
+    df = generate_documents_iv(spark, 2000, violation_pct=0)
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+    run_with_checkpoint(spark, df, plan, store, "warn1", out)
+
+    verd = spark.read.parquet(f"{out}/verdicts")
+    warn_fail = (
+        verd.filter(F.col("check_name").contains("doc_id"))
+        .agg(F.sum("n_fail").alias("s"))
+        .collect()[0]["s"]
+    )
+    n_warn_docs = df.filter(~F.col("doc_id").rlike("^[1-9a-f]")).count()
+    assert n_warn_docs > 0 and warn_fail == n_warn_docs
+    # and none of those rows were treated as violations
+    import os
+    viol = (
+        spark.read.parquet(f"{out}/violations")
+        if os.listdir(f"{out}/violations")
+        else None
+    )
+    if viol is not None and len(viol.columns):
+        assert viol.filter(~F.col("doc_id").rlike("^[1-9a-f]")).count() == 0

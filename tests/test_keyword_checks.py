@@ -519,3 +519,20 @@ def test_x_severity_warn_enforce_and_fail_levels(spark):
 
     with pytest.raises(SpecParseError):
         compile_document(_spec({"s": {"type": "string", "x-severity": "loud"}}))
+
+    # unsupported positions are compile-time errors, never silent no-ops
+    from json_to_avro_schema_spark.errors import SpecCompileError
+    nested = _spec({"a": {"type": "object", "properties": {
+        "b": {"type": "integer", "minimum": 0, "x-severity": "warn"}}}})
+    with pytest.raises(SpecCompileError):
+        compile_document(nested)
+    rooted = _spec({"s": {"type": "string"}})
+    rooted["x-severity"] = "warn"
+    with pytest.raises(SpecCompileError):
+        compile_document(rooted)
+
+    # the fused violations->verdicts derivation cannot see warn failures:
+    # it must refuse warn-bearing plans instead of under-reporting
+    from json_to_avro_schema_spark.runner import verdicts_from_violations
+    with pytest.raises(ValueError):
+        verdicts_from_violations(df, res.violations, plan)

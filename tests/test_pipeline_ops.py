@@ -1236,6 +1236,22 @@ def test_corpus_funnel_stage_attribution_and_order(spark):
 
     with pytest.raises(ValueError):
         corpus_funnel(df.withColumn("drop_stage", F.lit("x")))
+    with pytest.raises(ValueError):
+        corpus_funnel(df.withColumn("__win_url", F.lit(True)))
+
+    # blocklist broadcast is count-guarded (domain_filter contract): with
+    # auto-broadcast off, over-cap must plan a non-broadcast join
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_no = (
+            corpus_funnel(df, blocked_domains=blocked, dedup_urls=False,
+                          dedup_text=False, max_broadcast_rows=0)
+            .annotated._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in p_no
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
 def test_dedup_near_keep_best_representative(spark):
