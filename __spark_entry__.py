@@ -1812,6 +1812,68 @@ FROM base GROUP BY source ORDER BY source
 """
 
 
+def _q_perplexity_split_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail labeling (lm.perplexity_split): corpus-fit
+    unigram LM (min_count=2), EXPLICIT precomputed boundaries — the
+    production CCNet form; (3.3998, 3.4041) are the sf0.01 corpus
+    terciles, so the gate exercises all three buckets (166/171/163) —
+    and decimals=6 pre-rounding so both engines bucket the identical
+    6-decimal score (min |score − boundary| on this corpus is 2e-6, one
+    full rounding step of margin). Per (source, bucket) counts + id
+    sums pin every doc's bucket assignment."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    m = lmop.unigram_lm(docs, "text", min_count=2, alpha=0.5)
+    out = lmop.perplexity_split(
+        docs.select("doc_id", "source", "text"), m,
+        boundaries=(3.3998, 3.4041), decimals=6,
+    )
+    return (
+        out.groupBy("source", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source", "ppl_bucket")
+    )
+
+
+_O_PERPLEXITY_SPLIT_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS token FROM toks
+), cnts AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), consts AS (
+  SELECT sum(c) AS nn,
+         sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS vv
+  FROM cnts
+), vocab AS (
+  SELECT token, ln((c + 0.5) / (nn + 0.5 * (vv + 1))) AS lp
+  FROM cnts, consts WHERE c >= 2
+), perdoc AS (
+  SELECT d.doc_id, round(
+         -sum(coalesce(v.lp,
+              (SELECT ln(0.5 / (nn + 0.5 * (vv + 1))) FROM consts)))
+           / count(*), 6) AS r6
+  FROM tok d LEFT JOIN vocab v ON d.token = v.token
+  GROUP BY d.doc_id
+), labeled AS (
+  SELECT k.doc_id, source,
+         CASE WHEN coalesce(p.r6, 0) <= 3.3998 THEN 'head'
+              WHEN coalesce(p.r6, 0) <= 3.4041 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM toks k LEFT JOIN perdoc p ON k.doc_id = p.doc_id
+)
+SELECT source, ppl_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM labeled GROUP BY source, ppl_bucket ORDER BY source, ppl_bucket
+"""
+
+
 def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR-style importance weighting (operators/lm.py:
     importance_weights): target LM fit on the src0 slice (min_count=1),
@@ -4416,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_incremental_docs": _q_url_dedup_incremental_docs,
         "streaming_url_dedup": _q_streaming_url_dedup,
         "corpus_funnel_docs": _q_corpus_funnel_docs,
+        "perplexity_split_docs": _q_perplexity_split_docs,
         "resize_plan": _q_resize_plan,
         "categorical_drift": _q_categorical_drift,
     }
@@ -4475,6 +4538,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus_report": _o_clean_corpus_report(),
         "skew_report_events": _O_SKEW_REPORT_EVENTS,
         "lm_perplexity_docs": _O_LM_PERPLEXITY_DOCS,
+        "perplexity_split_docs": _O_PERPLEXITY_SPLIT_DOCS,
         "dsir_weights": _O_DSIR_WEIGHTS,
         "dup_ngram_coverage": _O_DUP_NGRAM_COVERAGE,
         "exact_dup_groups": _O_EXACT_DUP_GROUPS,

@@ -215,3 +215,77 @@ def importance_weights(
         .withColumn(weight_col, F.coalesce(F.col(weight_col), F.lit(1.0)))
         .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
     )
+
+
+def perplexity_split(
+    df: DataFrame,
+    lm: UnigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    by: Optional[str] = None,
+    boundaries=None,
+    cuts: tuple = (1 / 3, 2 / 3),
+    bucket_col: str = "ppl_bucket",
+    decimals: Optional[int] = None,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): label
+    every document with its perplexity bucket under ``lm`` instead of
+    dropping any — downstream mixtures then sample buckets at chosen
+    rates (head-heavy for quality, tail kept for diversity audits).
+
+    ``boundaries`` is the production form: precomputed cut points —
+    a ``(c1, c2)`` pair globally, or with ``by=`` a dict
+    ``{group: (c1, c2)}`` (CCNet computes them once per language from a
+    reference corpus and reuses them across snapshots; groups absent
+    from the dict get a null bucket, visibly unclassified rather than
+    silently head). With ``boundaries=None`` the cut points are
+    bootstrapped from this corpus at the ``cuts`` quantiles — one GK
+    sketch pass globally, or one ``percentile_approx`` aggregate per
+    group (a tiny frame, broadcast back; no global sort either way).
+
+    ``decimals`` pre-rounds the score before bucketing — the
+    cross-engine reproducibility knob (float summation order differs
+    sub-ulp between engines; a score landing exactly on a cut point
+    must bucket identically everywhere).
+
+    Returns ``df``'s columns + ``log_ppl``, ``n_tokens``, ``bucket_col``.
+    """
+    scored = score_documents(df, lm, text_col, id_col)
+    score = F.col("log_ppl")
+    if decimals is not None:
+        score = F.round(score, decimals)
+
+    if by is None:
+        if boundaries is None:
+            c1, c2 = scored.approxQuantile(
+                "log_ppl", [cuts[0], cuts[1]], relative_error
+            )
+        else:
+            c1, c2 = boundaries
+        lo, hi = F.lit(float(c1)), F.lit(float(c2))
+    else:
+        spark = df.sparkSession
+        if boundaries is None:
+            bounds = scored.groupBy(by).agg(
+                F.percentile_approx(
+                    "log_ppl", F.array(F.lit(cuts[0]), F.lit(cuts[1])),
+                    F.lit(int(1.0 / relative_error)),
+                ).alias("__bnds")
+            )
+        else:
+            bounds = spark.createDataFrame(
+                [(k, [float(v[0]), float(v[1])]) for k, v in boundaries.items()],
+                f"{by} string, __bnds array<double>",
+            )
+        scored = scored.join(F.broadcast(bounds), by, "left")
+        lo, hi = F.col("__bnds")[0], F.col("__bnds")[1]
+
+    bucket = (
+        F.when(score <= lo, F.lit("head"))
+        .when(score <= hi, F.lit("middle"))
+        .when(score.isNotNull() & hi.isNotNull(), F.lit("tail"))
+    )
+    out = scored.withColumn(bucket_col, bucket)
+    return out.drop("__bnds") if by is not None else out

@@ -216,3 +216,39 @@ def test_remove_matches_stats_coverage(spark):
             clean[i]["kept_tokens"]
             == stats[i]["n_tokens"] - stats[i]["covered_tokens"]
         ), i
+
+
+def test_perplexity_split_buckets(spark):
+    """CCNet head/middle/tail labeling: explicit-boundary global form,
+    per-group dict form (missing group → null bucket, visibly
+    unclassified), and the self-bootstrapped quantile form covering the
+    corpus completely."""
+    texts = ["a a a a", "a a b b", "b c d e", "q r s t"]  # ppl ascending-ish
+    df = _docs(spark, texts).withColumn(
+        "lang", F.when(F.col("doc_id") < "2", "en").otherwise("xx")
+    )
+    m = LM.unigram_lm(df, min_count=1, alpha=0.5)
+
+    scored = LM.score_documents(df, m)
+    ppl = {r["doc_id"]: r["log_ppl"] for r in scored.collect()}
+    order = sorted(ppl, key=ppl.get)
+    c1, c2 = ppl[order[0]], ppl[order[1]]  # head = lowest, middle = next
+
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in LM.perplexity_split(df, m, boundaries=(c1, c2)).collect()
+    }
+    assert got[order[0]] == "head" and got[order[1]] == "middle"
+    assert got[order[2]] == "tail" and got[order[3]] == "tail"
+
+    by_lang = LM.perplexity_split(
+        df, m, by="lang", boundaries={"en": (c1, 1e9)}
+    )
+    gl = {r["doc_id"]: r["ppl_bucket"] for r in by_lang.collect()}
+    assert set(gl[d] for d in ("0", "1")) <= {"head", "middle"}
+    assert gl["2"] is None and gl["3"] is None  # no xx boundaries
+
+    # bootstrapped terciles: every doc gets a bucket, all three appear
+    boot = LM.perplexity_split(df, m, cuts=(0.25, 0.75))
+    bs = [r["ppl_bucket"] for r in boot.collect()]
+    assert None not in bs and {"head", "tail"} <= set(bs)

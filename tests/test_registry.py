@@ -98,6 +98,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         "url_dedup_incremental_docs": "url_dedup_docs",
         "streaming_url_dedup": "streaming_dedup",
         "corpus_funnel_docs": "clean_corpus_report",
+        "perplexity_split_docs": "lm_perplexity_docs",
         # demoted r4s5 to make room for the two new families: their
         # families stay attested by the recorded siblings below
         "resize_plan": "multimodal_features",
