@@ -342,3 +342,41 @@ def temperature_targets(
         g: min(int(total_tokens * w / z), totals[g])
         for g, w in weights.items()
     }
+
+
+def write_packed_shards(
+    df: DataFrame,
+    out_path: str,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    *,
+    num_partitions: Optional[int] = None,
+    mode: str = "error",
+) -> int:
+    """Materialize :func:`packed_shards` as the physical training layout:
+    one ``shard_id=N`` parquet directory per shard, each holding exactly
+    its shard's rows — the shape data loaders consume (read one shard
+    directory = one token-budget-bounded unit of work).
+
+    Shape: the prefix-sum assignment runs as usual, then ONE shuffle on
+    ``shard_id`` colocates each shard into a single task before the
+    partitioned write — so every shard directory is one writer's output
+    (no tiny-file spray), and a shard's size is bounded by ``budget``
+    tokens regardless of corpus size. Returns the number of shards
+    written.
+    """
+    shards = packed_shards(
+        df, token_col, order_col, budget, num_partitions=num_partitions
+    )
+    (
+        shards.repartition(F.col("shard_id"))
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(out_path)
+    )
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(out_path)
+        .select("shard_id").distinct().count()
+    )

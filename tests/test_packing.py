@@ -333,3 +333,38 @@ def test_int_order_constraint_inference_regression(spark):
     assert "!Filter" not in plan, plan
     got = {(r["src"], r["ord"]): r["cum_tokens_before"] for r in out.collect()}
     assert got[("a", 0)] == 0 and got[("a", 8)] == 80 and got[("b", 9)] == 0
+
+
+def test_write_packed_shards_layout(spark, tmp_path):
+    """The physical layout: one shard directory per shard, every shard's
+    token sum within budget, round-trip preserves the full corpus, and
+    each shard directory is a single writer's output (no file spray)."""
+    import glob
+    import os
+
+    from json_to_avro_schema_spark.operators.packing import (
+        write_packed_shards,
+    )
+
+    df = spark.range(500).selectExpr(
+        "id AS doc_id", "(id % 97) + 1 AS n_tokens"
+    )
+    out = str(tmp_path / "shards")
+    n = write_packed_shards(df, out, "n_tokens", "doc_id", budget=2_000)
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert back.select("shard_id").distinct().count() == n > 1
+    sums = {
+        r["shard_id"]: r["s"]
+        for r in back.groupBy("shard_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    # shard sums are budget-aligned: a doc straddling a boundary stays in
+    # the shard its prefix starts in, so the bound is budget + max doc
+    assert all(s <= 2_000 + 97 for s in sums.values())
+    assert sum(sums.values()) == sum((i % 97) + 1 for i in range(500))
+    # one writer per shard directory: exactly one part-file each
+    for d in glob.glob(os.path.join(out, "shard_id=*")):
+        parts = [f for f in os.listdir(d) if f.startswith("part-")]
+        assert len(parts) == 1, (d, parts)
