@@ -15,16 +15,21 @@ from .checkpoint import CheckpointStore, run_with_checkpoint
 from .compiler.plan import CompiledPlan, compile_document
 from .errors import (
     SchemaMismatchError,
+    ValidationFailedError,
     SpecCompileError,
     SpecError,
     SpecParseError,
     SpecResolutionError,
 )
+from .operators.dedup import paragraph_dedup
+from .operators.funnel import FunnelResult, corpus_funnel
+from .operators.lm import perplexity_split
 from .operators.packing import (
     cumulative_tokens,
     packed_shards,
     select_mixture,
     shard_manifest,
+    write_packed_shards,
 )
 from .operators.sampling import (
     deterministic_sample,
@@ -33,15 +38,24 @@ from .operators.sampling import (
     train_test_split,
 )
 from .operators.topk import grouped_topk, grouped_topk_salted
+from .operators.web import (
+    domain_caps,
+    domain_filter,
+    normalize_url,
+    url_dedup,
+    url_dedup_incremental,
+    url_domain,
+)
 from .runner import (
     ValidationResult,
+    fail_on_violations,
     run_validation,
     sample_violations,
     verdicts_from_violations,
     verdicts_with_violation_count,
 )
 from .session import get_spark
-from .table_checks import run_table_checks
+from .table_checks import fail_on_failed_checks, run_table_checks
 
 __version__ = "0.1.0"
 
@@ -54,14 +68,24 @@ __all__ = [
     "SpecParseError",
     "SpecResolutionError",
     "ValidationResult",
+    "FunnelResult",
+    "ValidationFailedError",
     "compile_document",
+    "corpus_funnel",
     "cumulative_tokens",
+    "domain_caps",
+    "domain_filter",
+    "fail_on_failed_checks",
+    "fail_on_violations",
     "deterministic_sample",
     "deterministic_topn_sample",
     "get_spark",
     "grouped_topk",
     "grouped_topk_salted",
+    "normalize_url",
     "packed_shards",
+    "paragraph_dedup",
+    "perplexity_split",
     "run_table_checks",
     "run_validation",
     "run_with_checkpoint",
@@ -70,6 +94,10 @@ __all__ = [
     "shard_manifest",
     "stratified_sample",
     "train_test_split",
+    "url_dedup",
+    "url_dedup_incremental",
+    "url_domain",
     "verdicts_from_violations",
     "verdicts_with_violation_count",
+    "write_packed_shards",
 ]
