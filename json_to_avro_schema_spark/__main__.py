@@ -104,16 +104,17 @@ def _run(spark, df, plan, args) -> int:
         viol = spark.read.schema(res.violations.schema).parquet(
             f"{args.out}/violations"
         )
-        if any(c.severity != "enforce" for c in plan.row_checks):
+        bound = plan.bind_schema(df.schema)
+        if any(c.severity != "enforce" for c in bound.row_checks):
             checked = res.checked
             if args.part_key_col != "part_key":
                 checked = checked.withColumnRenamed(
                     args.part_key_col, "part_key"
                 )
-            verdicts = partition_verdicts(checked, plan)
+            verdicts = partition_verdicts(checked, bound)
         else:
             verdicts = verdicts_from_violations(
-                df, viol, plan, part_key_col=args.part_key_col
+                df, viol, bound, part_key_col=args.part_key_col
             )
         verdicts.write.mode("overwrite").parquet(f"{args.out}/verdicts")
         verd = spark.read.parquet(f"{args.out}/verdicts")

@@ -121,7 +121,11 @@ def run_with_checkpoint(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     all_parts = df.select(part_key_col).distinct()
+    # the state table's key column is always named part_key; align it to
+    # the caller's column so a custom part_key_col resolves in the joins
     done = store.completed_partitions(spark, run_id, plan.spec_hash)
+    if part_key_col != "part_key":
+        done = done.withColumnRenamed("part_key", part_key_col)
     # pending stays a DataFrame end-to-end: at 10^5-10^6 partitions a
     # collect + isin(literal list) would embed one literal per partition in
     # every downstream plan. localCheckpoint materializes the (tiny) key
@@ -155,20 +159,27 @@ def run_with_checkpoint(
         viol_written = spark.createDataFrame([], res.violations.schema)
     from .runner import partition_verdicts, verdicts_from_violations
 
-    if any(c.severity != "enforce" for c in plan.row_checks):
+    # the verdict helpers need the same check list run_validation built:
+    # bind the schema here too (schema-bound additionalProperties checks
+    # otherwise get no verdict lines)
+    bound = plan.bind_schema(sub.schema)
+    if any(c.severity != "enforce" for c in bound.row_checks):
         # warn-severity failures never reach the violations sink, so the
         # fused derivation cannot count them — pay the second compute
         # scan to keep their verdict lines truthful
         checked = res.checked
         if part_key_col != "part_key":
             checked = checked.withColumnRenamed(part_key_col, "part_key")
-        verdicts = partition_verdicts(checked, plan)
+        verdicts = partition_verdicts(checked, bound)
         if part_key_col != "part_key":
             verdicts = verdicts.withColumnRenamed("part_key", part_key_col)
     else:
         verdicts = verdicts_from_violations(
-            sub, viol_written, plan, part_key_col=part_key_col
+            sub, viol_written, bound, part_key_col=part_key_col
         )
+        if part_key_col != "part_key":
+            # the helper's output key column is always named part_key
+            verdicts = verdicts.withColumnRenamed("part_key", part_key_col)
     verdicts.write.mode("overwrite").partitionBy(part_key_col).parquet(verd_path)
 
     # state rows AFTER both sinks committed (per-partition metrics = lineage)

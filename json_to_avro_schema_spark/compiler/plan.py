@@ -277,6 +277,13 @@ def _assert_severity_positions(spec: ConstraintSpec) -> None:
     def walk(node: Any, path: str, allowed: bool) -> None:
         if not isinstance(node, ConstraintSpec):
             return
+        if node.x_severity is not None and node.ref is not None:
+            # $ref siblings are discarded during inlining (draft-6
+            # semantics), which would silently downgrade warn to enforce
+            raise SpecCompileError(
+                f"x-severity at {path} sits beside $ref and would be "
+                f"ignored — author it inline on the property spec instead"
+            )
         if node.x_severity is not None and not allowed:
             raise SpecCompileError(
                 f"x-severity at {path} is not honored there — it applies "
@@ -316,7 +323,11 @@ def compile_document(
 
     if strict_enums:
         _assert_string_enums(spec, "$")
-    _assert_severity_positions(spec)
+    # validate severity positions on the PRE-inline spec: inlining both
+    # drops $ref sibling keywords and empties definitions, so running the
+    # guard afterwards would miss exactly the authored positions it exists
+    # to reject (x-severity beside $ref, inside definitions, nested)
+    _assert_severity_positions(normalized.spec)
 
     name = spec_name_from_id(normalized.spec.id or "root")
     spec_hash = hashlib.sha256(

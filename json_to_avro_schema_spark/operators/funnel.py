@@ -40,7 +40,9 @@ WindowGroupLimit pushdown (map tasks pre-prune to one row per key), then
 rejoins by id. Cost is one extra pass over the pruned columns per dedup
 stage — the honest lower bound for a funnel whose stage N depends on
 N−1's survivors. The blocklist joins under web.domain_filter's broadcast
-contract. No driver state, no action until the caller triggers one.
+contract (whose count guard runs one tiny job at plan-construction
+time — the only eager work here). No driver state; everything else
+stays lazy until the caller triggers an action.
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ from pyspark.sql import functions as F
 
 from .text import fingerprint
 from .topk import grouped_topk
-from .web import normalize_url, url_domain
+from .web import maybe_broadcast, normalize_url, url_domain
 
 DROP_STAGE = "drop_stage"
 STAGES = ("domain_blocked", "url_duplicate", "text_duplicate", "low_quality")
@@ -112,13 +114,14 @@ def corpus_funnel(
 
     if blocked_domains is not None:
         b_col = blocked_domains.columns[0]
-        b = blocked_domains.select(
-            F.col(b_col).alias("__blocked_domain")
-        ).distinct()
         # same count-guarded broadcast contract as web.domain_filter: past
         # the cap the hint is dropped and Spark plans the join itself
-        if b.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows:
-            b = F.broadcast(b)
+        b = maybe_broadcast(
+            blocked_domains.select(
+                F.col(b_col).alias("__blocked_domain")
+            ).distinct(),
+            max_broadcast_rows,
+        )
         cur = (
             cur.join(
                 b,

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -279,7 +280,15 @@ def perplexity_split(
                 [(k, [float(v[0]), float(v[1])]) for k, v in boundaries.items()],
                 f"{by} string, __bnds array<double>",
             )
-        scored = scored.join(F.broadcast(bounds), by, "left")
+        # null-safe equi-join: a null group value is a real group in the
+        # bootstrap mode (percentile_approx computed its cut points), and
+        # a plain join would leave those rows unbucketed
+        bounds = bounds.withColumnRenamed(by, "__bgrp")
+        scored = scored.join(
+            F.broadcast(bounds),
+            F.col(by).eqNullSafe(F.col("__bgrp")),
+            "left",
+        ).drop("__bgrp")
         lo, hi = F.col("__bnds")[0], F.col("__bnds")[1]
 
     bucket = (

@@ -364,8 +364,17 @@ def write_packed_shards(
     partitioned write — so every shard directory is one writer's output
     (no tiny-file spray), and a shard's size is bounded by ``budget``
     tokens regardless of corpus size. Returns the number of shards
-    written.
+    written (counted from the written directory — valid because append
+    mode is rejected: shard numbering restarts at 0 every call, so
+    appending would interleave two runs' rows inside the same
+    ``shard_id=N`` directories; write each snapshot to its own path).
     """
+    if mode == "append":
+        raise ValueError(
+            "write_packed_shards does not support mode='append': shard ids "
+            "restart at 0 per call and would collide with prior output — "
+            "write each snapshot to its own path"
+        )
     shards = packed_shards(
         df, token_col, order_col, budget, num_partitions=num_partitions
     )

@@ -133,6 +133,16 @@ def url_domain(col: Column) -> Column:
     return F.when(apex != "", apex).otherwise(host)
 
 
+def maybe_broadcast(df: DataFrame, max_rows: int) -> DataFrame:
+    """Count-guarded broadcast hint: force the broadcast when a cheap
+    bounded count says the frame fits, otherwise return it unhinted so
+    Spark/AQE pick the join strategy. NOTE: the guard count is an eager
+    (tiny) job at plan-construction time."""
+    if df.limit(max_rows + 1).count() <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
 def _derive_domain_col(
     df: DataFrame,
     url_col: str,
@@ -244,13 +254,14 @@ def domain_filter(
     ``out_domain_col``.
     """
     b_col = blocked.columns[0]
-    b = blocked.select(F.col(b_col).alias("__blocked_domain")).distinct()
+    b = maybe_broadcast(
+        blocked.select(F.col(b_col).alias("__blocked_domain")).distinct(),
+        max_broadcast_rows,
+    )
     dcol = _derive_domain_col(df, url_col, domain_col, out_domain_col)
     src = df if domain_col is not None else df.withColumn(
         dcol, url_domain(F.col(url_col))
     )
-    if b.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows:
-        b = F.broadcast(b)
     return src.join(b, F.col(dcol) == F.col("__blocked_domain"), "left_anti")
 
 

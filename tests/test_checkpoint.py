@@ -205,3 +205,27 @@ def test_checkpoint_warn_severity_verdicts_truthful(spark, tmp_path):
     )
     if viol is not None and len(viol.columns):
         assert viol.filter(~F.col("doc_id").rlike("^[1-9a-f]")).count() == 0
+
+
+def test_checkpoint_custom_part_key_col(spark, tmp_path):
+    """A non-default part_key_col must work end-to-end: the state table's
+    fixed 'part_key' column is aliased at the joins, and both verdict
+    branches rename their output to the caller's column."""
+    plan = compile_document(documents_iv_spec())
+    df = generate_documents_iv(spark, 1000, violation_pct=5).withColumnRenamed(
+        "part_key", "shard"
+    )
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+    r1 = run_with_checkpoint(
+        spark, df, plan, store, "rk1", out, part_key_col="shard"
+    )
+    assert r1.n_partitions_processed == r1.n_partitions_total > 0
+    verd = spark.read.parquet(f"{out}/verdicts")
+    assert "shard" in verd.columns
+    # resume sees the completed state through the renamed key
+    r2 = run_with_checkpoint(
+        spark, df, plan, store, "rk1", out, part_key_col="shard"
+    )
+    assert r2.n_partitions_processed == 0
+    assert r2.n_partitions_resumed == r1.n_partitions_total

@@ -531,6 +531,20 @@ def test_x_severity_warn_enforce_and_fail_levels(spark):
     with pytest.raises(SpecCompileError):
         compile_document(rooted)
 
+    # $ref siblings are dropped by inlining: severity there must be a
+    # compile error, never a silent downgrade to enforce
+    reffed = _spec({"a": {"$ref": "#/definitions/d", "x-severity": "warn"}})
+    reffed["definitions"] = {"d": {"type": "integer", "minimum": 0}}
+    with pytest.raises(SpecCompileError):
+        compile_document(reffed)
+    # ... and inside a definition body it is equally unsupported
+    in_def = _spec({"a": {"$ref": "#/definitions/d"}})
+    in_def["definitions"] = {
+        "d": {"type": "integer", "minimum": 0, "x-severity": "warn"}
+    }
+    with pytest.raises(SpecCompileError):
+        compile_document(in_def)
+
     # the fused violations->verdicts derivation cannot see warn failures:
     # it must refuse warn-bearing plans instead of under-reporting
     from json_to_avro_schema_spark.runner import verdicts_from_violations

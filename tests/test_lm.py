@@ -232,17 +232,21 @@ def test_perplexity_split_buckets(spark):
     scored = LM.score_documents(df, m)
     ppl = {r["doc_id"]: r["log_ppl"] for r in scored.collect()}
     order = sorted(ppl, key=ppl.get)
-    c1, c2 = ppl[order[0]], ppl[order[1]]  # head = lowest, middle = next
+    # decimals=6 + rounded boundaries: bucketing must not hinge on exact
+    # float equality between two independently-aggregated scores
+    c1, c2 = round(ppl[order[0]], 6), round(ppl[order[1]], 6)
 
     got = {
         r["doc_id"]: r["ppl_bucket"]
-        for r in LM.perplexity_split(df, m, boundaries=(c1, c2)).collect()
+        for r in LM.perplexity_split(
+            df, m, boundaries=(c1, c2), decimals=6
+        ).collect()
     }
     assert got[order[0]] == "head" and got[order[1]] == "middle"
     assert got[order[2]] == "tail" and got[order[3]] == "tail"
 
     by_lang = LM.perplexity_split(
-        df, m, by="lang", boundaries={"en": (c1, 1e9)}
+        df, m, by="lang", boundaries={"en": (c1, 1e9)}, decimals=6
     )
     gl = {r["doc_id"]: r["ppl_bucket"] for r in by_lang.collect()}
     assert set(gl[d] for d in ("0", "1")) <= {"head", "middle"}
@@ -252,3 +256,15 @@ def test_perplexity_split_buckets(spark):
     boot = LM.perplexity_split(df, m, cuts=(0.25, 0.75))
     bs = [r["ppl_bucket"] for r in boot.collect()]
     assert None not in bs and {"head", "tail"} <= set(bs)
+
+    # bootstrap by-mode: a NULL group value is a real group — its rows
+    # must bucket under their own computed cut points, not fall out of
+    # the join unbucketed
+    nulled = df.withColumn(
+        "lang", F.when(F.col("doc_id") < "2", "en")
+    )
+    nb = LM.perplexity_split(nulled, m, by="lang", cuts=(0.25, 0.75))
+    null_buckets = [
+        r["ppl_bucket"] for r in nb.filter("lang IS NULL").collect()
+    ]
+    assert len(null_buckets) == 2 and None not in null_buckets

@@ -368,3 +368,15 @@ def test_write_packed_shards_layout(spark, tmp_path):
     for d in glob.glob(os.path.join(out, "shard_id=*")):
         parts = [f for f in os.listdir(d) if f.startswith("part-")]
         assert len(parts) == 1, (d, parts)
+
+
+def test_write_packed_shards_rejects_append(spark, tmp_path):
+    from json_to_avro_schema_spark.operators.packing import (
+        write_packed_shards,
+    )
+
+    df = spark.range(10).selectExpr("id AS doc_id", "5 AS n_tokens")
+    with pytest.raises(ValueError):
+        write_packed_shards(
+            df, str(tmp_path / "x"), "n_tokens", "doc_id", 10, mode="append"
+        )
