@@ -118,8 +118,39 @@ def run_with_checkpoint(
     keep completed partitions' sketches without rescanning them — merge
     them all with :func:`merged_state_digest`. One extra pass over the
     PENDING rows only (grouped by the partition key)."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic overwrite is what makes a retried partition replace exactly
+    # its own sink directory — but it must not leak into the session (a
+    # later plain mode('overwrite') write, e.g. write_packed_shards, would
+    # silently keep stale partition dirs). Set it for this run's sink
+    # writes only and restore the caller's value on every exit path.
+    _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(_MODE_KEY, None)
+    spark.conf.set(_MODE_KEY, "dynamic")
+    try:
+        return _run_with_checkpoint(
+            spark, df, plan, store, run_id, out_dir,
+            part_key_col=part_key_col, sketch_col=sketch_col,
+            sketch_delta=sketch_delta,
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(_MODE_KEY)
+        else:
+            spark.conf.set(_MODE_KEY, prev_mode)
 
+
+def _run_with_checkpoint(
+    spark: SparkSession,
+    df: DataFrame,
+    plan: CompiledPlan,
+    store: CheckpointStore,
+    run_id: str,
+    out_dir: str,
+    *,
+    part_key_col: str,
+    sketch_col: Optional[str],
+    sketch_delta: float,
+) -> CheckpointedRun:
     all_parts = df.select(part_key_col).distinct()
     # the state table's key column is always named part_key; align it to
     # the caller's column so a custom part_key_col resolves in the joins
@@ -169,6 +200,12 @@ def run_with_checkpoint(
         # scan to keep their verdict lines truthful
         checked = res.checked
         if part_key_col != "part_key":
+            if "part_key" in checked.columns:
+                # a pre-existing literal part_key DATA column would make
+                # the rename produce duplicate names and the groupBy
+                # ambiguous; the check-result columns are separate, so
+                # dropping the data column is safe here
+                checked = checked.drop("part_key")
             checked = checked.withColumnRenamed(part_key_col, "part_key")
         verdicts = partition_verdicts(checked, bound)
         if part_key_col != "part_key":

@@ -28,22 +28,27 @@ Everything here is pure ``pyspark.sql.functions`` Column expressions
 Canonical form (documented contract — applied in this order):
 
 1. fragment (``#…``) stripped;
-2. ``scheme://authority`` lowercased (path/query case preserved);
-3. a leading ``www.`` host label and a trailing root-dot (``host.`` ≡
-   ``host``) dropped;
+2. scheme and host lowercased (userinfo, path, and query case preserved —
+   RFC-3986 §3.2.1 userinfo is case-SENSITIVE);
+3. a leading ``www.`` HOST label (never a ``www.``-prefixed userinfo) and
+   a trailing root-dot (``host.`` ≡ ``host``) dropped;
 4. an explicit SCHEME-DEFAULT port dropped — ``:80`` under ``http``,
    ``:443`` under ``https`` only (``http://h:443/a`` is a different
    resource than ``http://h/a`` and does not collapse);
 5. trailing ``/`` stripped from the path;
 6. tracking query params removed, case-insensitively (``utm_*``,
    ``fbclid``, ``gclid``, ``msclkid``, ``mc_cid``/``mc_eid``,
-   ``ref``/``ref_src``);
+   ``ref_src`` — NOT bare ``ref``, which commonly identifies content,
+   e.g. ``?ref=<branch>`` on code hosts; the set is caller-overridable
+   via ``tracking_params`` on :func:`normalize_url` / :func:`url_dedup` /
+   :func:`url_dedup_incremental`);
 7. surviving query params sorted bytewise (order-insensitive form); an
    emptied query drops its ``?``.
 
-RFC-3986 userinfo is kept in the canonical form (conservative: no false
-merges) but ALWAYS stripped by :func:`url_host`/:func:`url_domain`, so
-the ``https://google.com@evil.site/`` evasion cannot bypass
+RFC-3986 userinfo is kept BYTE-FOR-BYTE in the canonical form
+(conservative: no false merges between distinct-userinfo URLs) but ALWAYS
+stripped by :func:`url_host`/:func:`url_domain`, so the
+``https://google.com@evil.site/`` evasion cannot bypass
 :func:`domain_filter` blocklists or splinter :func:`domain_caps` groups.
 
 A URL with no ``scheme://`` prefix passes through steps 1/5/6/7 only
@@ -64,33 +69,67 @@ from pyspark.sql import functions as F
 from .topk import grouped_topk
 
 # query params that never identify content (analytics/attribution noise);
-# matched case-insensitively — UTM_SOURCE= is as much tracking as utm_source=
-TRACKING_PARAM_REGEX = (
-    r"(?i)^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
+# matched case-insensitively — UTM_SOURCE= is as much tracking as
+# utm_source=. Entries are regex fragments matched against the full param
+# name. Bare `ref` is deliberately NOT here: it widely identifies content
+# (?ref=<branch> on code hosts), so stripping it falsely merges distinct
+# pages and url_dedup would permanently drop real documents.
+DEFAULT_TRACKING_PARAMS = (
+    "utm_[A-Za-z0-9_]*", "fbclid", "gclid", "msclkid",
+    "mc_cid", "mc_eid", "ref_src",
 )
+
+
+def tracking_param_regex(params: Sequence[str]) -> str:
+    """Case-insensitive ``name=`` prefix regex over the given param-name
+    regex fragments (the :data:`DEFAULT_TRACKING_PARAMS` shape)."""
+    return r"(?i)^(" + "|".join(params) + r")="
+
+
+TRACKING_PARAM_REGEX = tracking_param_regex(DEFAULT_TRACKING_PARAMS)
 
 # scheme://authority — scheme per RFC 3986, authority = up to first / ? #
 _AUTH_PAT = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
 
 
-def normalize_url(col: Column) -> Column:
-    """Canonical URL (module-docstring contract) as one codegen'd projection."""
+def normalize_url(
+    col: Column, tracking_params: Optional[Sequence[str]] = None
+) -> Column:
+    """Canonical URL (module-docstring contract) as one codegen'd
+    projection. ``tracking_params`` overrides the default strip set
+    (regex fragments, :data:`DEFAULT_TRACKING_PARAMS` shape)."""
+    pat = (
+        TRACKING_PARAM_REGEX
+        if tracking_params is None
+        else tracking_param_regex(tracking_params)
+    )
     base = F.regexp_replace(col, r"#.*$", "")
     raw_auth = F.regexp_extract(base, _AUTH_PAT, 0)
+    # split the authority: userinfo (up to the LAST @ — the RFC-3986
+    # authority convention) is case-sensitive and kept byte-for-byte;
+    # only scheme + host:port case-fold, and the www. strip must not
+    # fire on a userinfo that merely BEGINS with "www."
+    scheme = F.lower(
+        F.regexp_extract(raw_auth, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    userinfo = F.regexp_extract(raw_auth, r"^[^/]*://([^/?#]*@)", 1)
+    hostport = F.lower(
+        F.regexp_extract(raw_auth, r"^[^/]*://(?:[^/?#]*@)?([^/?#]*)$", 1)
+    )
+    hp = F.regexp_replace(hostport, r"^www\.", "")
+    # a trailing root-dot FQDN host is DNS-identical to the dotless form
+    hp = F.regexp_replace(hp, r"\.(:\d+)?$", "$1")
     # default ports are scheme-relative: :80 is only redundant under
     # http, :443 only under https ("http://h:443/a" is a DIFFERENT
     # resource than "http://h/a" and must not collapse into it)
-    schost = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(raw_auth), r"://www\.", "://"),
-            r"^(http://[^/]*):80$",
-            "$1",
-        ),
-        r"^(https://[^/]*):443$",
-        "$1",
+    hp = (
+        F.when(scheme == "http", F.regexp_replace(hp, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hp, r":443$", ""))
+        .otherwise(hp)
     )
-    # a trailing root-dot FQDN host is DNS-identical to the dotless form
-    schost = F.regexp_replace(schost, r"\.(:\d+)?$", "$1")
+    schost = F.when(raw_auth == "", F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"), userinfo, hp)
+    )
     rest = F.substr(base, F.length(raw_auth) + F.lit(1))
     path = F.regexp_replace(F.regexp_replace(rest, r"\?.*$", ""), r"/+$", "")
     query = F.when(
@@ -98,7 +137,7 @@ def normalize_url(col: Column) -> Column:
     ).otherwise(F.lit(""))
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+        lambda p: (p != "") & ~p.rlike(pat),
     )
     canon_q = F.array_join(F.array_sort(params), "&")
     return F.concat(
@@ -175,6 +214,7 @@ def url_dedup(
     url_col: str = "url",
     id_col: str = "doc_id",
     canon_col: str = "canonical_url",
+    tracking_params: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Keep exactly one row per canonical URL — the one with the smallest
     ``id_col`` (deterministic across runs, retries, and repartitioning).
@@ -188,7 +228,9 @@ def url_dedup(
             f"url_dedup working/output columns {sorted(clash)} already exist "
             f"on the input — rename them or pass a different canon_col"
         )
-    with_c = df.withColumn(canon_col, normalize_url(F.col(url_col)))
+    with_c = df.withColumn(
+        canon_col, normalize_url(F.col(url_col), tracking_params)
+    )
     kept = grouped_topk(
         with_c,
         [canon_col],
@@ -308,6 +350,7 @@ def url_dedup_incremental(
     id_col: str = "doc_id",
     canon_col: str = "canonical_url",
     hash_col: str = "url_hash",
+    tracking_params: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Incremental URL dedup for continuous crawl ingestion: drop pages
     whose canonical URL was already fetched in a prior snapshot (the
@@ -338,7 +381,9 @@ def url_dedup_incremental(
             f"index is missing the required column {hash_col!r} "
             f"(have: {index.columns})"
         )
-    with_c = df.withColumn(canon_col, normalize_url(F.col(url_col)))
+    with_c = df.withColumn(
+        canon_col, normalize_url(F.col(url_col), tracking_params)
+    )
     with_h = with_c.withColumn(hash_col, F.xxhash64(F.col(canon_col)))
     fresh = with_h.join(index.select(hash_col), hash_col, "left_anti")
     kept = grouped_topk(

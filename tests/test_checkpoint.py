@@ -229,3 +229,58 @@ def test_checkpoint_custom_part_key_col(spark, tmp_path):
     )
     assert r2.n_partitions_processed == 0
     assert r2.n_partitions_resumed == r1.n_partitions_total
+
+
+def test_checkpoint_restores_overwrite_mode_conf(spark, tmp_path):
+    """run_with_checkpoint needs dynamic partition overwrite for its own
+    sinks but must not leak it into the session — a later plain
+    mode('overwrite') write elsewhere would silently keep stale partition
+    dirs (ADVICE r4, medium)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        plan = compile_document(documents_iv_spec())
+        df = generate_documents_iv(spark, 500, violation_pct=5)
+        store = CheckpointStore(str(tmp_path / "ckpt"))
+        run_with_checkpoint(
+            spark, df, plan, store, "conf1", str(tmp_path / "out")
+        )
+        assert spark.conf.get(key) == "static"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_checkpoint_custom_key_with_literal_part_key_column(spark, tmp_path):
+    """The warn-severity fallback renames the caller's part_key_col to the
+    helpers' fixed 'part_key' name; an unrelated pre-existing literal
+    'part_key' DATA column must be dropped first, not left to produce an
+    ambiguous duplicate (ADVICE r4, low)."""
+    spec = documents_iv_spec()
+    spec["properties"]["doc_id"]["x-severity"] = "warn"
+    spec["properties"]["doc_id"]["pattern"] = "^[1-9a-f]"
+    plan = compile_document(spec)
+    df = (
+        generate_documents_iv(spark, 500, violation_pct=0)
+        .withColumnRenamed("part_key", "shard")
+        .withColumn("part_key", F.lit("unrelated"))
+    )
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    out = str(tmp_path / "out")
+    r = run_with_checkpoint(
+        spark, df, plan, store, "clash1", out, part_key_col="shard"
+    )
+    assert r.n_partitions_processed == r.n_partitions_total > 0
+    verd = spark.read.parquet(f"{out}/verdicts")
+    assert "shard" in verd.columns
+    # the warn check's failures are still counted truthfully
+    warn_fail = (
+        verd.filter(F.col("check_name").contains("doc_id"))
+        .agg(F.sum("n_fail").alias("s"))
+        .collect()[0]["s"]
+    )
+    n_warn_docs = df.filter(~F.col("doc_id").rlike("^[1-9a-f]")).count()
+    assert n_warn_docs > 0 and warn_fail == n_warn_docs

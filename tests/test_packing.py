@@ -380,3 +380,41 @@ def test_write_packed_shards_rejects_append(spark, tmp_path):
         write_packed_shards(
             df, str(tmp_path / "x"), "n_tokens", "doc_id", 10, mode="append"
         )
+
+
+def test_write_packed_shards_overwrite_pins_static_mode(spark, tmp_path):
+    """partitionOverwriteMode=dynamic left session-wide (e.g. by a
+    checkpointed validation run) must not let mode='overwrite' keep a
+    previous larger run's shard dirs interleaved in the output — the
+    writer pins static for its own write and restores the caller's value
+    (ADVICE r4, medium)."""
+    from json_to_avro_schema_spark.operators.packing import (
+        write_packed_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    big = spark.range(100).selectExpr("id AS doc_id", "10 AS n_tokens")
+    n1 = write_packed_shards(
+        big, out, "n_tokens", "doc_id", budget=100, mode="overwrite"
+    )
+    assert n1 > 1
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        small = spark.range(5).selectExpr("id AS doc_id", "10 AS n_tokens")
+        n2 = write_packed_shards(
+            small, out, "n_tokens", "doc_id", budget=1_000, mode="overwrite"
+        )
+        assert n2 == 1
+        back = spark.read.parquet(out)
+        assert back.count() == 5
+        assert back.select("shard_id").distinct().count() == 1
+        # the caller's session value is restored, not clobbered
+        assert spark.conf.get(key) == "dynamic"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

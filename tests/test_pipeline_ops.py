@@ -1275,3 +1275,40 @@ def test_dedup_near_keep_best_representative(spark):
     # keep-best: quality desc, tie 2-vs-3 broken by ascending id
     best = dedup_near(df, pairs, keep_by=[F.col("quality").desc()])
     assert sorted(r["doc_id"] for r in best.collect()) == [2, 7]
+
+
+def test_normalize_url_ref_param_and_userinfo(spark):
+    """ADVICE r4 fixes: bare ref= is content-identifying and survives
+    (ref_src stays tracking); userinfo is case-preserved and never
+    www-stripped; the tracking-param set is caller-overridable."""
+    from json_to_avro_schema_spark.operators.web import normalize_url
+
+    cases = [
+        # bare ref identifies content (?ref=<branch> on code hosts) — kept
+        ("https://x.com/repo/tree?ref=main", "https://x.com/repo/tree?ref=main"),
+        # ref_src IS tracking — stripped
+        ("https://x.com/a?ref_src=twsrc&z=1", "https://x.com/a?z=1"),
+        # userinfo case preserved; scheme+host still fold
+        ("HTTPS://UserA:Pw@Host.COM/p", "https://UserA:Pw@host.com/p"),
+        # a www.-prefixed USERINFO is not a www host label
+        ("https://www.user@host.com/p", "https://www.user@host.com/p"),
+        # ... while a www host label behind userinfo still strips
+        ("https://u@www.host.com/p", "https://u@host.com/p"),
+        # default port and root-dot rules still apply with userinfo present
+        ("https://u@h.com.:443/p", "https://u@h.com/p"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    bad = df.withColumn("got", normalize_url(F.col("url"))).filter(
+        "got IS DISTINCT FROM expected"
+    )
+    assert bad.count() == 0, bad.collect()
+
+    # override: strip a site-specific sid param, keep everything else
+    got = (
+        spark.createDataFrame(
+            [("https://x.com/a?sid=99&utm_source=feed&z=1",)], "url string"
+        )
+        .select(normalize_url(F.col("url"), ["sid"]).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == "https://x.com/a?utm_source=feed&z=1"
