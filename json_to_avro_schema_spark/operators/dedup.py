@@ -1160,25 +1160,33 @@ def paragraph_dedup(
       original order (structure lines included; ``""`` when nothing
       survives)
 
-    Distributed shape — text never enters a shuffle. The occurrence frame
-    is ``(id, pos, hash)`` only; boilerplate paragraphs are the WORST skew
-    case (one cookie banner can appear in a double-digit share of a
-    crawl), so the winner rule is :func:`~.topk.grouped_topk` rank-1 over
-    the hash: Catalyst's rank-limit pushdown plans a Partial
-    WindowGroupLimit, each map task pre-prunes to ONE occurrence per hash,
-    and the exchange carries O(tasks × distinct-paragraphs) 20-byte rows
-    no matter how hot a paragraph is (plan pinned in
-    tests/test_pipeline_ops.py). Winner positions regroup per doc as an
-    int array, and the cleaned text is rebuilt as a PROJECTION on the
-    original row: re-split ``text_col``, keep structure lines and
-    positions in the winner set. The per-element ``array_contains`` is
-    O(paras × kept) per doc — bounded by document length, which the
+    Distributed shape — text never enters a WINNER shuffle, and on a
+    mostly-duplicate-free corpus it never enters ANY exchange. The
+    occurrence frame is ``(id, pos, hash)`` only; boilerplate paragraphs
+    are the WORST skew case (one cookie banner can appear in a
+    double-digit share of a crawl), so the winner rule is
+    :func:`~.topk.grouped_topk` rank-1 over the hash: Catalyst's
+    rank-limit pushdown plans a Partial WindowGroupLimit, each map task
+    pre-prunes to ONE occurrence per hash, and the winner exchange
+    carries O(tasks × distinct-paragraphs) 20-byte rows no matter how hot
+    a paragraph is (plan pinned in tests/test_pipeline_ops.py). The
+    join-back is INVERTED to the losers (VERDICT r4 #3): occurrences that
+    are NOT globally-first are recovered with a skew-free anti-join on
+    (id, pos) — both sides skinny, the key near-unique — and regroup per
+    doc as an int array of LOST positions. In a typical crawl most docs
+    lose nothing, so the join-back side is a small fraction of the corpus
+    (empty on a dup-free one) and AQE broadcasts it — untouched documents
+    never shuffle, where the previous kept-positions formulation joined
+    an O(all-docs) side. The cleaned text is rebuilt as a PROJECTION on
+    the original row: re-split ``text_col``, keep structure lines and
+    positions NOT in the lost set. The per-element ``array_contains`` is
+    O(paras × lost) per doc — bounded by document length, which the
     pipeline bounds upstream (chunk_documents), the same contract as
-    remove_duplicated_ngrams. One explode, one pruned shuffle, one int
-    regroup, no driver state.
+    remove_duplicated_ngrams. One explode, one pruned winner shuffle, one
+    skinny anti-join, one int regroup, no driver state.
     """
     out_clash = {clean_col, "n_paras", "dup_paras"} & set(df.columns)
-    work_clash = {"__ps", "__pos", "__pkey", "__prk", "__kept_pos"} & set(
+    work_clash = {"__ps", "__pos", "__pkey", "__prk", "__lost_pos"} & set(
         df.columns
     )
     if out_clash or work_clash:
@@ -1206,14 +1214,19 @@ def paragraph_dedup(
         [id_col, "__pos"],
         1,
         rank_col="__prk",
-    )
-    per_doc = winners.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("__pos")).alias("__kept_pos")
+    ).select(id_col, "__pos")
+    # loser inversion: occurrences minus winner occurrences, via a
+    # skew-free anti-join on the near-unique (id, pos) key — both sides
+    # 20-byte rows; then regroup LOST positions per doc (small or empty)
+    losers_per_doc = (
+        occ.join(winners, [id_col, "__pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__lost_pos"))
     )
     staged = (
-        df.join(per_doc, id_col, "left")
+        df.join(losers_per_doc, id_col, "left")
         .withColumn(
-            "__kept_pos", F.coalesce("__kept_pos", F.array().cast("array<int>"))
+            "__lost_pos", F.coalesce("__lost_pos", F.array().cast("array<int>"))
         )
         .withColumn(
             "__ps",
@@ -1223,7 +1236,7 @@ def paragraph_dedup(
     kept = F.filter(
         F.col("__ps"),
         lambda p, i: (F.length(F.trim(p)) < min_chars)
-        | F.array_contains(F.col("__kept_pos"), i),
+        | ~F.array_contains(F.col("__lost_pos"), i),
     )
     n_paras = F.size(
         F.filter(F.col("__ps"), lambda p: F.length(F.trim(p)) >= min_chars)
@@ -1232,8 +1245,8 @@ def paragraph_dedup(
         staged.select(
             "*",
             n_paras.alias("n_paras"),
-            (n_paras - F.size("__kept_pos")).alias("dup_paras"),
+            F.size("__lost_pos").alias("dup_paras"),
             F.array_join(kept, "\n").alias(clean_col),
         )
-        .drop("__ps", "__kept_pos")
+        .drop("__ps", "__lost_pos")
     )

@@ -33,16 +33,23 @@ Dedup winner selection considers only rows ALIVE after the earlier stages
 refetch), which is what makes the order load-bearing — exactly as in the
 published recipes.
 
-Distributed shape: each dedup stage derives its winner set over a PRUNED
-frame (id + 8-byte key only — the document text never enters a winner
-shuffle, same argument as dedup.paragraph_dedup) using the rank-1
-WindowGroupLimit pushdown (map tasks pre-prune to one row per key), then
-rejoins by id. Cost is one extra pass over the pruned columns per dedup
-stage — the honest lower bound for a funnel whose stage N depends on
-N−1's survivors. The blocklist joins under web.domain_filter's broadcast
-contract (whose count guard runs one tiny job at plan-construction
-time — the only eager work here). No driver state; everything else
-stays lazy until the caller triggers an action.
+Distributed shape: ALL stage flags are derived on one PRUNED frame —
+(id, domain, url-key, text-key), ~40 bytes/row, text never on it — and
+the original rows are joined back exactly ONCE, against the LOSER set
+(rows with a non-null drop stage). Each dedup stage's winner set still
+uses the rank-1 WindowGroupLimit pushdown (map tasks pre-prune to one
+row per key) over only the rows alive after the earlier stages, and the
+aliveness chain (blocked → url winner → text winner) is resolved with
+skinny id-keyed joins on the pruned frame. Consequences at scale:
+the corpus text crosses at most ONE exchange (the loser join-back's
+df side — and none at all when the loser side is small enough for AQE
+to broadcast, e.g. a mostly-clean corpus), versus one full-row exchange
+per dedup stage in the naive chain. Cost is repeated passes over the
+pruned columns — the honest lower bound for a funnel whose stage N
+depends on N−1's survivors. The blocklist joins under
+web.domain_filter's broadcast contract (whose count guard runs one tiny
+job at plan-construction time — the only eager work here). No driver
+state; everything else stays lazy until the caller triggers an action.
 """
 
 from __future__ import annotations
@@ -71,16 +78,15 @@ class FunnelResult:
 
 
 def _first_alive_winner(
-    alive: DataFrame, key: Column, id_col: str, stage: str
+    alive: DataFrame, key_col: str, id_col: str, stage: str
 ) -> DataFrame:
-    """Min-``id_col`` row per key among ``alive`` rows, as an id set.
-
-    Only (id, key) enter the shuffle; rank-1 pushdown prunes map-side.
-    """
-    pruned = alive.select(F.col(id_col), key.alias("__fkey"))
+    """Min-``id_col`` row per ``key_col`` among ``alive`` rows, as an id
+    set. Only (id, key) enter the shuffle; rank-1 pushdown prunes
+    map-side."""
+    pruned = alive.select(F.col(id_col), F.col(key_col))
     return (
         grouped_topk(
-            pruned, ["__fkey"], [F.col(id_col).asc()], [id_col], 1,
+            pruned, [key_col], [F.col(id_col).asc()], [id_col], 1,
             rank_col="__frk",
         )
         .select(F.col(id_col), F.lit(True).alias(f"__win_{stage}"))
@@ -102,7 +108,7 @@ def corpus_funnel(
     """Run the funnel; see module docstring for stages and semantics."""
     clash = {
         DROP_STAGE, "__blocked_domain", "__win_url", "__win_text",
-        "__fkey", "__frk",
+        "__fdom", "__fukey", "__ftkey", "__fblk", "__frk",
     } & set(df.columns)
     if clash:
         raise ValueError(
@@ -110,74 +116,81 @@ def corpus_funnel(
             f"exist on the input"
         )
     original_columns = list(df.columns)
-    cur = df.withColumn(DROP_STAGE, F.lit(None).cast("string"))
 
-    if blocked_domains is not None:
-        b_col = blocked_domains.columns[0]
-        # same count-guarded broadcast contract as web.domain_filter: past
-        # the cap the hint is dropped and Spark plans the join itself
-        b = maybe_broadcast(
-            blocked_domains.select(
-                F.col(b_col).alias("__blocked_domain")
-            ).distinct(),
-            max_broadcast_rows,
-        )
-        cur = (
-            cur.join(
-                b,
-                url_domain(F.col(url_col)) == F.col("__blocked_domain"),
+    if blocked_domains is not None or dedup_urls or dedup_text:
+        # ALL stage flags derive on this pruned frame — id + the 8-byte
+        # stage keys; the document text never rides it
+        sel = [F.col(id_col)]
+        if blocked_domains is not None:
+            sel.append(url_domain(F.col(url_col)).alias("__fdom"))
+        if dedup_urls:
+            sel.append(
+                F.xxhash64(normalize_url(F.col(url_col))).alias("__fukey")
+            )
+        if dedup_text:
+            sel.append(fingerprint(F.col(text_col)).alias("__ftkey"))
+        skinny = df.select(*sel)
+
+        if blocked_domains is not None:
+            b_col = blocked_domains.columns[0]
+            # same count-guarded broadcast contract as web.domain_filter:
+            # past the cap the hint is dropped and Spark plans the join
+            b = maybe_broadcast(
+                blocked_domains.select(
+                    F.col(b_col).alias("__blocked_domain")
+                ).distinct(),
+                max_broadcast_rows,
+            )
+            skinny = (
+                skinny.join(
+                    b, F.col("__fdom") == F.col("__blocked_domain"), "left"
+                )
+                .withColumn(
+                    "__fblk", F.col("__blocked_domain").isNotNull()
+                )
+                .drop("__blocked_domain", "__fdom")
+            )
+        else:
+            skinny = skinny.withColumn("__fblk", F.lit(False))
+
+        if dedup_urls:
+            alive = skinny.filter(~F.col("__fblk"))
+            skinny = skinny.join(
+                _first_alive_winner(alive, "__fukey", id_col, "url"),
+                id_col,
                 "left",
             )
-            .withColumn(
-                DROP_STAGE,
-                F.coalesce(
-                    DROP_STAGE,
-                    F.when(
-                        F.col("__blocked_domain").isNotNull(),
-                        F.lit("domain_blocked"),
-                    ),
-                ),
+        if dedup_text:
+            alive = skinny.filter(~F.col("__fblk"))
+            if dedup_urls:
+                # text-stage aliveness chains off the url stage: only url
+                # winners compete — resolved here on the skinny frame
+                alive = alive.filter(F.col("__win_url").isNotNull())
+            skinny = skinny.join(
+                _first_alive_winner(alive, "__ftkey", id_col, "text"),
+                id_col,
+                "left",
             )
-            .drop("__blocked_domain")
-        )
 
-    if dedup_urls:
-        alive = cur.filter(F.col(DROP_STAGE).isNull())
-        winners = _first_alive_winner(
-            alive, F.xxhash64(normalize_url(F.col(url_col))), id_col, "url"
-        )
-        cur = (
-            cur.join(winners, id_col, "left")
-            .withColumn(
-                DROP_STAGE,
-                F.coalesce(
-                    DROP_STAGE,
-                    F.when(
-                        F.col("__win_url").isNull(), F.lit("url_duplicate")
-                    ),
-                ),
+        # first-dropping-stage attribution, all on the pruned frame
+        arms = [F.when(F.col("__fblk"), F.lit("domain_blocked"))]
+        if dedup_urls:
+            arms.append(
+                F.when(F.col("__win_url").isNull(), F.lit("url_duplicate"))
             )
-            .drop("__win_url")
-        )
-
-    if dedup_text:
-        alive = cur.filter(F.col(DROP_STAGE).isNull())
-        winners = _first_alive_winner(
-            alive, fingerprint(F.col(text_col)), id_col, "text"
-        )
-        cur = (
-            cur.join(winners, id_col, "left")
-            .withColumn(
-                DROP_STAGE,
-                F.coalesce(
-                    DROP_STAGE,
-                    F.when(
-                        F.col("__win_text").isNull(), F.lit("text_duplicate")
-                    ),
-                ),
+        if dedup_text:
+            arms.append(
+                F.when(F.col("__win_text").isNull(), F.lit("text_duplicate"))
             )
-            .drop("__win_text")
-        )
+        losers = skinny.select(
+            F.col(id_col), F.coalesce(*arms).alias(DROP_STAGE)
+        ).filter(F.col(DROP_STAGE).isNotNull())
+        # the ONE join-back carrying original columns; on a mostly-clean
+        # corpus the loser side is small and AQE broadcasts it — the text
+        # then never enters an exchange at all
+        cur = df.join(losers, id_col, "left")
+    else:
+        cur = df.withColumn(DROP_STAGE, F.lit(None).cast("string"))
 
     if keep_if is not None:
         cur = cur.withColumn(

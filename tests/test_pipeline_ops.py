@@ -1312,3 +1312,80 @@ def test_normalize_url_ref_param_and_userinfo(spark):
         .collect()[0]["c"]
     )
     assert got == "https://x.com/a?utm_source=feed&z=1"
+
+
+def test_corpus_funnel_single_fullrow_joinback_plan(spark):
+    """VERDICT r4 #2: all stage flags derive on the pruned (id, key)
+    frame and the original rows join back exactly ONCE — the executed
+    final plan carries the text column through at most one
+    hashpartitioning(doc_id) exchange even with broadcast disabled (with
+    AQE broadcast enabled the loser side broadcasts and text never enters
+    an exchange at all)."""
+    import re
+
+    from json_to_avro_schema_spark.operators.funnel import corpus_funnel
+
+    df = spark.range(2000).selectExpr(
+        "cast(id as string) AS doc_id",
+        "concat('https://s', cast(id % 50 as string), '.com/p',"
+        " cast(id % 400 as string)) AS url",
+        "concat('text body number ', cast(id % 300 as string)) AS text",
+    )
+    blocked = spark.createDataFrame([("s7.com",)], "domain string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # AQE off: pin the STATIC plan (AQE can insert re-shuffles when stage
+    # partition counts diverge, which would make the count flaky — and at
+    # runtime it only ever IMPROVES on this shape by broadcasting losers)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = corpus_funnel(
+            df, id_col="doc_id", blocked_domains=blocked,
+            keep_if=F.length("text") > 5,
+        )
+        s = res.annotated._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # \bExchange does not match Broadcast/ReusedExchange (no boundary)
+        ex_ids = re.findall(r"\bExchange \((\d+)\)", s)
+        fullrow = []
+        for nid in ex_ids:
+            m = re.search(
+                rf"\n\({nid}\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+                rf"Arguments: ([^\n]*)",
+                s,
+            )
+            # \btext# avoids matching the __win_text flag column
+            if m and re.search(r"\btext#", m.group(1)) and (
+                "hashpartitioning(doc_id" in m.group(2)
+            ):
+                fullrow.append(nid)
+        assert len(fullrow) == 1, (fullrow, s)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_paragraph_dedup_loser_joinback_broadcasts(spark):
+    """VERDICT r4 #3: the join-back side is the LOSER set (non-first
+    occurrences regrouped per doc) — empty on a dup-free corpus, so AQE
+    broadcasts it and untouched documents never enter an exchange. The
+    previous kept-positions formulation joined an O(all-docs) side."""
+    from json_to_avro_schema_spark.operators.dedup import paragraph_dedup
+
+    df = spark.range(5000).selectExpr(
+        "cast(id as string) AS doc_id",
+        "concat('unique para ', cast(id as string), '\\nsecond unique ',"
+        " cast(id as string)) AS text",
+    )
+    out = paragraph_dedup(df)
+    assert out.filter("dup_paras != 0").count() == 0
+    assert out.filter("clean_text != text").count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the id-keyed join-back AND the (id,pos) anti-join both broadcast
+    # their empty/skinny right side; the corpus text crosses no exchange
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
