@@ -33,6 +33,7 @@ from json_to_avro_schema_spark.operators import text as tx
 from json_to_avro_schema_spark.operators import uniqueness as uq
 from json_to_avro_schema_spark.operators import web as wb
 from json_to_avro_schema_spark.operators import funnel as fn
+from json_to_avro_schema_spark.operators import classifier as clf
 from json_to_avro_schema_spark.operators.tdigest import tdigest_quantiles
 from json_to_avro_schema_spark.runner import run_validation
 from json_to_avro_schema_spark.sources.derived_spans import (
@@ -4206,6 +4207,103 @@ FROM staged GROUP BY stage ORDER BY stage
 """
 
 
+def _q_classifier_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned quality-classifier scoring (operators/classifier.py) —
+    the FineWeb-Edu / DCLM trained-model gate as pure Column logistic
+    inference: engineered features (token/stopword/punct/digit/upper
+    HOF signals) plus a literal token->weight lexical term, sigmoid'd,
+    6-dp pre-rounded (the lm.perplexity_split float contract). Planting:
+    every doc_id % 7 == 0 gets an ad-like suffix (' BUY NOW!!! CALL 555
+    123') so the negative punct/digit/upper features and lexicon fire on
+    a known subset. The oracle re-derives the ENTIRE dot product +
+    sigmoid in SQL; per-source kept-id sums pin each doc's side of the
+    0.5 gate (min |r6 - 0.5| on this corpus is >> 1e-6, so the 6-dp
+    rounding cannot flip a doc across it)."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    d = F.col("doc_id")
+    planted = F.when(
+        d % 7 == 0, F.concat(F.col("text"), F.lit(" BUY NOW!!! CALL 555 123"))
+    ).otherwise(F.col("text"))
+    tbl = docs.select("doc_id", "source", planted.alias("text"))
+    scored = clf.score_quality_classifier(
+        tbl,
+        {
+            "log_n_tokens": 0.35,
+            "stopword_ratio": 2.5,
+            "punct_ratio": -8.0,
+            "digit_ratio": -6.0,
+            "upper_ratio": -5.0,
+            "mean_word_len": -0.15,
+        },
+        bias=-1.0,
+        token_weights={
+            "spark": 0.8, "data": 0.5, "buy": -2.0, "call": -1.5,
+            "slow": -0.6,
+        },
+    )
+    r = F.col("clf_quality")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(r), 4).alias("avg_score"),
+            F.sum((r > 0.5).cast("long")).alias("n_kept"),
+            F.sum(F.when(r > 0.5, d).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("sum_kept_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+_O_CLASSIFIER_QUALITY_DOCS = r"""
+WITH pl AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' BUY NOW!!! CALL 555 123' ELSE text END AS text
+  FROM documents
+), tk AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM pl
+), feats AS (
+  SELECT doc_id, source,
+    ln(1 + len(t)) AS log_n_tokens,
+    CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+         AS DOUBLE) / greatest(len(t), 1) AS mean_word_len,
+    CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is',
+                                       'that','it','for','with')))
+         AS DOUBLE) / greatest(len(t), 1) AS stopword_ratio,
+    CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g'))
+         AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+         AS DOUBLE) / greatest(length(text), 1) AS digit_ratio,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         AS DOUBLE) / greatest(length(text), 1) AS upper_ratio,
+    coalesce(list_sum(list_transform(t, x ->
+      CASE x WHEN 'spark' THEN 0.8 WHEN 'data' THEN 0.5
+             WHEN 'buy' THEN -2.0 WHEN 'call' THEN -1.5
+             WHEN 'slow' THEN -0.6 ELSE 0.0 END)), 0.0)
+      / greatest(len(t), 1) AS lexical
+  FROM tk
+), sc AS (
+  SELECT doc_id, source,
+    round(1.0 / (1.0 + exp(-(-1.0
+      + 0.35 * log_n_tokens + 2.5 * stopword_ratio - 8.0 * punct_ratio
+      - 6.0 * digit_ratio - 5.0 * upper_ratio - 0.15 * mean_word_len
+      + lexical))), 6) AS r6
+  FROM feats
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(r6), 4) AS avg_score,
+       CAST(sum(CASE WHEN r6 > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN r6 > 0.5 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS sum_kept_ids
+FROM sc GROUP BY source ORDER BY source
+"""
+
+
 def _q_streaming_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming URL dedup (streaming/dedup.url_dedup_stream): a planted
     crawl feed arrives in two micro-batches — batch 1 carries two surface
@@ -4384,7 +4482,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     derived-validation pair and one representative of EVERY operator
     family. Positions 51+ are variants of families already attested
     above (merged or sibling queries); they stay fully oracled and are
-    replayed by scripts/check_correctness.py."""
+    replayed by scripts/check_correctness.py.
+
+    Round-5 rotation (VERDICT r4 #1): the 15 round-4 queries that had
+    never been driver-recorded (plus the new classifier_quality_docs)
+    moved INTO the first 50; 16 queries that WERE driver-attested green
+    in CORRECTNESS_r04.json and whose families stay represented moved to
+    51+ (they remain oracled and replay-checked)."""
     return {
         # flagship pipeline, fully oracled over the derived corrupted
         # table (the engine-native generate_documents_iv twin stays in
@@ -4397,20 +4501,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_price": _q_tdigest_price,
         "checkpoint_resume": _q_checkpoint_resume,
         "multimodal_features": _q_multimodal_features,
-        # near-dup + ANN scale paths
+        # near-dup + ANN + semantic-dedup scale paths
         "simhash_near_dups": _q_simhash_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
         "ivf_indexed_topk_cosine": _q_ivf_indexed_topk_cosine,
-        # streaming (batch≡stream, state-store dedup, watermarked windows,
-        # applyInPandasWithState)
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        # streaming (batch≡stream, watermarked state-store dedup, windows,
+        # applyInPandasWithState, URL dedup, profile history)
         "streaming_validation": _q_streaming_validation,
-        "streaming_dedup": _q_streaming_dedup,
+        "streaming_dedup_watermarked": _q_streaming_dedup_watermarked,
         "streaming_windowed_metrics": _q_streaming_windowed_metrics,
         "streaming_running_verdicts": _q_streaming_running_verdicts,
+        "streaming_url_dedup": _q_streaming_url_dedup,
+        "streaming_profile_drift": _q_streaming_profile_drift,
         # §2.3 table-level checks (SQL-expressible, DuckDB-oracled)
         "stats_lineitem": _q_stats_lineitem,
         "unique_orders": _q_unique_orders,
-        "metric_anomalies_events": _q_metric_anomalies_events,
         "ri_checks": _q_ri_checks,
         "enum_returnflag": _q_enum_returnflag,
         "range_lineitem": _q_range_lineitem,
@@ -4419,33 +4525,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checks_lineitem": _q_table_checks_lineitem,
         "format_json_checks": _q_format_json_checks,
         "grouping_verdicts": _q_grouping_verdicts,
-        "verdict_set_ops": _q_verdict_set_ops,
         "topk_price_by_flag": _q_topk_price_by_flag,
         "approx_unique_lineitem": _q_approx_unique_lineitem,
+        # profiler family (profile->spec round trip, FK suggestion,
+        # run-over-run drift, most-common values)
+        "ref_suggest_containment": _q_ref_suggest_containment,
+        "profile_drift_lineitem": _q_profile_drift_lineitem,
+        "frequent_values_docs": _q_frequent_values_docs,
         # training-data pipeline ops (oracled)
+        "gopher_rules_docs": _q_gopher_rules_docs,
+        "c4_clean_docs": _q_c4_clean_docs,
+        "classifier_quality_docs": _q_classifier_quality_docs,
+        "packed_shards": _q_packed_shards,
+        "mixture_docs": _q_mixture_docs,
+        "corpus_funnel_docs": _q_corpus_funnel_docs,
+        "url_dedup_incremental_docs": _q_url_dedup_incremental_docs,
+        "paragraph_dedup_docs": _q_paragraph_dedup_docs,
+        "skew_report_events": _q_skew_report_events,
+        "perplexity_split_docs": _q_perplexity_split_docs,
+        "dsir_weights": _q_dsir_weights,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
+        "exactsubstr_clean_docs": _q_exactsubstr_clean_docs,
+        "exactsubstr_keep_first": _q_exactsubstr_keep_first,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "ngram_decontamination": _q_ngram_decontamination,
+        "stratified_sample_events": _q_stratified_sample_events,
+        # ---- position 51+: family variants; every name below was either
+        # driver-attested green in a prior round's CORRECTNESS file or is
+        # a sibling of an attested family member; all stay oracled ----
+        "streaming_dedup": _q_streaming_dedup,
+        "metric_anomalies_events": _q_metric_anomalies_events,
+        "verdict_set_ops": _q_verdict_set_ops,
         "token_totals": _q_token_totals,
         "suggested_spec_lineitem": _q_suggested_spec_lineitem,
         "lang_detect_docs": _q_lang_detect_docs,
         "pii_docs": _q_pii_docs,
         "repetition_docs": _q_repetition_docs,
-        "packed_shards": _q_packed_shards,
-        "mixture_docs": _q_mixture_docs,
         "chunked_docs": _q_chunked_docs,
         "clean_corpus_report": _q_clean_corpus_report,
         "url_dedup_docs": _q_url_dedup_docs,
-        "paragraph_dedup_docs": _q_paragraph_dedup_docs,
-        "skew_report_events": _q_skew_report_events,
         "lm_perplexity_docs": _q_lm_perplexity_docs,
-        "dsir_weights": _q_dsir_weights,
-        "dup_ngram_coverage": _q_dup_ngram_coverage,
-        "exact_dup_groups": _q_exact_dup_groups,
         "dedup_incremental": _q_dedup_incremental,
         "colocated_dedup": _q_colocated_dedup,
-        "minhash_near_dups": _q_minhash_near_dups,
         "decontaminate_pairs": _q_decontaminate_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
-        "stratified_sample_events": _q_stratified_sample_events,
-        # ---- position 51+: family variants, replay-attested ----
         "quality_docs": _q_quality_docs,
         "stats_events_by_type": _q_stats_events_by_type,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -4462,23 +4586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": _q_topk_cosine,
         "lsh_topk_cosine": _q_lsh_topk_cosine,
         "ivf_topk_cosine": _q_ivf_topk_cosine,
-        "streaming_dedup_watermarked": _q_streaming_dedup_watermarked,
-        "exactsubstr_clean_docs": _q_exactsubstr_clean_docs,
         "bpe_token_stats": _q_bpe_token_stats,
         "dup_event_users": _q_dup_event_users,
-        "ref_suggest_containment": _q_ref_suggest_containment,
-        "profile_drift_lineitem": _q_profile_drift_lineitem,
-        "frequent_values_docs": _q_frequent_values_docs,
-        "streaming_profile_drift": _q_streaming_profile_drift,
-        "ngram_decontamination": _q_ngram_decontamination,
-        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
-        "gopher_rules_docs": _q_gopher_rules_docs,
-        "c4_clean_docs": _q_c4_clean_docs,
-        "exactsubstr_keep_first": _q_exactsubstr_keep_first,
-        "url_dedup_incremental_docs": _q_url_dedup_incremental_docs,
-        "streaming_url_dedup": _q_streaming_url_dedup,
-        "corpus_funnel_docs": _q_corpus_funnel_docs,
-        "perplexity_split_docs": _q_perplexity_split_docs,
         "resize_plan": _q_resize_plan,
         "categorical_drift": _q_categorical_drift,
     }
@@ -4518,6 +4627,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _o_psi_drift(),
         "categorical_drift": _O_CATEGORICAL_DRIFT,
         "table_checks_lineitem": _o_table_checks_lineitem(),
+        "classifier_quality_docs": _O_CLASSIFIER_QUALITY_DOCS,
         "format_json_checks": _O_FORMAT_JSON_CHECKS,
         "grouping_verdicts": _o_grouping_verdicts(),
         "verdict_set_ops": _O_VERDICT_SET_OPS,

@@ -173,6 +173,9 @@ def run_bench() -> dict:
         ("paragraph_dedup_docs", qs["paragraph_dedup_docs"]),
         # r4 session 5: composed cleaning funnel (attrition report)
         ("corpus_funnel_docs", qs["corpus_funnel_docs"]),
+        # r5: learned quality-classifier inference (FineWeb-Edu/DCLM
+        # stage) — pure Column logistic scoring, no UDF
+        ("classifier_quality_docs", qs["classifier_quality_docs"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

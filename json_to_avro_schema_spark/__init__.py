@@ -31,6 +31,7 @@ from .operators.packing import (
     shard_manifest,
     write_packed_shards,
 )
+from .operators.classifier import classifier_score, score_quality_classifier
 from .operators.sampling import (
     deterministic_sample,
     deterministic_topn_sample,
@@ -70,6 +71,7 @@ __all__ = [
     "ValidationResult",
     "FunnelResult",
     "ValidationFailedError",
+    "classifier_score",
     "compile_document",
     "corpus_funnel",
     "cumulative_tokens",
@@ -90,6 +92,7 @@ __all__ = [
     "run_validation",
     "run_with_checkpoint",
     "sample_violations",
+    "score_quality_classifier",
     "select_mixture",
     "shard_manifest",
     "stratified_sample",

@@ -1389,3 +1389,103 @@ def test_paragraph_dedup_loser_joinback_broadcasts(spark):
     # their empty/skinny right side; the corpus text crosses no exchange
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# ------------------------------------------------ quality classifier
+
+
+def test_classifier_score_logistic_semantics(spark):
+    """The scorer IS logistic regression: hand-computed sigmoid values
+    match, the lexical term is the mean mapped token weight, unknown
+    feature names raise, and keep_above gates strictly."""
+    import math
+
+    from json_to_avro_schema_spark.operators.classifier import (
+        score_quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),       # 5 tokens, 2x the + and
+            (2, "zzz qqq"),                   # no stopwords, no lexicon
+            (3, ""),                          # empty: all features 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clf_quality"]
+        for r in score_quality_classifier(
+            df,
+            {"stopword_ratio": 2.0, "log_n_tokens": 0.5},
+            bias=-1.0,
+            token_weights={"cat": 1.0, "dog": -0.5},
+            decimals=None,
+        ).collect()
+    }
+
+    def sig(z):
+        return 1.0 / (1.0 + math.exp(-z))
+
+    # doc 1: stopword_ratio 3/5 ('the' x2 + 'and'), log1p(5),
+    # lexical (1.0 - 0.5)/5
+    z1 = -1.0 + 2.0 * (3 / 5) + 0.5 * math.log1p(5) + (1.0 - 0.5) / 5
+    assert abs(out[1] - sig(z1)) < 1e-12
+    z2 = -1.0 + 0.5 * math.log1p(2)
+    assert abs(out[2] - sig(z2)) < 1e-12
+    assert abs(out[3] - sig(-1.0)) < 1e-12
+
+    kept = score_quality_classifier(
+        df,
+        {"stopword_ratio": 2.0, "log_n_tokens": 0.5},
+        bias=-1.0,
+        token_weights={"cat": 1.0, "dog": -0.5},
+        # mid-gap threshold: robust to the default 6-dp pre-rounding
+        keep_above=(sig(z1) + sig(z2)) / 2,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+
+    with pytest.raises(ValueError):
+        score_quality_classifier(df, {"not_a_feature": 1.0})
+    with pytest.raises(ValueError):
+        score_quality_classifier(
+            df.withColumn("clf_quality", F.lit(0.0)), {"punct_ratio": 1.0}
+        )
+
+
+def test_classifier_score_feature_registry(spark):
+    """Each engineered feature measures what its name says (pinned on a
+    crafted doc), and the whole scorer stays a codegen'd projection —
+    no UDF, no shuffle."""
+    from json_to_avro_schema_spark.operators.classifier import (
+        FEATURES,
+        score_quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Abc de 12! xy.")],  # 14 chars, 4 tokens
+        "doc_id long, text string",
+    )
+    from json_to_avro_schema_spark.operators.text import tokens
+
+    feats = df.select(
+        *[
+            f(F.col("text"), tokens(F.col("text"))).alias(n)
+            for n, f in FEATURES.items()
+        ]
+    ).collect()[0]
+    import math
+
+    assert abs(feats["log_n_chars"] - math.log1p(14)) < 1e-12
+    assert abs(feats["log_n_tokens"] - math.log1p(4)) < 1e-12
+    # tokens lowercased: abc(3) de(2) 12!(3) xy.(3) -> mean 11/4
+    assert abs(feats["mean_word_len"] - 11 / 4) < 1e-12
+    assert feats["stopword_ratio"] == 0.0
+    assert abs(feats["punct_ratio"] - 2 / 14) < 1e-12  # '!' and '.'
+    assert abs(feats["digit_ratio"] - 2 / 14) < 1e-12  # '1' '2'
+    assert abs(feats["upper_ratio"] - 1 / 14) < 1e-12  # 'A'
+
+    plan = (
+        score_quality_classifier(df, {"punct_ratio": 1.0})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "python" not in plan.lower(), plan
