@@ -741,6 +741,114 @@ def run_web_bench() -> dict:
     return out
 
 
+def run_corpus_bench() -> dict:
+    """End-to-end 10 M-row skewed scale point for the two operators whose
+    join-backs were restructured in r5 (VERDICT r4 #2/#3): corpus_funnel
+    (single loser join-back) and paragraph_dedup (loser-position
+    inversion). Skew: 30%% of docs share ONE boilerplate paragraph (the
+    cookie-banner shape) and 30%% of pages sit on ONE hot domain; every
+    4-id group carries 4 URL surface variants so the dedup stages fire.
+    SPARK_GRAFT_WEB_DOCS overrides the row count. The before/after A/B
+    against the r4 binary is recorded in BENCH/BASELINE.md §1d."""
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.operators.dedup import paragraph_dedup
+    from json_to_avro_schema_spark.operators.funnel import corpus_funnel
+    from json_to_avro_schema_spark.session import get_spark
+
+    n = int(os.environ.get("SPARK_GRAFT_WEB_DOCS", "10000000"))
+    spark = get_spark(app="corpus-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"n_rows": n, "cpus": CPUS, "hot_share": 0.3}
+
+    def timed(build):
+        runs = []
+        build().collect()  # warm codegen + readers
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build().collect()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)
+
+    docs = (
+        spark.range(n)
+        .repartition(CPUS * 2)
+        .selectExpr(
+            "cast(id AS string) AS doc_id",
+            # 3 paragraphs: 30%-hot boilerplate, a per-doc unique line,
+            # a 100k-class shared line — every paragraph-dedup path fires
+            "concat("
+            " CASE WHEN id % 10 < 3 THEN 'accept all cookies to continue'"
+            "      ELSE concat('lead para ', cast(id AS string)) END,"
+            " '\n', 'body text line ', cast(id AS string),"
+            " '\n', 'shared tail ', cast(id % 100000 AS string)) AS text",
+            # 4 surface variants per page group; 30% of groups hot-domain
+            "concat('https://', "
+            " CASE WHEN id % 10 < 3 THEN 'WWW.Hot0' "
+            "      ELSE concat('Site', cast((id div 4) % 100000 AS string))"
+            " END, '.com', "
+            " CASE WHEN id % 4 = 2 THEN ':443' ELSE '' END, "
+            " '/p/', cast(id div 4 AS string), "
+            " CASE WHEN id % 4 = 0 THEN '?b=2&a=1'"
+            "      WHEN id % 4 = 1 THEN '?a=1&b=2'"
+            "      WHEN id % 4 = 2 THEN '/?a=1&b=2&utm_source=feed'"
+            "      ELSE '?a=1&utm_campaign=x&b=2#frag' END) AS url",
+        )
+        .persist()
+    )
+    docs.count()
+
+    out["paragraph_dedup_10m_sec"] = timed(
+        lambda: paragraph_dedup(docs).agg(
+            F.count(F.lit(1)),
+            F.sum("dup_paras"),
+            F.sum(F.length("clean_text")),
+        )
+    )
+
+    # mostly-clean regime (the typical post-URL-dedup crawl): ~1% of docs
+    # carry the hot boilerplate, everything else unique — the loser set is
+    # small and the join-back side broadcasts
+    clean = (
+        spark.range(n)
+        .repartition(CPUS * 2)
+        .selectExpr(
+            "cast(id AS string) AS doc_id",
+            "concat("
+            " CASE WHEN id % 100 = 0 THEN 'accept all cookies to continue'"
+            "      ELSE concat('lead para ', cast(id AS string)) END,"
+            " '\n', 'body text line ', cast(id AS string)) AS text",
+        )
+        .persist()
+    )
+    clean.count()
+    out["paragraph_dedup_clean_10m_sec"] = timed(
+        lambda: paragraph_dedup(clean).agg(
+            F.count(F.lit(1)),
+            F.sum("dup_paras"),
+            F.sum(F.length("clean_text")),
+        )
+    )
+    clean.unpersist()
+
+    blocked = spark.createDataFrame(
+        [("site7.com",), ("site13.com",)], "domain string"
+    )
+
+    def funnel_report():
+        res = corpus_funnel(
+            docs, blocked_domains=blocked,
+            keep_if=F.length("text") >= 20,
+        )
+        return res.annotated.groupBy("drop_stage").agg(
+            F.count(F.lit(1)), F.sum(F.length("text"))
+        )
+
+    out["corpus_funnel_10m_sec"] = timed(funnel_report)
+    docs.unpersist()
+    return out
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-gen":
         _scaling_gen()
@@ -760,5 +868,7 @@ if __name__ == "__main__":
         print(json.dumps(run_packing_bench()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--web-bench":
         print(json.dumps(run_web_bench()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--corpus-bench":
+        print(json.dumps(run_corpus_bench()))
     else:
         print(json.dumps(run_bench()))
