@@ -24,7 +24,7 @@ what the oracle and tests pin.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -91,6 +91,7 @@ def url_dedup_stream(
     canon_col: str = "canonical_url",
     hash_col: str = "url_hash",
     within_watermark_col: Optional[str] = None,
+    tracking_params: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Streaming URL dedup for a live crawl feed: canonicalize
     (``operators/web.normalize_url`` — the same documented 7-rule form as
@@ -108,7 +109,7 @@ def url_dedup_stream(
     months-later refetch usually IS new content.
     """
     with_h = stream_df.withColumn(
-        canon_col, normalize_url(F.col(url_col))
+        canon_col, normalize_url(F.col(url_col), tracking_params)
     ).withColumn(hash_col, F.xxhash64(F.col(canon_col)))
     if within_watermark_col is not None:
         return with_h.dropDuplicatesWithinWatermark([hash_col])
@@ -124,6 +125,7 @@ def url_dedup_stream_to_parquet(
     canon_col: str = "canonical_url",
     hash_col: str = "url_hash",
     within_watermark_col: Optional[str] = None,
+    tracking_params: Optional[Sequence[str]] = None,
 ):
     """:func:`url_dedup_stream` into an append parquet sink with
     ``availableNow`` (drain-everything-then-stop). Returns the
@@ -131,6 +133,7 @@ def url_dedup_stream_to_parquet(
     deduped = url_dedup_stream(
         stream_df, url_col, canon_col=canon_col, hash_col=hash_col,
         within_watermark_col=within_watermark_col,
+        tracking_params=tracking_params,
     )
     return (
         deduped.writeStream.format("parquet")
