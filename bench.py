@@ -835,14 +835,28 @@ def run_corpus_bench() -> dict:
         [("site7.com",), ("site13.com",)], "domain string"
     )
 
+    class _CollectThenRelease:
+        """collect() the report, then unpersist that run's pruned-frame
+        cache so the 4 timed runs don't accumulate cached copies."""
+
+        def __init__(self, report, res):
+            self._report, self._res = report, res
+
+        def collect(self):
+            try:
+                return self._report.collect()
+            finally:
+                self._res.unpersist()
+
     def funnel_report():
         res = corpus_funnel(
             docs, blocked_domains=blocked,
             keep_if=F.length("text") >= 20,
         )
-        return res.annotated.groupBy("drop_stage").agg(
+        report = res.annotated.groupBy("drop_stage").agg(
             F.count(F.lit(1)), F.sum(F.length("text"))
         )
+        return _CollectThenRelease(report, res)
 
     out["corpus_funnel_10m_sec"] = timed(funnel_report)
     docs.unpersist()

@@ -1206,7 +1206,19 @@ def paragraph_dedup(
         )
     # stage the array in its own projection (HOF re-inlining trap — see
     # _gram_frame), explode to (id, pos, hash); structure lines never
-    # leave the doc, so they are filtered here, not carried
+    # leave the doc, so they are filtered here, not carried.
+    #
+    # occ feeds BOTH the winner window and the loser anti-join, so each
+    # consumer re-splits and re-hashes the text — a deliberate
+    # recompute-over-persist choice, A/B'd at the 10 M skewed scale point
+    # (BENCH/BASELINE.md §1d): persisting occ cost +60% on the dup-heavy
+    # regime (18.9 s → 30.2 s; materializing ~30 M cached rows per call
+    # outweighs the second split+hash pass) and was flat on the clean one.
+    # It is also the wrong 100 TB shape: occ is PER-PARAGRAPH, so the
+    # cache is ~20 B × paragraphs (~600 TB at 10^12 docs × ~30 paras) —
+    # far larger than the column-pruned (id, text) re-scan it avoids.
+    # Contrast corpus_funnel's pruned frame, which is per-DOC and is
+    # persisted (funnel.py).
     occ = (
         df.select(id_col, F.split(F.col(text_col), "\r?\n").alias("__ps"))
         .select(id_col, F.posexplode("__ps").alias("__pos", "__para"))

@@ -44,9 +44,13 @@ skinny id-keyed joins on the pruned frame. Consequences at scale:
 the corpus text crosses at most ONE exchange (the loser join-back's
 df side — and none at all when the loser side is small enough for AQE
 to broadcast, e.g. a mostly-clean corpus), versus one full-row exchange
-per dedup stage in the naive chain. Cost is repeated passes over the
-pruned columns — the honest lower bound for a funnel whose stage N
-depends on N−1's survivors. The blocklist joins under
+per dedup stage in the naive chain. The pruned frame is persisted by
+default (``persist_pruned``): every stage and the loser projection
+consume it, and without the barrier each consumer re-runs the
+canonicalize/fingerprint projection over the full corpus text (A/B'd
+~1.5× at 10 M rows, BENCH/BASELINE.md §1d); it is per-doc and key-only,
+so the cache stays bounded at 10^12 docs, and ``FunnelResult.unpersist``
+releases it. The blocklist joins under
 web.domain_filter's broadcast contract (whose count guard runs one tiny
 job at plan-construction time — the only eager work here). No driver
 state; everything else stays lazy until the caller triggers an action.
@@ -75,6 +79,17 @@ class FunnelResult:
     report: DataFrame      # (stage, n_docs): one row per stage that
                            # dropped anything + the terminal "kept" row;
                            # unordered (aggregation output) — sort on read
+    # the persisted pruned frame (None when persist_pruned=False or no
+    # stage needed it). Spark's CacheManager holds persisted plans until
+    # unpersist or session end — long-running services that call the
+    # funnel repeatedly should release each run's cache when done.
+    _pruned: Optional[DataFrame] = None
+
+    def unpersist(self) -> None:
+        """Release the persisted pruned frame (idempotent, safe to skip
+        for one-shot jobs — session teardown releases it too)."""
+        if self._pruned is not None:
+            self._pruned.unpersist()
 
 
 def _first_alive_winner(
@@ -104,6 +119,7 @@ def corpus_funnel(
     dedup_text: bool = True,
     keep_if: Optional[Column] = None,
     max_broadcast_rows: int = 1_000_000,
+    persist_pruned: bool = True,
 ) -> FunnelResult:
     """Run the funnel; see module docstring for stages and semantics."""
     clash = {
@@ -116,6 +132,7 @@ def corpus_funnel(
             f"exist on the input"
         )
     original_columns = list(df.columns)
+    pruned_handle: Optional[DataFrame] = None
 
     if blocked_domains is not None or dedup_urls or dedup_text:
         # ALL stage flags derive on this pruned frame — id + the 8-byte
@@ -152,6 +169,24 @@ def corpus_funnel(
             )
         else:
             skinny = skinny.withColumn("__fblk", F.lit(False))
+
+        # persist the pruned frame: every winner stage AND the loser
+        # projection consume it, and without the barrier each consumer
+        # re-runs the canonicalize/fingerprint projection over the FULL
+        # corpus text from the base scan — up to four corpus scans where
+        # one suffices. Same-session INTERLEAVED A/B at the 10 M skewed
+        # scale point (BENCH/BASELINE.md §1d): no-persist 29.8/22.2 s vs
+        # persist 17.0/17.3 s — ~1.5× with each run paying full cache
+        # materialization and releasing it after. The frame is per-DOC
+        # (~40 B/row: id + three 8-byte keys + flag — text never on it),
+        # so the cache is ~40 TB at 10^12 docs — bounded and spillable
+        # (MEMORY_AND_DISK default), unlike a per-paragraph frame (see
+        # paragraph_dedup's deliberate recompute). persist_pruned=False
+        # restores recompute for cache-constrained clusters; the result's
+        # unpersist() releases the cache for long-running services.
+        if persist_pruned:
+            skinny = skinny.persist()
+            pruned_handle = skinny
 
         if dedup_urls:
             alive = skinny.filter(~F.col("__fblk"))
@@ -214,4 +249,5 @@ def corpus_funnel(
             *[F.col(c) for c in original_columns]
         ),
         report=report,
+        _pruned=pruned_handle,
     )

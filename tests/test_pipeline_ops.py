@@ -1254,6 +1254,42 @@ def test_corpus_funnel_stage_attribution_and_order(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 
 
+def test_corpus_funnel_persist_contract(spark):
+    """The pruned frame is persisted by default and releasable
+    (idempotently) via FunnelResult.unpersist(); persist_pruned=False and
+    a stage-free funnel cache nothing and attribute identically."""
+    from json_to_avro_schema_spark.operators.funnel import corpus_funnel
+
+    rows = [
+        (1, "https://a.com/p?b=2&a=1", "shared page text"),
+        (2, "https://A.com/p?a=1&b=2", "other text"),
+        (3, "https://b.org/q", "shared page text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    res = corpus_funnel(df)
+    assert res._pruned is not None
+    res.annotated.collect()  # materializes the cache
+    assert res._pruned.storageLevel.useMemory
+    res.unpersist()
+    assert not res._pruned.storageLevel.useMemory
+    res.unpersist()  # idempotent
+
+    res_off = corpus_funnel(df, persist_pruned=False)
+    assert res_off._pruned is None
+    assert (
+        {r["doc_id"]: r["drop_stage"] for r in res_off.annotated.collect()}
+        == {r["doc_id"]: r["drop_stage"] for r in res.annotated.collect()}
+    )
+
+    # no dedup/blocklist stages → nothing to persist, kwarg irrelevant
+    res_bare = corpus_funnel(
+        df, dedup_urls=False, dedup_text=False, keep_if=F.length("text") > 5
+    )
+    assert res_bare._pruned is None
+    res_bare.unpersist()  # no-op
+
+
 def test_dedup_near_keep_best_representative(spark):
     """keep_by keeps the best-scored cluster member (FineWeb-style)
     instead of the min id; ties break on ascending id; unclustered rows
