@@ -568,6 +568,73 @@ def run_scaling_cluster(
     }
 
 
+def run_scaling_cluster_interleaved(
+    n_small: int | None = None, n_large: int | None = None, cores: int = 2,
+    rounds: int | None = None,
+) -> dict:
+    """Drift-resistant variant of --scaling-cluster: instead of running all
+    small-config trials then all large-config trials (a ~35-minute span a
+    single hypervisor phase change can bisect — observed 2026-08-19, where
+    same-session memory-BW ceilings swung 0.41/0.94/0.20 and the grouped
+    protocol read 0.683 on a validation path that measured 0.93+ in three
+    earlier sessions), alternate small,large,small,large,... and compute
+    the efficiency of each ADJACENT pair, reporting the median. A phase
+    shift then lands inside one pair (visible as pair spread) rather than
+    biasing every pair the same way — the same interleaving rationale as
+    the funnel persist A/B (BENCH/BASELINE.md §1d). Each child still warms
+    up internally, so pairs stay warm-vs-warm."""
+    n_small = n_small or int(os.environ.get("SPARK_GRAFT_CLUSTER_SMALL", "1"))
+    n_large = n_large or int(os.environ.get("SPARK_GRAFT_CLUSTER_LARGE", "4"))
+    rounds = rounds or int(os.environ.get("SPARK_GRAFT_CLUSTER_ROUNDS", "3"))
+    if not os.path.exists(SCALE_DATA):
+        subprocess.run(
+            [sys.executable, __file__, "--scaling-gen"],
+            check=True, cwd=REPO, timeout=1800,
+        )
+
+    def child(n_exec: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-cluster-child",
+             str(n_exec), str(cores)],
+            capture_output=True, text=True, cwd=REPO, timeout=1800,
+            env={**os.environ, "SPARK_DRIVER_MEMORY": "4g"},
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    ratio = n_large / n_small
+    pairs = []
+    n_docs = 0
+    for i in range(rounds):
+        small = child(n_small)
+        large = child(n_large)
+        n_docs = large["docs"]
+        eff = (large["docs_per_sec"] / small["docs_per_sec"]) / ratio
+        pairs.append({
+            "round": i + 1,
+            f"exec{n_small}_sec": round(small["sec"], 2),
+            f"exec{n_large}_sec": round(large["sec"], 2),
+            f"exec{n_small}_docs_per_sec": round(small["docs_per_sec"], 1),
+            f"exec{n_large}_docs_per_sec": round(large["docs_per_sec"], 1),
+            "efficiency": round(eff, 3),
+        })
+        print(json.dumps({"pair": pairs[-1]}), file=sys.stderr, flush=True)
+    effs = sorted(p["efficiency"] for p in pairs)
+    median = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    return {
+        "mode": "local-cluster-executors-interleaved",
+        "cores_per_executor": cores,
+        "n_docs": n_docs,
+        "rounds": pairs,
+        "median_efficiency": median,
+        "best_efficiency": effs[-1],
+        "target": 0.8,
+        "meets_target": median >= 0.8,
+    }
+
+
 def run_packing_bench() -> dict:
     """10M-row prefix-sum timings: packed_shards (global order) and
     select_mixture (grouped, 8 sources) — the by= path had an A/B'd
@@ -874,6 +941,8 @@ if __name__ == "__main__":
         _cluster_child(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-cluster":
         print(json.dumps(run_scaling_cluster()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-cluster-interleaved":
+        print(json.dumps(run_scaling_cluster_interleaved()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-multiproc":
         print(json.dumps(run_scaling_multiproc()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
