@@ -4304,6 +4304,177 @@ FROM sc GROUP BY source ORDER BY source
 """
 
 
+def _q_classifier_train_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-form distributed classifier TRAINING
+    (classifier.train_quality_classifier, diagonal LDA): labels live in
+    the corpus (label 0 = the doc_id % 7 ad-planted docs, 1 = clean),
+    sufficient statistics are ONE groupBy(label) agg of count/sum/sum-sq
+    per feature (two bounded rows collected), and the resulting linear
+    weights feed the SAME score_quality_classifier inference path. The
+    oracle re-derives the entire fit in SQL — per-class means, pooled
+    n-2 variances, w_f = (mu1-mu0)/s2, bias = ln(n1/n0) - sum (mu1^2 -
+    mu0^2)/(2 s2) — then scores every doc with the 6-dp-rounded
+    coefficients. Output = the learned parameters (4-dp re-rounded: the
+    6-dp fit contract is what scoring uses, the coarser output rounding
+    keeps sub-ulp aggregation-order drift between engines away from the
+    hash) plus per-source kept counts at the 0.5 gate (measured min
+    margin ~0.05 on this corpus, >> any float noise) and 2-dp score
+    sums — training AND train->score round trip pinned in one query."""
+    docs = spread_to_cores(load_table(spark, sf, "documents"))
+    d = F.col("doc_id")
+    planted = F.when(
+        d % 7 == 0, F.concat(F.col("text"), F.lit(" BUY NOW!!! CALL 555 123"))
+    ).otherwise(F.col("text"))
+    tbl = docs.select(
+        "doc_id",
+        "source",
+        planted.alias("text"),
+        (d % 7 != 0).cast("int").alias("label"),
+    )
+    feats = [
+        "log_n_tokens", "stopword_ratio", "punct_ratio", "digit_ratio",
+        "upper_ratio",
+    ]
+    params = clf.train_quality_classifier(tbl, "label", features=feats)
+    scored = clf.score_quality_classifier(
+        tbl.drop("label"), params["weights"], bias=params["bias"]
+    )
+    param_rows = [
+        ("bias", round(params["bias"], 4)),
+        ("n_pos", float(params["n_pos"])),
+        ("n_neg", float(params["n_neg"])),
+    ] + [(f"w_{k}", round(v, 4)) for k, v in params["weights"].items()]
+    params_df = spark.createDataFrame(param_rows, "param string, value double")
+    r = F.col("clf_quality")
+    per_src = scored.groupBy("source").agg(
+        F.sum((r > 0.5).cast("long")).cast("double").alias("kept"),
+        F.round(F.sum(r), 2).alias("score_sum"),
+    )
+    kept_rows = per_src.select(
+        F.concat(F.lit("kept_"), F.col("source")).alias("param"),
+        F.col("kept").alias("value"),
+    )
+    sum_rows = per_src.select(
+        F.concat(F.lit("sum_score_"), F.col("source")).alias("param"),
+        F.col("score_sum").alias("value"),
+    )
+    return params_df.unionByName(kept_rows).unionByName(sum_rows).orderBy(
+        "param"
+    )
+
+
+_O_CLASSIFIER_TRAIN_DOCS = r"""
+WITH pl AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' BUY NOW!!! CALL 555 123' ELSE text END AS text,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS y
+  FROM documents
+), tk AS (
+  SELECT doc_id, source, text, y,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x != '') AS t
+  FROM pl
+), feats AS (
+  SELECT doc_id, source, y,
+    ln(1 + len(t)) AS f_lnt,
+    CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is',
+                                       'that','it','for','with')))
+         AS DOUBLE) / greatest(len(t), 1) AS f_sw,
+    CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g'))
+         AS DOUBLE) / greatest(length(text), 1) AS f_pu,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+         AS DOUBLE) / greatest(length(text), 1) AS f_di,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+         AS DOUBLE) / greatest(length(text), 1) AS f_up
+  FROM tk
+), st AS (
+  SELECT
+    count(*) FILTER (WHERE y = 1) AS n1,
+    count(*) FILTER (WHERE y = 0) AS n0,
+    sum(f_lnt) FILTER (WHERE y = 1) AS s1_lnt,
+    sum(f_lnt * f_lnt) FILTER (WHERE y = 1) AS q1_lnt,
+    sum(f_lnt) FILTER (WHERE y = 0) AS s0_lnt,
+    sum(f_lnt * f_lnt) FILTER (WHERE y = 0) AS q0_lnt,
+    sum(f_sw) FILTER (WHERE y = 1) AS s1_sw,
+    sum(f_sw * f_sw) FILTER (WHERE y = 1) AS q1_sw,
+    sum(f_sw) FILTER (WHERE y = 0) AS s0_sw,
+    sum(f_sw * f_sw) FILTER (WHERE y = 0) AS q0_sw,
+    sum(f_pu) FILTER (WHERE y = 1) AS s1_pu,
+    sum(f_pu * f_pu) FILTER (WHERE y = 1) AS q1_pu,
+    sum(f_pu) FILTER (WHERE y = 0) AS s0_pu,
+    sum(f_pu * f_pu) FILTER (WHERE y = 0) AS q0_pu,
+    sum(f_di) FILTER (WHERE y = 1) AS s1_di,
+    sum(f_di * f_di) FILTER (WHERE y = 1) AS q1_di,
+    sum(f_di) FILTER (WHERE y = 0) AS s0_di,
+    sum(f_di * f_di) FILTER (WHERE y = 0) AS q0_di,
+    sum(f_up) FILTER (WHERE y = 1) AS s1_up,
+    sum(f_up * f_up) FILTER (WHERE y = 1) AS q1_up,
+    sum(f_up) FILTER (WHERE y = 0) AS s0_up,
+    sum(f_up * f_up) FILTER (WHERE y = 0) AS q0_up
+  FROM feats
+), mu AS (
+  SELECT n1, n0,
+    s1_lnt / n1 AS mu1_lnt, s0_lnt / n0 AS mu0_lnt,
+    greatest((greatest(q1_lnt - s1_lnt * s1_lnt / n1, 0)
+            + greatest(q0_lnt - s0_lnt * s0_lnt / n0, 0))
+             / (n1 + n0 - 2), 1e-9) AS s2_lnt,
+    s1_sw / n1 AS mu1_sw, s0_sw / n0 AS mu0_sw,
+    greatest((greatest(q1_sw - s1_sw * s1_sw / n1, 0)
+            + greatest(q0_sw - s0_sw * s0_sw / n0, 0))
+             / (n1 + n0 - 2), 1e-9) AS s2_sw,
+    s1_pu / n1 AS mu1_pu, s0_pu / n0 AS mu0_pu,
+    greatest((greatest(q1_pu - s1_pu * s1_pu / n1, 0)
+            + greatest(q0_pu - s0_pu * s0_pu / n0, 0))
+             / (n1 + n0 - 2), 1e-9) AS s2_pu,
+    s1_di / n1 AS mu1_di, s0_di / n0 AS mu0_di,
+    greatest((greatest(q1_di - s1_di * s1_di / n1, 0)
+            + greatest(q0_di - s0_di * s0_di / n0, 0))
+             / (n1 + n0 - 2), 1e-9) AS s2_di,
+    s1_up / n1 AS mu1_up, s0_up / n0 AS mu0_up,
+    greatest((greatest(q1_up - s1_up * s1_up / n1, 0)
+            + greatest(q0_up - s0_up * s0_up / n0, 0))
+             / (n1 + n0 - 2), 1e-9) AS s2_up
+  FROM st
+), w AS (
+  SELECT n1, n0,
+    round((mu1_lnt - mu0_lnt) / s2_lnt, 6) AS w_lnt,
+    round((mu1_sw - mu0_sw) / s2_sw, 6) AS w_sw,
+    round((mu1_pu - mu0_pu) / s2_pu, 6) AS w_pu,
+    round((mu1_di - mu0_di) / s2_di, 6) AS w_di,
+    round((mu1_up - mu0_up) / s2_up, 6) AS w_up,
+    round(ln(CAST(n1 AS DOUBLE) / n0)
+      - (mu1_di * mu1_di - mu0_di * mu0_di) / (2 * s2_di)
+      - (mu1_lnt * mu1_lnt - mu0_lnt * mu0_lnt) / (2 * s2_lnt)
+      - (mu1_pu * mu1_pu - mu0_pu * mu0_pu) / (2 * s2_pu)
+      - (mu1_sw * mu1_sw - mu0_sw * mu0_sw) / (2 * s2_sw)
+      - (mu1_up * mu1_up - mu0_up * mu0_up) / (2 * s2_up), 6) AS bias
+  FROM mu
+), sc AS (
+  SELECT f.source,
+    round(1.0 / (1.0 + exp(-(w.bias
+      + w.w_lnt * f.f_lnt + w.w_sw * f.f_sw + w.w_pu * f.f_pu
+      + w.w_di * f.f_di + w.w_up * f.f_up))), 6) AS r6
+  FROM feats f CROSS JOIN w
+)
+SELECT param, value FROM (
+  SELECT 'bias' AS param, round(bias, 4) AS value FROM w
+  UNION ALL SELECT 'n_pos', CAST(n1 AS DOUBLE) FROM w
+  UNION ALL SELECT 'n_neg', CAST(n0 AS DOUBLE) FROM w
+  UNION ALL SELECT 'w_log_n_tokens', round(w_lnt, 4) FROM w
+  UNION ALL SELECT 'w_stopword_ratio', round(w_sw, 4) FROM w
+  UNION ALL SELECT 'w_punct_ratio', round(w_pu, 4) FROM w
+  UNION ALL SELECT 'w_digit_ratio', round(w_di, 4) FROM w
+  UNION ALL SELECT 'w_upper_ratio', round(w_up, 4) FROM w
+  UNION ALL SELECT 'kept_' || source,
+    CAST(sum(CASE WHEN r6 > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+  FROM sc GROUP BY source
+  UNION ALL SELECT 'sum_score_' || source, round(sum(r6), 2)
+  FROM sc GROUP BY source
+) ORDER BY param
+"""
+
+
 def _q_streaming_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming URL dedup (streaming/dedup.url_dedup_stream): a planted
     crawl feed arrives in two micro-batches — batch 1 carries two surface
@@ -4590,6 +4761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_event_users": _q_dup_event_users,
         "resize_plan": _q_resize_plan,
         "categorical_drift": _q_categorical_drift,
+        # r5 addition: distributed closed-form training for the classifier
+        # family attested by classifier_quality_docs above
+        "classifier_train_docs": _q_classifier_train_docs,
     }
 
 
@@ -4628,6 +4802,7 @@ def oracle_sql() -> dict[str, str]:
         "categorical_drift": _O_CATEGORICAL_DRIFT,
         "table_checks_lineitem": _o_table_checks_lineitem(),
         "classifier_quality_docs": _O_CLASSIFIER_QUALITY_DOCS,
+        "classifier_train_docs": _O_CLASSIFIER_TRAIN_DOCS,
         "format_json_checks": _O_FORMAT_JSON_CHECKS,
         "grouping_verdicts": _o_grouping_verdicts(),
         "verdict_set_ops": _O_VERDICT_SET_OPS,

@@ -31,7 +31,11 @@ from .operators.packing import (
     shard_manifest,
     write_packed_shards,
 )
-from .operators.classifier import classifier_score, score_quality_classifier
+from .operators.classifier import (
+    classifier_score,
+    score_quality_classifier,
+    train_quality_classifier,
+)
 from .operators.sampling import (
     deterministic_sample,
     deterministic_topn_sample,
@@ -96,6 +100,7 @@ __all__ = [
     "select_mixture",
     "shard_manifest",
     "stratified_sample",
+    "train_quality_classifier",
     "train_test_split",
     "url_dedup",
     "url_dedup_incremental",

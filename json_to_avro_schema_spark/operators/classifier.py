@@ -7,9 +7,23 @@ percentile). The reference repo has no text surface at all (it is a schema
 transpiler; see ``/root/reference/src/main/scala/Transpiler.scala``), so
 this is pipeline-extra capability per the engine brief.
 
-Scope: INFERENCE only. Training happens offline (sklearn / fastText /
-anything that emits linear coefficients) and is policy, like every other
-threshold in this engine; what must scale to 100 TB is applying the model,
+Scope: inference as ONE Column expression, plus a closed-form distributed
+trainer (:func:`train_quality_classifier`) for the case where the labels
+live in the corpus at scale (FineWeb-Edu scored 460 k LLM-annotated docs;
+DCLM trained on millions of positives — at that size the training scan
+itself must be the cluster's job, not a driver-side sklearn fit). The
+trainer is diagonal LDA — Gaussian class-conditionals over the engineered
+features with a POOLED per-feature variance — whose decision function is
+exactly the linear form the scorer applies, so its output plugs straight
+into :func:`score_quality_classifier`. Iterative optimizers (SGD/LBFGS)
+are deliberately out of scope: diagonal LDA's sufficient statistics are
+one ``groupBy(label).agg(count/sum/sum-of-squares per feature)`` — a
+single partial-aggregated scan returning TWO rows, no iteration, no
+per-step driver barrier — and for well-separated quality classes its
+decision boundary tracks logistic regression's. Gradient-trained weights
+(fastText et al.) remain loadable as plain coefficient mappings.
+
+What must scale to 100 TB is applying the model,
 and a linear model applies as ONE codegen'd Column expression:
 
     score = sigmoid(bias + sum_f w_f * feature_f(doc)
@@ -154,3 +168,90 @@ def score_quality_classifier(
     if keep_above is not None:
         out = out.filter(F.col(out_col) > float(keep_above))
     return out
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    *,
+    features: Optional[list] = None,
+    text_col: str = "text",
+    var_floor: float = 1e-9,
+    decimals: Optional[int] = 6,
+) -> dict:
+    """Fit the linear quality classifier with closed-form diagonal LDA.
+
+    ``label_col`` must be boolean-or-0/1 (1 = keep-quality class). Each
+    :data:`FEATURES` column ``f`` gets a Gaussian per class with class
+    means ``mu_cf`` and a POOLED variance ``s2_f`` (unbiased, ``n - 2``
+    denominator, floored at ``var_floor`` so a constant feature cannot
+    divide by zero); the posterior log-odds are then linear with
+
+        w_f  = (mu_1f - mu_0f) / s2_f
+        bias = ln(n_1 / n_0) - sum_f (mu_1f^2 - mu_0f^2) / (2 s2_f)
+
+    so ``sigmoid(bias + w . x)`` from :func:`classifier_score` IS this
+    model's P(keep | x). Returns ``{"bias", "weights", "n_pos", "n_neg"}``
+    — ``weights``/``bias`` plug directly into
+    :func:`score_quality_classifier`.
+
+    Distributed shape: ONE scan — a staged token projection feeding a
+    ``groupBy(label)`` of ``count`` + per-feature ``sum``/``sum x^2``
+    (all map-side-combined), collected as exactly TWO bounded rows of
+    scalars; the matrix algebra a full-covariance LDA would need (and
+    which SQL/driver code could not verify or scale) never appears.
+    ``decimals`` rounds the returned coefficients (default 6 dp, the
+    module's cross-engine float contract — sub-ulp aggregation-order
+    drift between engines dies here instead of propagating into scores);
+    pass ``None`` for raw doubles. Raises if either class is absent
+    (a one-class fit has no decision boundary) or fewer than 3 rows
+    carry a label.
+    """
+    feats = sorted(features) if features is not None else sorted(FEATURES)
+    unknown = set(feats) - set(FEATURES)
+    if unknown:
+        raise ValueError(
+            f"unknown classifier features {sorted(unknown)} — "
+            f"available: {sorted(FEATURES)}"
+        )
+    c = F.col(text_col)
+    staged = df.withColumn("__clf_toks", tokens(c))
+    proj = staged.select(
+        F.col(label_col).cast("int").alias("__y"),
+        *[FEATURES[f](c, F.col("__clf_toks")).alias(f) for f in feats],
+    ).filter(F.col("__y").isNotNull())
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in feats:
+        aggs.append(F.sum(f).alias(f"__s_{f}"))
+        aggs.append(F.sum(F.col(f) * F.col(f)).alias(f"__q_{f}"))
+    rows = {r["__y"]: r for r in proj.groupBy("__y").agg(*aggs).collect()}
+    if set(rows) != {0, 1}:
+        raise ValueError(
+            f"training needs both classes; label values seen: "
+            f"{sorted(rows)}"
+        )
+    n0, n1 = rows[0]["__n"], rows[1]["__n"]
+    if n0 + n1 < 3:
+        raise ValueError("training needs >= 3 labeled rows for a pooled "
+                         "variance (n - 2 denominator)")
+    import math
+
+    weights: dict = {}
+    bias = math.log(n1 / n0)
+    for f in feats:
+        mu0 = rows[0][f"__s_{f}"] / n0
+        mu1 = rows[1][f"__s_{f}"] / n1
+        # pooled within-class sum of squares: sum(x^2) - n * mean^2 per
+        # class (clamped at 0 against cancellation on constant features)
+        ss = max(rows[0][f"__q_{f}"] - n0 * mu0 * mu0, 0.0) + max(
+            rows[1][f"__q_{f}"] - n1 * mu1 * mu1, 0.0
+        )
+        s2 = max(ss / (n0 + n1 - 2), var_floor)
+        weights[f] = (mu1 - mu0) / s2
+        bias -= (mu1 * mu1 - mu0 * mu0) / (2.0 * s2)
+    if decimals is not None:
+        weights = {f: round(w, decimals) for f, w in weights.items()}
+        bias = round(bias, decimals)
+    return {
+        "bias": bias, "weights": weights, "n_pos": int(n1), "n_neg": int(n0)
+    }

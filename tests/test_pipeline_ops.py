@@ -1525,3 +1525,60 @@ def test_classifier_score_feature_registry(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "python" not in plan.lower(), plan
+
+
+def test_classifier_train_closed_form(spark):
+    """train_quality_classifier IS diagonal LDA: parameters match a
+    hand-derived fit (per-class means, pooled n-2 variance, linear
+    weights + log-prior bias), a constant feature gets weight 0 via the
+    variance floor, the fit plugs into the scorer, and the error paths
+    (one class, too few rows, unknown feature) raise."""
+    import math
+
+    from json_to_avro_schema_spark.operators.classifier import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    # token counts 2,3 (label 1) vs 1,6 (label 0); stopword_ratio is
+    # constantly 0 (no stopwords anywhere) so its pooled variance floors
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb", 1),
+            (2, "aa bb cc", 1),
+            (3, "aa", 0),
+            (4, "aa bb cc dd ee ff", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    p = train_quality_classifier(
+        df, "label", features=["log_n_tokens", "stopword_ratio"],
+        decimals=None,
+    )
+    f1 = [math.log1p(2), math.log1p(3)]
+    f0 = [math.log1p(1), math.log1p(6)]
+    mu1, mu0 = sum(f1) / 2, sum(f0) / 2
+    ss = sum((x - mu1) ** 2 for x in f1) + sum((x - mu0) ** 2 for x in f0)
+    s2 = ss / 2  # n - 2 = 2
+    assert abs(p["weights"]["log_n_tokens"] - (mu1 - mu0) / s2) < 1e-9
+    assert abs(
+        p["bias"]
+        - (math.log(1.0) - (mu1 * mu1 - mu0 * mu0) / (2 * s2))
+    ) < 1e-9
+    assert p["weights"]["stopword_ratio"] == 0.0  # 0/var_floor
+    assert (p["n_pos"], p["n_neg"]) == (2, 2)
+
+    # the fit feeds the scorer unchanged (the round-trip contract)
+    scored = score_quality_classifier(
+        df.drop("label"), p["weights"], bias=p["bias"], decimals=None
+    )
+    got = {r["doc_id"]: r["clf_quality"] for r in scored.collect()}
+    z2 = p["bias"] + p["weights"]["log_n_tokens"] * math.log1p(3)
+    assert abs(got[2] - 1.0 / (1.0 + math.exp(-z2))) < 1e-12
+
+    with pytest.raises(ValueError, match="both classes"):
+        train_quality_classifier(df.filter("label = 1"), "label")
+    with pytest.raises(ValueError, match=">= 3 labeled rows"):
+        train_quality_classifier(df.filter("doc_id IN (1, 3)"), "label")
+    with pytest.raises(ValueError, match="unknown classifier features"):
+        train_quality_classifier(df, "label", features=["nope"])
