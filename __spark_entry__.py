@@ -2275,6 +2275,44 @@ FROM pn JOIN qn USING (v)
 """
 
 
+def _q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift between even- and odd-
+    orderkey halves of lineitem l_extendedprice — the binning-free
+    complement to psi_drift (detects shifts smaller than any bin width;
+    no lo/hi/bins/eps config). Engine shape: one labeled-union hash agg
+    to distinct-value scale, then the SAME two-level distributed prefix
+    sum packing.cumulative_tokens uses (per-pid totals collected — O(P)
+    rows — exclusive prefixes broadcast back, within-pid window cumsum),
+    never a single-partition global window; max |ΔCDF| reduces to one
+    row (operators/drift.ks_drift)."""
+    li = load_table(spark, sf, "lineitem")
+    cur = li.filter(F.col("l_orderkey") % 2 == 0)
+    base = li.filter(F.col("l_orderkey") % 2 == 1)
+    out = dr.ks_drift(cur, base, "l_extendedprice", ks_threshold=0.05)
+    return out.select(
+        F.round("ks", 6).alias("ks"), "n_current", "n_baseline", "pass"
+    )
+
+
+_O_KS_DRIFT = """
+WITH m AS (
+  SELECT l_extendedprice AS v,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+t AS (SELECT sum(nc) AS tc, sum(nb) AS tb FROM m),
+s AS (SELECT sum(nc) OVER (ORDER BY v) AS cc,
+             sum(nb) OVER (ORDER BY v) AS cb
+      FROM m)
+SELECT round(max(abs(cc * 1.0 / t.tc - cb * 1.0 / t.tb)), 6) AS ks,
+       CAST(t.tc AS BIGINT) AS n_current,
+       CAST(t.tb AS BIGINT) AS n_baseline,
+       max(abs(cc * 1.0 / t.tc - cb * 1.0 / t.tb)) < 0.05 AS pass
+FROM s, t GROUP BY t.tc, t.tb
+"""
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 5-shingle Jaccard on planted (doc, next-doc) pairs — oracles
     the pair-metric used to verify MinHash-LSH candidates."""
@@ -4764,6 +4802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: distributed closed-form training for the classifier
         # family attested by classifier_quality_docs above
         "classifier_train_docs": _q_classifier_train_docs,
+        # r5 addition: exact binning-free KS drift, sibling of the
+        # driver-attested psi_drift / categorical_drift family
+        "ks_drift": _q_ks_drift,
     }
 
 
@@ -4800,6 +4841,7 @@ def oracle_sql() -> dict[str, str]:
         "histograms": _o_histograms(),
         "psi_drift": _o_psi_drift(),
         "categorical_drift": _O_CATEGORICAL_DRIFT,
+        "ks_drift": _O_KS_DRIFT,
         "table_checks_lineitem": _o_table_checks_lineitem(),
         "classifier_quality_docs": _O_CLASSIFIER_QUALITY_DOCS,
         "classifier_train_docs": _O_CLASSIFIER_TRAIN_DOCS,

@@ -22,6 +22,7 @@ from .errors import (
     SpecResolutionError,
 )
 from .operators.dedup import paragraph_dedup
+from .operators.drift import ks_drift, ks_drift_report
 from .operators.funnel import FunnelResult, corpus_funnel
 from .operators.lm import perplexity_split
 from .operators.packing import (
@@ -88,6 +89,8 @@ __all__ = [
     "get_spark",
     "grouped_topk",
     "grouped_topk_salted",
+    "ks_drift",
+    "ks_drift_report",
     "normalize_url",
     "packed_shards",
     "paragraph_dedup",

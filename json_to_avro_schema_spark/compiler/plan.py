@@ -97,6 +97,10 @@ class DriftCheckCfg:
     # With by=: additionally emit the corpus-wide '<name>[ALL]' verdict,
     # fused into the same grouping-sets aggregation (zero extra scans).
     include_total: bool = False
+    # "psi" (binned KL/PSI, the default) or "ks" (exact binning-free
+    # two-sample Kolmogorov–Smirnov via operators/drift.ks_drift). KS is
+    # numeric/global only: by=, categorical, and bins/lo/hi don't apply.
+    method: str = "psi"
 
 
 @dataclass(frozen=True)
@@ -528,6 +532,18 @@ def _compile_extensions(doc: Dict[str, Any], plan: CompiledPlan) -> None:
             )
         )
     for d in doc.get("x-drift", []) or []:
+        method = d.get("method", "psi")
+        if method not in ("psi", "ks"):
+            raise SpecCompileError(
+                f"x-drift '{d.get('name', d['column'])}': unknown method "
+                f"{method!r} (expected 'psi' or 'ks')"
+            )
+        if method == "ks" and (d.get("by") or d.get("categorical")):
+            raise SpecCompileError(
+                f"x-drift '{d.get('name', d['column'])}': method 'ks' is "
+                "numeric/global only — by= and categorical apply to the "
+                "binned PSI path"
+            )
         plan.drift_checks.append(
             DriftCheckCfg(
                 name=d.get("name", f"drift_{d['column']}"),
@@ -538,6 +554,7 @@ def _compile_extensions(doc: Dict[str, Any], plan: CompiledPlan) -> None:
                 categorical=bool(d.get("categorical", False)),
                 by=d.get("by"),
                 include_total=bool(d.get("includeTotal", False)),
+                method=method,
             )
         )
     for v in doc.get("x-vector", []) or []:

@@ -1,4 +1,5 @@
-"""Distribution-drift checks: binned histograms + KL divergence / PSI.
+"""Distribution-drift checks: binned histograms + KL divergence / PSI,
+plus an exact (binning-free) two-sample Kolmogorov–Smirnov statistic.
 
 North-rule operator (SURVEY.md §2.3 'Aggregations'): the distributed part is
 a single ``groupBy(bucket).count()`` histogram per column — oracle-checkable
@@ -8,8 +9,15 @@ the driver never sees data-proportional volume.
 
 PSI = Σ (p_i - q_i) * ln(p_i / q_i)     (symmetric-ish, finite with smoothing)
 KL  = Σ p_i * ln(p_i / q_i)
+KS  = sup_x |F_cur(x) - F_base(x)|      (exact ECDF distance, no bins/eps)
 
-Smoothing: each empty bucket gets ``eps`` mass so both are finite.
+Smoothing: each empty bucket gets ``eps`` mass so KL/PSI are finite; KS
+needs none (it compares CDFs, which are defined for every sample).
+:func:`ks_drift` complements the binned divergences: KL/PSI depend on the
+bin layout (a shift smaller than one bin width is invisible), while KS is
+exact at any resolution — the price is a cumulative sum over the distinct
+values, which this module runs as the same two-level distributed prefix
+sum that :mod:`.packing` uses (never a single-partition global window).
 """
 
 from __future__ import annotations
@@ -343,4 +351,162 @@ def categorical_drift_report(
         ok=s < psi_threshold,
         n_current=sum(cur.values()),
         n_baseline=sum(base.values()),
+    )
+
+
+@dataclass
+class KsReport:
+    ks: float
+    ok: bool
+    n_current: int
+    n_baseline: int
+
+
+_KS_PID = "__ks_pid"
+
+
+def ks_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    ks_threshold: float = 0.1,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift verdict, fully distributed.
+
+    ``KS = sup_x |F_cur(x) - F_base(x)|``. Both ECDFs are step functions
+    that only jump at observed values, so the supremum is attained at a
+    sample point: ``KS = max over the union of distinct values v of
+    |F_cur(v) - F_base(v)|`` with right-continuous (inclusive) CDFs.
+    Unlike the binned KL/PSI checks this needs no lo/hi/bins/eps
+    configuration and detects shifts smaller than any bin width.
+
+    Plan shape (each input scanned once; wide exchanges at DISTINCT-VALUE
+    scale only, never a single-partition global window):
+
+    1. label + union the two sides, one ``groupBy(value)`` →
+       ``(v, nc, nb)`` — partial+final hash agg, the only data-scale
+       shuffle. The merged frame is persisted: it is post-aggregation
+       (distinct-value) volume and feeds three jobs below.
+    2. sqrt-blocked pid bounds over ``v`` (``packing._order_bounds`` —
+       the same capped two-level prefix-sum shape
+       :func:`~json_to_avro_schema_spark.operators.packing.cumulative_tokens`
+       uses, see that module's docstring for the full rationale).
+    3. per-pid ``(Σnc, Σnb)`` collected — O(P) rows, never O(values);
+       the driver derives BOTH the exclusive per-pid prefixes and the
+       global totals from the same ≤4096 rows (no extra pass).
+    4. prefixes broadcast back as a pid equi-join; a *within-pid*
+       inclusive window cumsum completes the exact integer CDF counts;
+       ``max |cc/tc - cb/tb|`` reduces to ONE output row.
+
+    Returns a single-row DataFrame ``(ks double, n_current long,
+    n_baseline long, pass boolean)``. Nulls are dropped on both sides
+    (an ECDF is defined over observed values; null-RATE drift is
+    :func:`categorical_drift_report`'s job). Degenerate sides are
+    deterministic: both empty → ks 0.0 / pass true; exactly one empty →
+    ks 1.0 / pass false. Non-numeric columns raise ``TypeError`` (KS is
+    a statistic on ordered samples; use the categorical PSI for labels).
+    """
+    from pyspark.sql.types import NumericType
+
+    from .packing import _MAX_PID_BUCKETS, _order_bounds, _pid_from_bounds
+
+    if not isinstance(current.schema[column].dataType, NumericType):
+        raise TypeError(
+            f"ks_drift needs a numeric column; {column!r} is "
+            f"{current.schema[column].dataType.simpleString()} — use "
+            "categorical_drift_report for label columns"
+        )
+    spark = current.sparkSession
+
+    def _side(df: DataFrame, c: str, b: str) -> DataFrame:
+        col = F.col(column)
+        return df.filter(col.isNotNull()).select(
+            col.alias("v"), F.lit(c).cast("long").alias("__c"),
+            F.lit(b).cast("long").alias("__b"),
+        )
+
+    merged = (
+        _side(current, 1, 0)
+        .unionByName(_side(baseline, 0, 1))
+        .groupBy("v")
+        .agg(F.sum("__c").alias("nc"), F.sum("__b").alias("nb"))
+        .persist()
+    )
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    n_parts = min(n_parts, _MAX_PID_BUCKETS)
+    bounds = _order_bounds(merged, "v", n_parts) or []
+    # value-neutral nondeterminism barrier: same Catalyst constraint-
+    # inference hazard as packing.cumulative_tokens (the pid expression
+    # holds a HOF lambda and feeds a join equality; see that function's
+    # comment and the pinned repro in test_packing.py)
+    pid = (
+        _pid_from_bounds("v", bounds).cast("long")
+        + F.lit(0) * F.monotonically_increasing_id()
+    ).cast("int")
+    part = merged.withColumn(_KS_PID, pid)
+
+    totals = (
+        part.groupBy(_KS_PID)
+        .agg(F.sum("nc").alias("tc"), F.sum("nb").alias("tb"))
+        .orderBy(_KS_PID)
+        .collect()
+    )
+    acc_c = acc_b = 0
+    rows = []
+    for r in totals:  # ascending pid == ascending v (bounds are monotonic)
+        rows.append((r[_KS_PID], acc_c, acc_b))
+        acc_c += r["tc"] or 0
+        acc_b += r["tb"] or 0
+    tc, tb = acc_c, acc_b
+    if tc == 0 or tb == 0:
+        merged.unpersist()
+        ks0 = 0.0 if (tc == 0 and tb == 0) else 1.0
+        return spark.createDataFrame(
+            [(ks0, tc, tb, ks0 < ks_threshold)],
+            "ks double, n_current long, n_baseline long, pass boolean",
+        )
+    offsets = spark.createDataFrame(
+        rows, f"{_KS_PID} int, __off_c long, __off_b long"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(_KS_PID)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf_c = (F.col("__off_c") + F.sum("nc").over(w)) / F.lit(float(tc))
+    cdf_b = (F.col("__off_b") + F.sum("nb").over(w)) / F.lit(float(tb))
+    return (
+        part.join(F.broadcast(offsets), _KS_PID)
+        .select(F.abs(cdf_c - cdf_b).alias("__d"))
+        .agg(
+            F.max("__d").alias("ks"),
+            F.lit(tc).alias("n_current"),
+            F.lit(tb).alias("n_baseline"),
+            (F.max("__d") < F.lit(float(ks_threshold))).alias("pass"),
+        )
+    )
+
+
+def ks_drift_report(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    ks_threshold: float = 0.1,
+    num_partitions: Optional[int] = None,
+) -> KsReport:
+    """Scalar wrapper over :func:`ks_drift` (collects the single verdict
+    row) — the shape ``table_checks`` consumes for ``x-drift`` entries
+    with ``method: "ks"``."""
+    r = ks_drift(
+        current, baseline, column,
+        ks_threshold=ks_threshold, num_partitions=num_partitions,
+    ).collect()[0]
+    return KsReport(
+        ks=float(r["ks"]), ok=bool(r["pass"]),
+        n_current=int(r["n_current"]), n_baseline=int(r["n_baseline"]),
     )

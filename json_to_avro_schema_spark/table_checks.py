@@ -47,6 +47,7 @@ def run_table_checks(
     ref_tables: Optional[Dict[str, DataFrame]] = None,
     drift_baselines: Optional[Dict[str, DataFrame]] = None,
     psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
 ) -> DataFrame:
     """Run every table-level check the spec declares; one verdict row each.
 
@@ -135,6 +136,14 @@ def run_table_checks(
                  bool(r["pass"]))]
 
     def _run_drift(dc, base):
+        if getattr(dc, "method", "psi") == "ks":
+            # exact binning-free two-sample KS (parser guarantees
+            # numeric/global: no by=, no categorical)
+            rep = dr.ks_drift_report(
+                df, base, dc.column, ks_threshold=ks_threshold
+            )
+            return [(dc.name, "drift", rep.n_current,
+                     0 if rep.ok else 1, bool(rep.ok))]
         if dc.by and not dc.categorical:
             # per-partition verdicts, fully distributed; one verdict row per
             # distinct `by` value (bounded by partition count, never row

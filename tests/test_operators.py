@@ -8,7 +8,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from json_to_avro_schema_spark.operators.drift import drift_verdict, histogram
+from json_to_avro_schema_spark.operators.drift import (
+    drift_verdict,
+    histogram,
+    ks_drift,
+    ks_drift_report,
+)
 from json_to_avro_schema_spark.operators.referential import (
     exploded_span_refs,
     ri_verdict,
@@ -140,6 +145,79 @@ def test_drift_detects_shift(spark):
     assert not ok1 and psi1 > 0.5 and kl1 > kl0
 
 
+def test_ks_drift_matches_numpy_ecdf(spark):
+    """KS statistic equals the hand-computed sup |ΔECDF| (ties and values
+    present on one side only included), independent of pid bucket count."""
+    c = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 9.0]
+    b = [1.0, 1.0, 2.0, 4.0, 6.0, 7.0]
+    cur = spark.createDataFrame([(v,) for v in c], "v double")
+    base = spark.createDataFrame([(v,) for v in b], "v double")
+    vals = sorted(set(c) | set(b))
+    expect = max(
+        abs(
+            sum(x <= v for x in c) / len(c)
+            - sum(x <= v for x in b) / len(b)
+        )
+        for v in vals
+    )
+    for n_parts in (1, 4):  # flat pid and multi-pid prefix paths
+        r = ks_drift(
+            cur, base, "v", ks_threshold=0.3, num_partitions=n_parts
+        ).collect()[0]
+        assert r["ks"] == pytest.approx(expect)
+        assert r["n_current"] == 7 and r["n_baseline"] == 6
+        assert r["pass"]  # expect = 2/7 ≈ 0.286 < 0.3
+
+
+def test_ks_drift_detects_sub_bin_shift(spark):
+    """A mean shift that stays inside one coarse bin is invisible to
+    binned PSI but caught by KS — the reason the operator exists."""
+    base = spark.range(0, 20000).select((F.randn(seed=1) * 5 + 25).alias("v"))
+    shifted = spark.range(0, 20000).select(
+        (F.randn(seed=2) * 5 + 30).alias("v")
+    )
+    # 2 bins over [0, 100): both N(25,5) and N(30,5) live entirely in
+    # bin 0, so the binned masses are identical
+    _, psi_coarse, ok_coarse = drift_verdict(
+        shifted, base, "v", bins=2, lo=0.0, hi=100.0
+    )
+    rep = ks_drift_report(shifted, base, "v", ks_threshold=0.05)
+    assert ok_coarse and psi_coarse < 0.01  # binned check sleeps through it
+    assert not rep.ok and rep.ks > 0.3  # KS ≈ Φ(0.5)-Φ(-0.5) ≈ 0.383
+    # identical distributions pass KS
+    same = spark.range(0, 20000).select((F.randn(seed=3) * 5 + 25).alias("v"))
+    assert ks_drift_report(same, base, "v", ks_threshold=0.05).ok
+
+
+def test_ks_drift_edges_and_types(spark):
+    cur = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    emp = spark.createDataFrame([], "v double")
+    one = ks_drift(cur, emp, "v").collect()[0]
+    assert one["ks"] == 1.0 and not one["pass"] and one["n_baseline"] == 0
+    both = ks_drift(emp, emp, "v").collect()[0]
+    assert both["ks"] == 0.0 and both["pass"]
+    # nulls dropped, not counted
+    withnull = spark.createDataFrame([(1.0,), (None,)], "v double")
+    r = ks_drift(withnull, cur, "v").collect()[0]
+    assert r["n_current"] == 1
+    with pytest.raises(TypeError, match="numeric"):
+        ks_drift(spark.createDataFrame([("a",)], "v string"), cur, "v")
+
+
+def test_ks_drift_plan_has_no_global_window(spark):
+    """The cumulative sum must run as within-pid windows (partitioned by
+    the prefix-sum pid), never a single-partition global ORDER BY window."""
+    cur = spark.range(0, 5000).select((F.rand(seed=1) * 100).alias("v"))
+    base = spark.range(0, 5000).select((F.rand(seed=2) * 100).alias("v"))
+    out = ks_drift(cur, base, "v", num_partitions=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__ks_pid" in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__ks_pid" in m.group(1)  # every window spec is pid-partitioned
+
+
 def test_tdigest_pure_python_accuracy():
     rng = np.random.default_rng(42)
     vals = rng.normal(100.0, 15.0, 50_000)
@@ -249,6 +327,54 @@ def test_table_checks_partitioned_drift_by(spark):
         )
         assert out[f"dv[{g}]"]["pass"] == rep.ok
         assert out[f"dv[{g}]"]["n_rows"] == rep.n_current
+
+
+def test_table_checks_drift_method_ks(spark):
+    """x-drift method:'ks' dispatches to the exact KS path; the verdict
+    row agrees with the standalone operator, and the parser rejects
+    ks+by / ks+categorical / unknown methods with typed errors."""
+    from pyspark.sql import functions as F
+
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.errors import SpecCompileError
+    from json_to_avro_schema_spark.table_checks import run_table_checks
+
+    doc = {
+        "$id": "x://t/TCKS", "type": "object",
+        "properties": {"id": {"type": "integer"}, "v": {"type": "number"}},
+        "x-drift": [{"name": "dks", "column": "v", "method": "ks"}],
+    }
+    plan = compile_document(doc)
+    assert plan.drift_checks[0].method == "ks"
+
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.rand(seed=7) * 100).alias("v")
+    )
+    cur = df.filter(F.col("id") % 2 == 0)
+    base = df.filter(F.col("id") % 2 == 1)
+    out = {
+        r["check_name"]: r
+        for r in run_table_checks(
+            spark, cur, plan, drift_baselines={"dks": base}, ks_threshold=0.05
+        ).collect()
+    }
+    rep = ks_drift_report(cur, base, "v", ks_threshold=0.05)
+    assert out["dks"]["kind"] == "drift"
+    assert out["dks"]["pass"] == rep.ok and rep.ok
+    assert out["dks"]["n_rows"] == rep.n_current
+
+    with pytest.raises(SpecCompileError, match="numeric/global"):
+        compile_document({
+            "$id": "x://t/TCKS2", "type": "object",
+            "properties": {"v": {"type": "number"}},
+            "x-drift": [{"column": "v", "method": "ks", "by": "g"}],
+        })
+    with pytest.raises(SpecCompileError, match="unknown method"):
+        compile_document({
+            "$id": "x://t/TCKS3", "type": "object",
+            "properties": {"v": {"type": "number"}},
+            "x-drift": [{"column": "v", "method": "wasserstein"}],
+        })
 
 
 def test_table_checks_drift_include_total(spark):
