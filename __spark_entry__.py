@@ -2313,6 +2313,51 @@ FROM s, t GROUP BY t.tc, t.tb
 """
 
 
+def _q_emd_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Wasserstein-1 (earth mover's) drift between even-
+    and odd-orderkey halves of lineitem l_extendedprice — completes the
+    drift family (binned KL/PSI = layout-dependent divergence, KS = the
+    largest single CDF gap, W1 = the integrated gap, i.e. how FAR mass
+    moved). Same distributed shape as ks_drift plus a within-pid lead
+    for the value gaps, pid-boundary successors riding the scaffold's
+    O(P) driver rows (operators/drift.emd_drift)."""
+    li = load_table(spark, sf, "lineitem")
+    cur = li.filter(F.col("l_orderkey") % 2 == 0)
+    base = li.filter(F.col("l_orderkey") % 2 == 1)
+    out = dr.emd_drift(cur, base, "l_extendedprice", emd_threshold=0.01)
+    return out.select(
+        F.round("w1", 4).alias("w1"),
+        F.round("w1_norm", 6).alias("w1_norm"),
+        "n_current", "n_baseline", "pass",
+    )
+
+
+_O_EMD_DRIFT = """
+WITH m AS (
+  SELECT l_extendedprice AS v,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS nb
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+t AS (SELECT sum(nc) AS tc, sum(nb) AS tb,
+             max(v) - min(v) AS span FROM m),
+s AS (SELECT v, lead(v) OVER (ORDER BY v) AS vn,
+             sum(nc) OVER (ORDER BY v) AS cc,
+             sum(nb) OVER (ORDER BY v) AS cb
+      FROM m),
+w AS (SELECT sum(coalesce(vn - v, 0)
+                 * abs(cc * 1.0 / t.tc - cb * 1.0 / t.tb)) AS w1,
+             t.tc AS tc, t.tb AS tb, t.span AS span
+      FROM s, t GROUP BY t.tc, t.tb, t.span)
+SELECT round(w1, 4) AS w1,
+       round(w1 / span, 6) AS w1_norm,
+       CAST(tc AS BIGINT) AS n_current,
+       CAST(tb AS BIGINT) AS n_baseline,
+       w1 / span < 0.01 AS pass
+FROM w
+"""
+
+
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 5-shingle Jaccard on planted (doc, next-doc) pairs — oracles
     the pair-metric used to verify MinHash-LSH candidates."""
@@ -4805,6 +4850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: exact binning-free KS drift, sibling of the
         # driver-attested psi_drift / categorical_drift family
         "ks_drift": _q_ks_drift,
+        # r5 addition: exact Wasserstein-1 drift (integrated CDF gap),
+        # same family and scaffold as ks_drift
+        "emd_drift": _q_emd_drift,
     }
 
 
@@ -4842,6 +4890,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _o_psi_drift(),
         "categorical_drift": _O_CATEGORICAL_DRIFT,
         "ks_drift": _O_KS_DRIFT,
+        "emd_drift": _O_EMD_DRIFT,
         "table_checks_lineitem": _o_table_checks_lineitem(),
         "classifier_quality_docs": _O_CLASSIFIER_QUALITY_DOCS,
         "classifier_train_docs": _O_CLASSIFIER_TRAIN_DOCS,

@@ -176,8 +176,10 @@ def run_bench() -> dict:
         # r5: learned quality-classifier inference (FineWeb-Edu/DCLM
         # stage) — pure Column logistic scoring, no UDF
         ("classifier_quality_docs", qs["classifier_quality_docs"]),
-        # r5: exact binning-free KS drift (distributed prefix-sum CDF)
+        # r5: exact binning-free KS + Wasserstein-1 drift (distributed
+        # prefix-sum CDFs)
         ("ks_drift", qs["ks_drift"]),
+        ("emd_drift", qs["emd_drift"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

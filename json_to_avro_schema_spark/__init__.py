@@ -22,7 +22,12 @@ from .errors import (
     SpecResolutionError,
 )
 from .operators.dedup import paragraph_dedup
-from .operators.drift import ks_drift, ks_drift_report
+from .operators.drift import (
+    emd_drift,
+    emd_drift_report,
+    ks_drift,
+    ks_drift_report,
+)
 from .operators.funnel import FunnelResult, corpus_funnel
 from .operators.lm import perplexity_split
 from .operators.packing import (
@@ -82,6 +87,8 @@ __all__ = [
     "cumulative_tokens",
     "domain_caps",
     "domain_filter",
+    "emd_drift",
+    "emd_drift_report",
     "fail_on_failed_checks",
     "fail_on_violations",
     "deterministic_sample",

@@ -97,9 +97,11 @@ class DriftCheckCfg:
     # With by=: additionally emit the corpus-wide '<name>[ALL]' verdict,
     # fused into the same grouping-sets aggregation (zero extra scans).
     include_total: bool = False
-    # "psi" (binned KL/PSI, the default) or "ks" (exact binning-free
-    # two-sample Kolmogorov–Smirnov via operators/drift.ks_drift). KS is
-    # numeric/global only: by=, categorical, and bins/lo/hi don't apply.
+    # "psi" (binned KL/PSI, the default), "ks" (exact binning-free
+    # two-sample Kolmogorov–Smirnov via operators/drift.ks_drift), or
+    # "emd" (exact Wasserstein-1 via operators/drift.emd_drift). ks/emd
+    # are numeric/global only: by=, categorical, and bins/lo/hi don't
+    # apply.
     method: str = "psi"
 
 
@@ -533,16 +535,16 @@ def _compile_extensions(doc: Dict[str, Any], plan: CompiledPlan) -> None:
         )
     for d in doc.get("x-drift", []) or []:
         method = d.get("method", "psi")
-        if method not in ("psi", "ks"):
+        if method not in ("psi", "ks", "emd"):
             raise SpecCompileError(
                 f"x-drift '{d.get('name', d['column'])}': unknown method "
-                f"{method!r} (expected 'psi' or 'ks')"
+                f"{method!r} (expected 'psi', 'ks' or 'emd')"
             )
-        if method == "ks" and (d.get("by") or d.get("categorical")):
+        if method != "psi" and (d.get("by") or d.get("categorical")):
             raise SpecCompileError(
-                f"x-drift '{d.get('name', d['column'])}': method 'ks' is "
-                "numeric/global only — by= and categorical apply to the "
-                "binned PSI path"
+                f"x-drift '{d.get('name', d['column'])}': method "
+                f"{method!r} is numeric/global only — by= and categorical "
+                "apply to the binned PSI path"
             )
         plan.drift_checks.append(
             DriftCheckCfg(

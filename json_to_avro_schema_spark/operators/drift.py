@@ -1,5 +1,6 @@
 """Distribution-drift checks: binned histograms + KL divergence / PSI,
-plus an exact (binning-free) two-sample Kolmogorov–Smirnov statistic.
+plus exact (binning-free) two-sample Kolmogorov–Smirnov and
+Wasserstein-1 (earth mover's) statistics.
 
 North-rule operator (SURVEY.md §2.3 'Aggregations'): the distributed part is
 a single ``groupBy(bucket).count()`` histogram per column — oracle-checkable
@@ -10,14 +11,16 @@ the driver never sees data-proportional volume.
 PSI = Σ (p_i - q_i) * ln(p_i / q_i)     (symmetric-ish, finite with smoothing)
 KL  = Σ p_i * ln(p_i / q_i)
 KS  = sup_x |F_cur(x) - F_base(x)|      (exact ECDF distance, no bins/eps)
+W1  = ∫ |F_cur(x) - F_base(x)| dx       (exact earth-mover's distance)
 
 Smoothing: each empty bucket gets ``eps`` mass so KL/PSI are finite; KS
-needs none (it compares CDFs, which are defined for every sample).
-:func:`ks_drift` complements the binned divergences: KL/PSI depend on the
-bin layout (a shift smaller than one bin width is invisible), while KS is
-exact at any resolution — the price is a cumulative sum over the distinct
-values, which this module runs as the same two-level distributed prefix
-sum that :mod:`.packing` uses (never a single-partition global window).
+and W1 need none (they compare CDFs, defined for every sample).
+:func:`ks_drift` / :func:`emd_drift` complement the binned divergences:
+KL/PSI depend on the bin layout (a shift smaller than one bin width is
+invisible), KS is exact at any resolution, and W1 additionally weighs how
+FAR mass moved — the price is a cumulative sum over the distinct values,
+which this module runs as the same two-level distributed prefix sum that
+:mod:`.packing` uses (never a single-partition global window).
 """
 
 from __future__ import annotations
@@ -365,48 +368,32 @@ class KsReport:
 _KS_PID = "__ks_pid"
 
 
-def ks_drift(
+def _cdf_scaffold(
     current: DataFrame,
     baseline: DataFrame,
     column: str,
-    *,
-    ks_threshold: float = 0.1,
-    num_partitions: Optional[int] = None,
-) -> DataFrame:
-    """Exact two-sample Kolmogorov–Smirnov drift verdict, fully distributed.
-
-    ``KS = sup_x |F_cur(x) - F_base(x)|``. Both ECDFs are step functions
-    that only jump at observed values, so the supremum is attained at a
-    sample point: ``KS = max over the union of distinct values v of
-    |F_cur(v) - F_base(v)|`` with right-continuous (inclusive) CDFs.
-    Unlike the binned KL/PSI checks this needs no lo/hi/bins/eps
-    configuration and detects shifts smaller than any bin width.
-
-    Plan shape (each input scanned once; wide exchanges at DISTINCT-VALUE
-    scale only, never a single-partition global window):
+    num_partitions: Optional[int],
+    op_name: str,
+):
+    """Shared machinery for the exact-ECDF drift statistics (KS / EMD):
 
     1. label + union the two sides, one ``groupBy(value)`` →
        ``(v, nc, nb)`` — partial+final hash agg, the only data-scale
        shuffle. The merged frame is persisted: it is post-aggregation
-       (distinct-value) volume and feeds three jobs below.
+       (distinct-value) volume and feeds the jobs below.
     2. sqrt-blocked pid bounds over ``v`` (``packing._order_bounds`` —
        the same capped two-level prefix-sum shape
        :func:`~json_to_avro_schema_spark.operators.packing.cumulative_tokens`
        uses, see that module's docstring for the full rationale).
-    3. per-pid ``(Σnc, Σnb)`` collected — O(P) rows, never O(values);
-       the driver derives BOTH the exclusive per-pid prefixes and the
-       global totals from the same ≤4096 rows (no extra pass).
-    4. prefixes broadcast back as a pid equi-join; a *within-pid*
-       inclusive window cumsum completes the exact integer CDF counts;
-       ``max |cc/tc - cb/tb|`` reduces to ONE output row.
+    3. per-pid ``(Σnc, Σnb, min v, max v)`` collected — O(P) rows, never
+       O(values); the driver derives the exclusive per-pid prefixes, the
+       global totals, the value range, AND each pid's successor-start
+       value (for gap integration across pid boundaries) from the same
+       ≤4096 rows — no extra pass.
 
-    Returns a single-row DataFrame ``(ks double, n_current long,
-    n_baseline long, pass boolean)``. Nulls are dropped on both sides
-    (an ECDF is defined over observed values; null-RATE drift is
-    :func:`categorical_drift_report`'s job). Degenerate sides are
-    deterministic: both empty → ks 0.0 / pass true; exactly one empty →
-    ks 1.0 / pass false. Non-numeric columns raise ``TypeError`` (KS is
-    a statistic on ordered samples; use the categorical PSI for labels).
+    Returns ``(part, rows, tc, tb, vmin, vmax, merged)`` where ``part``
+    is the pid-annotated merged frame and ``rows`` is the driver-side
+    list of ``(pid, off_c, off_b, next_start)``.
     """
     from pyspark.sql.types import NumericType
 
@@ -414,13 +401,13 @@ def ks_drift(
 
     if not isinstance(current.schema[column].dataType, NumericType):
         raise TypeError(
-            f"ks_drift needs a numeric column; {column!r} is "
+            f"{op_name} needs a numeric column; {column!r} is "
             f"{current.schema[column].dataType.simpleString()} — use "
             "categorical_drift_report for label columns"
         )
     spark = current.sparkSession
 
-    def _side(df: DataFrame, c: str, b: str) -> DataFrame:
+    def _side(df: DataFrame, c: int, b: int) -> DataFrame:
         col = F.col(column)
         return df.filter(col.isNotNull()).select(
             col.alias("v"), F.lit(c).cast("long").alias("__c"),
@@ -449,27 +436,29 @@ def ks_drift(
 
     totals = (
         part.groupBy(_KS_PID)
-        .agg(F.sum("nc").alias("tc"), F.sum("nb").alias("tb"))
+        .agg(
+            F.sum("nc").alias("tc"), F.sum("nb").alias("tb"),
+            F.min("v").alias("v_lo"), F.max("v").alias("v_hi"),
+        )
         .orderBy(_KS_PID)
         .collect()
     )
     acc_c = acc_b = 0
     rows = []
-    for r in totals:  # ascending pid == ascending v (bounds are monotonic)
-        rows.append((r[_KS_PID], acc_c, acc_b))
+    for i, r in enumerate(totals):  # ascending pid == ascending v
+        nxt = float(totals[i + 1]["v_lo"]) if i + 1 < len(totals) else None
+        rows.append((r[_KS_PID], acc_c, acc_b, nxt))
         acc_c += r["tc"] or 0
         acc_b += r["tb"] or 0
     tc, tb = acc_c, acc_b
-    if tc == 0 or tb == 0:
-        merged.unpersist()
-        ks0 = 0.0 if (tc == 0 and tb == 0) else 1.0
-        return spark.createDataFrame(
-            [(ks0, tc, tb, ks0 < ks_threshold)],
-            "ks double, n_current long, n_baseline long, pass boolean",
-        )
-    offsets = spark.createDataFrame(
-        rows, f"{_KS_PID} int, __off_c long, __off_b long"
-    )
+    vmin = float(totals[0]["v_lo"]) if totals else None
+    vmax = float(totals[-1]["v_hi"]) if totals else None
+    return part, rows, tc, tb, vmin, vmax, merged
+
+
+def _inclusive_cdfs(tc: int, tb: int):
+    """(window, cdf_cur, cdf_base) over a scaffold frame joined to its
+    offsets: exact integer within-pid cumsum + broadcast prefix."""
     from pyspark.sql import Window
 
     w = (
@@ -479,6 +468,57 @@ def ks_drift(
     )
     cdf_c = (F.col("__off_c") + F.sum("nc").over(w)) / F.lit(float(tc))
     cdf_b = (F.col("__off_b") + F.sum("nb").over(w)) / F.lit(float(tb))
+    return w, cdf_c, cdf_b
+
+
+def ks_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    ks_threshold: float = 0.1,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift verdict, fully distributed.
+
+    ``KS = sup_x |F_cur(x) - F_base(x)|``. Both ECDFs are step functions
+    that only jump at observed values, so the supremum is attained at a
+    sample point: ``KS = max over the union of distinct values v of
+    |F_cur(v) - F_base(v)|`` with right-continuous (inclusive) CDFs.
+    Unlike the binned KL/PSI checks this needs no lo/hi/bins/eps
+    configuration and detects shifts smaller than any bin width.
+
+    Plan shape (each input scanned once; wide exchanges at DISTINCT-VALUE
+    scale only, never a single-partition global window): the shared
+    :func:`_cdf_scaffold` steps, then prefixes broadcast back as a pid
+    equi-join, a *within-pid* inclusive window cumsum completing the
+    exact integer CDF counts, and ``max |cc/tc - cb/tb|`` reducing to
+    ONE output row.
+
+    Returns a single-row DataFrame ``(ks double, n_current long,
+    n_baseline long, pass boolean)``. Nulls are dropped on both sides
+    (an ECDF is defined over observed values; null-RATE drift is
+    :func:`categorical_drift_report`'s job). Degenerate sides are
+    deterministic: both empty → ks 0.0 / pass true; exactly one empty →
+    ks 1.0 / pass false. Non-numeric columns raise ``TypeError`` (KS is
+    a statistic on ordered samples; use the categorical PSI for labels).
+    """
+    spark = current.sparkSession
+    part, rows, tc, tb, _, _, merged = _cdf_scaffold(
+        current, baseline, column, num_partitions, "ks_drift"
+    )
+    if tc == 0 or tb == 0:
+        merged.unpersist()
+        ks0 = 0.0 if (tc == 0 and tb == 0) else 1.0
+        return spark.createDataFrame(
+            [(ks0, tc, tb, ks0 < ks_threshold)],
+            "ks double, n_current long, n_baseline long, pass boolean",
+        )
+    offsets = spark.createDataFrame(
+        [(p, oc, ob) for p, oc, ob, _ in rows],
+        f"{_KS_PID} int, __off_c long, __off_b long",
+    )
+    _, cdf_c, cdf_b = _inclusive_cdfs(tc, tb)
     return (
         part.join(F.broadcast(offsets), _KS_PID)
         .select(F.abs(cdf_c - cdf_b).alias("__d"))
@@ -508,5 +548,130 @@ def ks_drift_report(
     ).collect()[0]
     return KsReport(
         ks=float(r["ks"]), ok=bool(r["pass"]),
+        n_current=int(r["n_current"]), n_baseline=int(r["n_baseline"]),
+    )
+
+
+@dataclass
+class EmdReport:
+    w1: Optional[float]
+    w1_norm: float
+    ok: bool
+    n_current: int
+    n_baseline: int
+
+
+def emd_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    emd_threshold: float = 0.05,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exact two-sample Wasserstein-1 (earth mover's) drift verdict,
+    fully distributed.
+
+    ``W1 = ∫ |F_cur(x) - F_base(x)| dx`` — for step ECDFs this is the
+    exact finite sum ``Σ_i (v_{i+1} - v_i) · |F_cur(v_i) - F_base(v_i)|``
+    over the sorted union of distinct values. W1 completes the drift
+    family: KS reports the LARGEST single CDF gap (shift detection),
+    W1 integrates ALL of it — it weighs *how far* mass moved, so a small
+    shift of the whole distribution and a large shift of a small tail
+    are distinguished, which neither KS nor binned PSI does.
+
+    Plan shape: the shared :func:`_cdf_scaffold` (one data-scale labeled
+    hash agg; everything after is distinct-value scale). The gap
+    ``v_{i+1} - v_i`` needs each value's successor: within a pid that is
+    ``lead(v)`` over the SAME within-pid window the cumsum uses; for the
+    pid's last value the successor is the next pid's first value, which
+    the scaffold's O(P) driver rows already carry — broadcast back as
+    ``__next_start``, so pid boundaries cost nothing extra. The global
+    last value has no successor and contributes 0 (both CDFs are 1 at
+    and above it).
+
+    Returns a single-row DataFrame ``(w1 double, w1_norm double,
+    n_current long, n_baseline long, pass boolean)``; ``w1`` is in the
+    column's units, ``w1_norm = w1 / (vmax - vmin)`` ∈ [0, 1] is the
+    scale-free gauge the threshold applies to (0.0 when all mass sits on
+    one point). Degenerate sides are deterministic: both empty → w1 0.0
+    / pass true; exactly one empty → w1 NULL (no transport plan exists
+    against nothing), w1_norm 1.0, pass false. Nulls are dropped and
+    non-numeric columns raise ``TypeError``, as in :func:`ks_drift`.
+    """
+    spark = current.sparkSession
+    part, rows, tc, tb, vmin, vmax, merged = _cdf_scaffold(
+        current, baseline, column, num_partitions, "emd_drift"
+    )
+    schema = (
+        "w1 double, w1_norm double, n_current long, n_baseline long, "
+        "pass boolean"
+    )
+    if tc == 0 or tb == 0:
+        merged.unpersist()
+        if tc == 0 and tb == 0:
+            return spark.createDataFrame(
+                [(0.0, 0.0, 0, 0, True)], schema
+            )
+        return spark.createDataFrame(
+            [(None, 1.0, tc, tb, False)], schema
+        )
+    offsets = spark.createDataFrame(
+        rows, f"{_KS_PID} int, __off_c long, __off_b long, __next_start double"
+    )
+    from pyspark.sql import Window
+
+    _, cdf_c, cdf_b = _inclusive_cdfs(tc, tb)
+    # successor value: within-pid lead (its own frameless window — lead
+    # carries a fixed 1-FOLLOWING frame), falling back to the next pid's
+    # first value at the boundary; NULL (global last value) → gap 0
+    w_lead = Window.partitionBy(_KS_PID).orderBy("v")
+    nxt = F.coalesce(F.lead("v").over(w_lead), F.col("__next_start"))
+    gap = F.coalesce(nxt.cast("double") - F.col("v").cast("double"), F.lit(0.0))
+    span = (vmax - vmin) if (vmax is not None and vmax > vmin) else None
+    w1 = F.sum(F.col("__gap") * F.col("__d")).alias("w1")
+    w1_norm = (
+        (F.sum(F.col("__gap") * F.col("__d")) / F.lit(span))
+        if span
+        else F.lit(0.0)
+    ).alias("w1_norm")
+    return (
+        part.join(F.broadcast(offsets), _KS_PID)
+        .select(gap.alias("__gap"), F.abs(cdf_c - cdf_b).alias("__d"))
+        .agg(
+            w1,
+            w1_norm,
+            F.lit(tc).alias("n_current"),
+            F.lit(tb).alias("n_baseline"),
+            (
+                (
+                    F.sum(F.col("__gap") * F.col("__d")) / F.lit(span)
+                    if span
+                    else F.lit(0.0)
+                )
+                < F.lit(float(emd_threshold))
+            ).alias("pass"),
+        )
+    )
+
+
+def emd_drift_report(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    *,
+    emd_threshold: float = 0.05,
+    num_partitions: Optional[int] = None,
+) -> EmdReport:
+    """Scalar wrapper over :func:`emd_drift` (collects the single verdict
+    row) — the shape ``table_checks`` consumes for ``x-drift`` entries
+    with ``method: "emd"``."""
+    r = emd_drift(
+        current, baseline, column,
+        emd_threshold=emd_threshold, num_partitions=num_partitions,
+    ).collect()[0]
+    return EmdReport(
+        w1=None if r["w1"] is None else float(r["w1"]),
+        w1_norm=float(r["w1_norm"]), ok=bool(r["pass"]),
         n_current=int(r["n_current"]), n_baseline=int(r["n_baseline"]),
     )

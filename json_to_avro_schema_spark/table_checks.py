@@ -48,6 +48,7 @@ def run_table_checks(
     drift_baselines: Optional[Dict[str, DataFrame]] = None,
     psi_threshold: float = 0.2,
     ks_threshold: float = 0.1,
+    emd_threshold: float = 0.05,
 ) -> DataFrame:
     """Run every table-level check the spec declares; one verdict row each.
 
@@ -136,12 +137,18 @@ def run_table_checks(
                  bool(r["pass"]))]
 
     def _run_drift(dc, base):
-        if getattr(dc, "method", "psi") == "ks":
-            # exact binning-free two-sample KS (parser guarantees
+        method = getattr(dc, "method", "psi")
+        if method in ("ks", "emd"):
+            # exact binning-free ECDF statistics (parser guarantees
             # numeric/global: no by=, no categorical)
-            rep = dr.ks_drift_report(
-                df, base, dc.column, ks_threshold=ks_threshold
-            )
+            if method == "ks":
+                rep = dr.ks_drift_report(
+                    df, base, dc.column, ks_threshold=ks_threshold
+                )
+            else:
+                rep = dr.emd_drift_report(
+                    df, base, dc.column, emd_threshold=emd_threshold
+                )
             return [(dc.name, "drift", rep.n_current,
                      0 if rep.ok else 1, bool(rep.ok))]
         if dc.by and not dc.categorical:

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from json_to_avro_schema_spark.operators.drift import (
     drift_verdict,
+    emd_drift,
+    emd_drift_report,
     histogram,
     ks_drift,
     ks_drift_report,
@@ -204,18 +206,83 @@ def test_ks_drift_edges_and_types(spark):
         ks_drift(spark.createDataFrame([("a",)], "v string"), cur, "v")
 
 
+def test_emd_drift_matches_hand_integral(spark):
+    """W1 equals the hand-computed Σ gap·|ΔECDF| over the sorted union
+    (ties, one-side-only values, pid-boundary gaps), independent of pid
+    bucket count; w1_norm = w1 / (vmax - vmin)."""
+    c = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 9.0]
+    b = [1.0, 1.0, 2.0, 4.0, 6.0, 7.0]
+    cur = spark.createDataFrame([(v,) for v in c], "v double")
+    base = spark.createDataFrame([(v,) for v in b], "v double")
+    vals = sorted(set(c) | set(b))
+    diffs = [
+        abs(
+            sum(x <= v for x in c) / len(c)
+            - sum(x <= v for x in b) / len(b)
+        )
+        for v in vals
+    ]
+    expect = sum(
+        (vals[i + 1] - vals[i]) * diffs[i] for i in range(len(vals) - 1)
+    )
+    for n_parts in (1, 4):  # flat pid and multi-pid (boundary-gap) paths
+        r = emd_drift(
+            cur, base, "v", emd_threshold=0.2, num_partitions=n_parts
+        ).collect()[0]
+        assert r["w1"] == pytest.approx(expect)
+        assert r["w1_norm"] == pytest.approx(expect / (9.0 - 1.0))
+        assert r["n_current"] == 7 and r["n_baseline"] == 6
+        assert r["pass"]  # 0.128 < 0.2
+
+
+def test_emd_drift_weighs_distance_not_just_overlap(spark):
+    """W1 distinguishes HOW FAR mass moved: a whole-distribution shift of
+    2σ dwarfs the same KS-visible shift of 0.2σ, while KS saturates."""
+    base = spark.range(0, 20000).select((F.randn(seed=1) * 5 + 25).alias("v"))
+    near = spark.range(0, 20000).select((F.randn(seed=2) * 5 + 26).alias("v"))
+    far = spark.range(0, 20000).select((F.randn(seed=3) * 5 + 35).alias("v"))
+    r_near = emd_drift_report(near, base, "v")
+    r_far = emd_drift_report(far, base, "v")
+    # W1 of two equal-σ Gaussians ≈ |Δμ|: 1 vs 10
+    assert r_near.w1 == pytest.approx(1.0, abs=0.3)
+    assert r_far.w1 == pytest.approx(10.0, abs=0.5)
+    assert r_far.w1 > 5 * r_near.w1
+    # identical distributions pass
+    same = spark.range(0, 20000).select((F.randn(seed=4) * 5 + 25).alias("v"))
+    assert emd_drift_report(same, base, "v", emd_threshold=0.01).ok
+
+
+def test_emd_drift_edges_and_types(spark):
+    cur = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    emp = spark.createDataFrame([], "v double")
+    one = emd_drift(cur, emp, "v").collect()[0]
+    assert one["w1"] is None and one["w1_norm"] == 1.0 and not one["pass"]
+    both = emd_drift(emp, emp, "v").collect()[0]
+    assert both["w1"] == 0.0 and both["pass"]
+    # all mass on one point: w1 and w1_norm both 0 (no 0/0)
+    pt = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    r = emd_drift(pt, pt, "v").collect()[0]
+    assert r["w1"] == 0.0 and r["w1_norm"] == 0.0 and r["pass"]
+    with pytest.raises(TypeError, match="numeric"):
+        emd_drift(spark.createDataFrame([("a",)], "v string"), cur, "v")
+
+
 def test_ks_drift_plan_has_no_global_window(spark):
-    """The cumulative sum must run as within-pid windows (partitioned by
-    the prefix-sum pid), never a single-partition global ORDER BY window."""
-    cur = spark.range(0, 5000).select((F.rand(seed=1) * 100).alias("v"))
-    base = spark.range(0, 5000).select((F.rand(seed=2) * 100).alias("v"))
-    out = ks_drift(cur, base, "v", num_partitions=8)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "__ks_pid" in plan
+    """The cumulative sums (and emd's lead) must run as within-pid
+    windows (partitioned by the prefix-sum pid), never a
+    single-partition global ORDER BY window."""
     import re
 
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert "__ks_pid" in m.group(1)  # every window spec is pid-partitioned
+    cur = spark.range(0, 5000).select((F.rand(seed=1) * 100).alias("v"))
+    base = spark.range(0, 5000).select((F.rand(seed=2) * 100).alias("v"))
+    for op in (ks_drift, emd_drift):
+        out = op(cur, base, "v", num_partitions=8)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "__ks_pid" in plan
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs  # the cumsum is in the plan
+        for spec in specs:
+            assert "__ks_pid" in spec  # every window spec is pid-partitioned
 
 
 def test_tdigest_pure_python_accuracy():
@@ -362,6 +429,23 @@ def test_table_checks_drift_method_ks(spark):
     assert out["dks"]["kind"] == "drift"
     assert out["dks"]["pass"] == rep.ok and rep.ok
     assert out["dks"]["n_rows"] == rep.n_current
+
+    # method:'emd' dispatches to the Wasserstein-1 path
+    doc_emd = {
+        "$id": "x://t/TCEMD", "type": "object",
+        "properties": {"id": {"type": "integer"}, "v": {"type": "number"}},
+        "x-drift": [{"name": "demd", "column": "v", "method": "emd"}],
+    }
+    out_emd = {
+        r["check_name"]: r
+        for r in run_table_checks(
+            spark, cur, compile_document(doc_emd),
+            drift_baselines={"demd": base}, emd_threshold=0.05,
+        ).collect()
+    }
+    rep_emd = emd_drift_report(cur, base, "v", emd_threshold=0.05)
+    assert out_emd["demd"]["kind"] == "drift"
+    assert out_emd["demd"]["pass"] == rep_emd.ok and rep_emd.ok
 
     with pytest.raises(SpecCompileError, match="numeric/global"):
         compile_document({

@@ -113,6 +113,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         "bpe_token_stats": "classifier_quality_docs",
         "classifier_train_docs": "classifier_quality_docs",
         "ks_drift": "psi_drift",
+        "emd_drift": "psi_drift",
         "dup_event_users": "unique_orders",
         "resize_plan": "multimodal_features",
         "categorical_drift": "psi_drift",
