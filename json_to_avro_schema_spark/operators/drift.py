@@ -519,7 +519,7 @@ def ks_drift(
         f"{_KS_PID} int, __off_c long, __off_b long",
     )
     _, cdf_c, cdf_b = _inclusive_cdfs(tc, tb)
-    return (
+    out = (
         part.join(F.broadcast(offsets), _KS_PID)
         .select(F.abs(cdf_c - cdf_b).alias("__d"))
         .agg(
@@ -529,6 +529,11 @@ def ks_drift(
             (F.max("__d") < F.lit(float(ks_threshold))).alias("pass"),
         )
     )
+    # the persisted merged frame outlives this call (the result is lazy);
+    # hand the caller a release handle so long-running services can bound
+    # the cache — the scalar report wrapper uses it after collect()
+    out._drift_cached_input = merged
+    return out
 
 
 def ks_drift_report(
@@ -541,11 +546,17 @@ def ks_drift_report(
 ) -> KsReport:
     """Scalar wrapper over :func:`ks_drift` (collects the single verdict
     row) — the shape ``table_checks`` consumes for ``x-drift`` entries
-    with ``method: "ks"``."""
-    r = ks_drift(
+    with ``method: "ks"``. Releases the operator's persisted merged frame
+    after the collect, so repeated calls in a long-running service don't
+    accumulate cache entries."""
+    out = ks_drift(
         current, baseline, column,
         ks_threshold=ks_threshold, num_partitions=num_partitions,
-    ).collect()[0]
+    )
+    r = out.collect()[0]
+    cached = getattr(out, "_drift_cached_input", None)
+    if cached is not None:
+        cached.unpersist()
     return KsReport(
         ks=float(r["ks"]), ok=bool(r["pass"]),
         n_current=int(r["n_current"]), n_baseline=int(r["n_baseline"]),
@@ -635,7 +646,7 @@ def emd_drift(
         if span
         else F.lit(0.0)
     ).alias("w1_norm")
-    return (
+    out = (
         part.join(F.broadcast(offsets), _KS_PID)
         .select(gap.alias("__gap"), F.abs(cdf_c - cdf_b).alias("__d"))
         .agg(
@@ -653,6 +664,9 @@ def emd_drift(
             ).alias("pass"),
         )
     )
+    # release handle for the persisted merged frame — see ks_drift
+    out._drift_cached_input = merged
+    return out
 
 
 def emd_drift_report(
@@ -665,11 +679,16 @@ def emd_drift_report(
 ) -> EmdReport:
     """Scalar wrapper over :func:`emd_drift` (collects the single verdict
     row) — the shape ``table_checks`` consumes for ``x-drift`` entries
-    with ``method: "emd"``."""
-    r = emd_drift(
+    with ``method: "emd"``. Releases the operator's persisted merged
+    frame after the collect (see :func:`ks_drift_report`)."""
+    out = emd_drift(
         current, baseline, column,
         emd_threshold=emd_threshold, num_partitions=num_partitions,
-    ).collect()[0]
+    )
+    r = out.collect()[0]
+    cached = getattr(out, "_drift_cached_input", None)
+    if cached is not None:
+        cached.unpersist()
     return EmdReport(
         w1=None if r["w1"] is None else float(r["w1"]),
         w1_norm=float(r["w1_norm"]), ok=bool(r["pass"]),

@@ -267,6 +267,26 @@ def test_emd_drift_edges_and_types(spark):
         emd_drift(spark.createDataFrame([("a",)], "v string"), cur, "v")
 
 
+def test_ecdf_drift_reports_release_their_cache(spark):
+    """ks_drift/emd_drift persist the merged distinct-value frame (it
+    feeds three jobs); the DataFrame carries a release handle and the
+    scalar report wrappers unpersist after collect, so repeated calls in
+    a long-running service don't accumulate cache entries."""
+    cur = spark.range(0, 2000).select((F.rand(seed=1) * 10).alias("v"))
+    base = spark.range(0, 2000).select((F.rand(seed=2) * 10).alias("v"))
+    out = ks_drift(cur, base, "v")
+    assert out._drift_cached_input.storageLevel.useMemory  # persisted
+    out._drift_cached_input.unpersist()
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    ks_drift_report(cur, base, "v")
+    emd_drift_report(cur, base, "v")
+    assert n_cached() == before  # wrappers released what they persisted
+
+
 def test_ks_drift_plan_has_no_global_window(spark):
     """The cumulative sums (and emd's lead) must run as within-pid
     windows (partitioned by the prefix-sum pid), never a
