@@ -33,6 +33,7 @@ from json_to_avro_schema_spark.operators import text as tx
 from json_to_avro_schema_spark.operators import uniqueness as uq
 from json_to_avro_schema_spark.operators import web as wb
 from json_to_avro_schema_spark.operators import funnel as fn
+from json_to_avro_schema_spark.operators import temporal as tmp
 from json_to_avro_schema_spark.operators import classifier as clf
 from json_to_avro_schema_spark.operators.tdigest import tdigest_quantiles
 from json_to_avro_schema_spark.runner import run_validation
@@ -4730,6 +4731,117 @@ ORDER BY doc_id
 """
 
 
+def _q_ri_bloom_dangling(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter RI pre-filter (operators/referential.bloom_ri_violations):
+    distinct lineitem part keys DEFINITELY absent from a subset parent
+    (part keys not divisible by 5 — the testdata FKs are clean, so the
+    query synthesizes dangling refs by shrinking the parent).  The parent
+    contributes one bitmap-bounded aggregation (shuffle ≤ n_bits/64 rows
+    regardless of parent size); the child side is probed MAP-SIDE with
+    zero exchange (plan-pinned in tests) — the 10^12-child-row shape where
+    the exact anti-join's key shuffle is the dominant cost.  Bloom filters
+    have no false negatives, so at the gate's key counts (FP odds < 1e-12
+    at 2^24 bits / 5 hashes) the result is exactly the anti-join's key set."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_partkey") % 5 != 0)
+    viol = ri.bloom_ri_violations(li, part, ["l_partkey"], ["p_partkey"])
+    return viol.select("l_partkey").distinct().orderBy("l_partkey")
+
+
+_O_RI_BLOOM_DANGLING = """
+SELECT DISTINCT l_partkey
+FROM lineitem l
+WHERE l_partkey IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part p
+    WHERE p.p_partkey % 5 <> 0 AND p.p_partkey = l.l_partkey)
+ORDER BY l_partkey
+"""
+
+
+def _q_session_stats_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap sessionization (operators/temporal.session_stats): per-user
+    sessions with a 1h inactivity gap over the events stream, rolled up to
+    (user, session_seq, n_events, start_us, end_us, duration_us).  ONE
+    corpus exchange total: the (user) window sort is reused by the rollup's
+    groupBy (plan-pinned).  Gap arithmetic is exact integer microseconds
+    via a timezone-independent NTZ epoch, so the oracle matches on any
+    machine; ties break on event_id."""
+    ev = load_table(spark, sf, "events")
+    out = tmp.session_stats(
+        ev, gap_seconds=3600, tiebreak_cols=["event_id"]
+    )
+    return out.orderBy("user_id", "session_seq")
+
+
+_O_SESSION_STATS_EVENTS = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, ts,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM s2 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators/temporal.asof_join): every click event
+    annotated with the user's most recent purchase value at or before the
+    click (backward inclusive) — the union-trick plan (tag, union, one
+    key exchange, running last-ignorenulls window), never a range
+    explosion or a per-key collect.  The purchase side is pre-aggregated
+    to one row per (user, ts) — the operator's uniqueness contract — so
+    the match is engine-deterministic; the oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = tmp.asof_join(
+        clicks, purch, ["user_id"], matched_ts_col="purchase_ts_us"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        tmp._epoch_us(out, "ts").alias("ts_us"),
+        F.col("asof_pvalue").alias("last_purchase_value"),
+        "purchase_ts_us",
+    ).orderBy("event_id")
+
+
+_O_ASOF_JOIN_EVENTS = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       r.pvalue AS last_purchase_value, epoch_us(r.ts) AS purchase_ts_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -4772,15 +4884,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": _q_stats_lineitem,
         "unique_orders": _q_unique_orders,
         "ri_checks": _q_ri_checks,
-        "enum_returnflag": _q_enum_returnflag,
+        # r5 new family: zero-child-shuffle bloom RI pre-filter
+        "ri_bloom_dangling": _q_ri_bloom_dangling,
         "range_lineitem": _q_range_lineitem,
-        "histograms": _q_histograms,
         "psi_drift": _q_psi_drift,
         "table_checks_lineitem": _q_table_checks_lineitem,
         "format_json_checks": _q_format_json_checks,
         "grouping_verdicts": _q_grouping_verdicts,
         "topk_price_by_flag": _q_topk_price_by_flag,
-        "approx_unique_lineitem": _q_approx_unique_lineitem,
+        # r5 new family: temporal operators (gap sessions + as-of join)
+        "session_stats_events": _q_session_stats_events,
+        "asof_join_events": _q_asof_join_events,
         # profiler family (profile->spec round trip, FK suggestion,
         # run-over-run drift, most-common values)
         "ref_suggest_containment": _q_ref_suggest_containment,
@@ -4853,6 +4967,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: exact Wasserstein-1 drift (integrated CDF gap),
         # same family and scaffold as ks_drift
         "emd_drift": _q_emd_drift,
+        # r5 demotions making room for the bloom-RI + temporal families:
+        # all three were driver-attested green in CORRECTNESS_r04.json and
+        # their families stay recorded (range_lineitem, unique_orders,
+        # psi_drift)
+        "enum_returnflag": _q_enum_returnflag,
+        "histograms": _q_histograms,
+        "approx_unique_lineitem": _q_approx_unique_lineitem,
     }
 
 
@@ -4891,6 +5012,9 @@ def oracle_sql() -> dict[str, str]:
         "categorical_drift": _O_CATEGORICAL_DRIFT,
         "ks_drift": _O_KS_DRIFT,
         "emd_drift": _O_EMD_DRIFT,
+        "ri_bloom_dangling": _O_RI_BLOOM_DANGLING,
+        "session_stats_events": _O_SESSION_STATS_EVENTS,
+        "asof_join_events": _O_ASOF_JOIN_EVENTS,
         "table_checks_lineitem": _o_table_checks_lineitem(),
         "classifier_quality_docs": _O_CLASSIFIER_QUALITY_DOCS,
         "classifier_train_docs": _O_CLASSIFIER_TRAIN_DOCS,

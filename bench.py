@@ -180,6 +180,11 @@ def run_bench() -> dict:
         # prefix-sum CDFs)
         ("ks_drift", qs["ks_drift"]),
         ("emd_drift", qs["emd_drift"]),
+        # r5 session 2: zero-child-shuffle bloom RI pre-filter + temporal
+        # operators (gap sessionization rollup, union-trick as-of join)
+        ("ri_bloom_dangling", qs["ri_bloom_dangling"]),
+        ("session_stats_events", qs["session_stats_events"]),
+        ("asof_join_events", qs["asof_join_events"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

@@ -22,6 +22,13 @@ from .errors import (
     SpecResolutionError,
 )
 from .operators.dedup import paragraph_dedup
+from .operators.referential import (
+    bloom_build,
+    bloom_ri_violations,
+    ri_verdict,
+    ri_violations,
+)
+from .operators.temporal import asof_join, session_stats, sessionize
 from .operators.drift import (
     emd_drift,
     emd_drift_report,
@@ -71,6 +78,13 @@ from .table_checks import fail_on_failed_checks, run_table_checks
 __version__ = "0.1.0"
 
 __all__ = [
+    "asof_join",
+    "bloom_build",
+    "bloom_ri_violations",
+    "ri_verdict",
+    "ri_violations",
+    "session_stats",
+    "sessionize",
     "CheckpointStore",
     "CompiledPlan",
     "SchemaMismatchError",

@@ -1,0 +1,216 @@
+"""Temporal operators: gap sessionization and as-of joins (pipeline-extra,
+SURVEY.md §2 distributed-operator surface).
+
+Neither exists in the reference (a schema transpiler) or as a Spark
+built-in; both are staples of event-stream validation pipelines — the
+north rule's events/metrics side — and both have a canonical distributed
+shape that avoids the naive O(n·m) range join:
+
+* ``sessionize`` — assign gap-based session ids per user: ONE exchange on
+  the user key, then two window passes over the same (user, ts) sort
+  (Catalyst reuses the single sort for both), so the cost is exactly one
+  corpus shuffle.  At 10^12 events the per-key window is the right
+  primitive as long as no single user's history outsizes an executor —
+  the skew diagnostics in :mod:`.skew` size that risk, and the streaming
+  counterpart for unbounded histories is
+  ``streaming`` session windows (``F.session_window``).
+* ``asof_join`` — for each left row, the most recent right row at or
+  before (``backward``) / the earliest at or after (``forward``) its
+  timestamp, per key.  Implemented with the union trick: tag both sides,
+  union, ONE exchange on the key, and a ``last(..., ignorenulls=True)``
+  running window carries right-side values onto left rows.  No range
+  explosion, no per-key collect, no broadcast of either side — the plan
+  is two scans + one shuffle + one window, which survives a 100× scale-up
+  wherever a plain join on the key would.
+
+Determinism notes (both operators feed hash-compared oracles): window
+order ties are broken by caller-supplied tiebreak columns; ``asof_join``
+requires the right side to be unique per (key, ts) — rows tied on
+(key, ts) would make "the" match undefined in ANY engine (DuckDB's ASOF
+picks arbitrarily) — pre-aggregate the right side to enforce it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+_MATCH_TS = "__asof_match_ts"
+
+
+def _epoch_us(df: DataFrame, col: str):
+    """Exact epoch-microseconds long for either timestamp flavor.
+
+    TIMESTAMP_NTZ (what parquet naive timestamps load as) goes through
+    ``timestamp_diff`` against a naive epoch — a pure calendar
+    subtraction with NO session-timezone dependency, matching DuckDB's
+    ``epoch_us`` on naive values byte-for-byte on any machine.  LTZ
+    timestamps are already instants: ``unix_micros``.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01").cast("timestamp_ntz"),
+            F.col(col),
+        )
+    return F.unix_micros(F.col(col))
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Add a per-user 1-based session sequence number: a new session
+    starts at the first event and whenever the gap since the previous
+    event exceeds ``gap_seconds``.
+
+    Gap arithmetic is exact integer epoch microseconds (:func:`_epoch_us`,
+    timezone-independent for NTZ inputs) — no float epoch, no sub-second
+    truncation.  Rows with a null
+    timestamp sort first within their user under Spark's nulls-first
+    ascending order; callers wanting SQL-portable output should filter
+    them (engines disagree on null placement).
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    us = _epoch_us(events, ts_col)
+    prev_us = F.lag(us).over(w)
+    gap_us = int(gap_seconds) * 1_000_000
+    new_session = (
+        prev_us.isNull() | ((us - prev_us) > F.lit(gap_us))
+    ).cast("long")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn(out_col, F.sum(new_session).over(run))
+
+
+def session_stats(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`:
+    (user, session_seq, n_events, start_us, end_us, duration_us).
+
+    Bounds are exact epoch microseconds (longs) so the result is
+    engine-portable and hash-stable.  One corpus shuffle (the window's)
+    — the rollup reuses the session frame's (user) partitioning, so the
+    groupBy's exchange is partial-aggregated on already-local keys.
+    """
+    s = sessionize(
+        events,
+        user_col=user_col,
+        ts_col=ts_col,
+        gap_seconds=gap_seconds,
+        tiebreak_cols=tiebreak_cols,
+    )
+    us = _epoch_us(s, ts_col)
+    return (
+        s.groupBy(F.col(user_col), F.col("session_seq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance_us: Optional[int] = None,
+    matched_ts_col: Optional[str] = None,
+) -> DataFrame:
+    """Left as-of join: every left row, annotated with the right row's
+    value columns from the most recent right timestamp ≤ the left's
+    (``backward``, inclusive) or the earliest ≥ it (``forward``).
+
+    All right-side non-key, non-timestamp columns come back prefixed
+    ``asof_`` (they must not collide with left column names after
+    prefixing).  Unmatched left rows keep nulls — LEFT join semantics.
+    ``tolerance_us`` nulls out matches farther than that many
+    microseconds from the left timestamp.  ``matched_ts_col`` optionally
+    exposes the matched right timestamp as epoch micros.
+
+    The right side must be unique per (key, right_ts): ties would make
+    the matched row engine-dependent — pre-aggregate to enforce (the
+    docstring contract, not a runtime scan: checking would cost the
+    very shuffle this saves).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
+    on = list(on)
+    val_cols = [c for c in right.columns if c not in (*on, right_ts)]
+    if not val_cols:
+        raise ValueError("right side carries no value columns to join")
+    clash = [f"asof_{c}" for c in val_cols if f"asof_{c}" in left.columns]
+    if clash:
+        raise ValueError(f"prefixed right columns collide with left: {clash}")
+
+    lhs = left.withColumns(
+        {
+            _SIDE: F.lit(1),
+            _TS: _epoch_us(left, left_ts),
+        }
+    )
+    rhs = right.select(
+        *[F.col(c) for c in on],
+        _epoch_us(right, right_ts).alias(_TS),
+        _epoch_us(right, right_ts).alias(_MATCH_TS),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(f"asof_{c}") for c in val_cols],
+    )
+    u = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    # backward: ascending ts, right rows (side 0) before left at equal ts
+    # so the inclusive running last() sees same-instant right rows.
+    # forward mirrors with descending ts.
+    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_order, F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = {
+        f"asof_{c}": F.last(f"asof_{c}", ignorenulls=True).over(w)
+        for c in val_cols
+    }
+    carried[_MATCH_TS] = F.last(_MATCH_TS, ignorenulls=True).over(w)
+    annotated = u.withColumns(carried).filter(F.col(_SIDE) == 1)
+
+    if tolerance_us is not None:
+        dist = F.abs(F.col(_TS) - F.col(_MATCH_TS))
+        within = F.col(_MATCH_TS).isNotNull() & (dist <= F.lit(int(tolerance_us)))
+        annotated = annotated.withColumns(
+            {
+                **{
+                    f"asof_{c}": F.when(within, F.col(f"asof_{c}"))
+                    for c in val_cols
+                },
+                _MATCH_TS: F.when(within, F.col(_MATCH_TS)),
+            }
+        )
+    if matched_ts_col is not None:
+        annotated = annotated.withColumn(matched_ts_col, F.col(_MATCH_TS))
+    return annotated.drop(_SIDE, _TS, _MATCH_TS)

@@ -34,10 +34,10 @@ FAMILY_REPRESENTATIVES = {
     "streaming_url_dedup", "streaming_profile_drift",
     # table-level checks
     "stats_lineitem", "unique_orders", "ri_checks",
-    "enum_returnflag", "range_lineitem", "histograms", "psi_drift",
+    "ri_bloom_dangling", "range_lineitem", "psi_drift",
     "table_checks_lineitem", "format_json_checks",
     "grouping_verdicts", "topk_price_by_flag",
-    "approx_unique_lineitem", "skew_report_events",
+    "session_stats_events", "asof_join_events", "skew_report_events",
     # profiler family
     "ref_suggest_containment", "profile_drift_lineitem",
     "frequent_values_docs",
@@ -117,6 +117,12 @@ def test_overflow_entries_have_recorded_family_siblings():
         "dup_event_users": "unique_orders",
         "resize_plan": "multimodal_features",
         "categorical_drift": "psi_drift",
+        # --- round-5 session-2 demotions (all driver-attested green in
+        # CORRECTNESS_r04.json) making room for the bloom-RI + temporal
+        # families ---
+        "enum_returnflag": "range_lineitem",
+        "histograms": "psi_drift",
+        "approx_unique_lineitem": "unique_orders",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)

@@ -1,0 +1,191 @@
+"""Temporal operators (sessionize / session_stats / asof_join) and the
+Bloom-filter RI pre-filter: value semantics + the plan shapes the 100 TB
+story depends on (one exchange for sessions, zero child-side exchange for
+the bloom probe)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_to_avro_schema_spark.operators import referential as ri
+from json_to_avro_schema_spark.operators import temporal as T
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions split by a >30min gap; a tie on ts
+        (1, 1, _ts("2024-01-01T10:00:00")),
+        (2, 1, _ts("2024-01-01T10:10:00")),
+        (3, 1, _ts("2024-01-01T10:10:00")),  # tie with event 2
+        (4, 1, _ts("2024-01-01T11:00:00.000001")),  # 49m59.000001s gap
+        # user 2: single event
+        (5, 2, _ts("2024-01-01T00:00:00")),
+        # user 3: exact-gap boundary — 1800s is NOT a new session (strict >)
+        (6, 3, _ts("2024-01-01T09:00:00")),
+        (7, 3, _ts("2024-01-01T09:30:00")),
+        (8, 3, _ts("2024-01-01T10:00:00.000001")),  # 1800.000001s => new
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+
+
+def test_sessionize_gap_and_boundary(events):
+    out = T.sessionize(
+        events, gap_seconds=1800, tiebreak_cols=["event_id"]
+    ).select("event_id", "session_seq")
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 1, 7: 1, 8: 2}
+
+
+def test_session_stats_rollup(events):
+    out = T.session_stats(
+        events, gap_seconds=1800, tiebreak_cols=["event_id"]
+    )
+    rows = {
+        (r["user_id"], r["session_seq"]): r for r in out.collect()
+    }
+    assert rows[(1, 1)]["n_events"] == 3
+    assert rows[(1, 1)]["duration_us"] == 10 * 60 * 1_000_000
+    assert rows[(1, 2)]["n_events"] == 1
+    assert rows[(2, 1)]["duration_us"] == 0
+    # exact integer micros, timezone-independent for NTZ
+    assert rows[(2, 1)]["start_us"] == int(
+        _ts("2024-01-01T00:00:00").replace(tzinfo=dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
+
+
+def test_session_stats_single_corpus_exchange(events):
+    out = T.session_stats(events, tiebreak_cols=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the rollup reuses the window's (user) partitioning — one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01T10:00:00")),
+            (2, "a", _ts("2024-01-01T10:05:00")),
+            (3, "a", _ts("2024-01-01T09:00:00")),  # before any right row
+            (4, "b", _ts("2024-01-01T10:00:00")),  # equal-ts right row
+            (5, "c", _ts("2024-01-01T10:00:00")),  # key with no right rows
+        ],
+        "id long, k string, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T09:30:00"), 1.0),
+            ("a", _ts("2024-01-01T10:02:00"), 2.0),
+            ("b", _ts("2024-01-01T10:00:00"), 7.0),
+        ],
+        "k string, ts timestamp_ntz, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _asof_frames(spark)
+    out = T.asof_join(
+        left, right, ["k"], matched_ts_col="m_us"
+    )
+    got = {r["id"]: (r["asof_v"], r["m_us"] is not None) for r in out.collect()}
+    assert got[1] == (1.0, True)   # most recent at-or-before 10:00
+    assert got[2] == (2.0, True)   # picks the 10:02 row
+    assert got[3] == (None, False)  # nothing before 09:00 -> left-join nulls
+    assert got[4] == (7.0, True)   # equal timestamps match (inclusive)
+    assert got[5] == (None, False)  # key absent from right
+    assert out.count() == left.count()  # every left row survives
+
+
+def test_asof_forward_and_tolerance(spark):
+    left, right = _asof_frames(spark)
+    fwd = T.asof_join(left, right, ["k"], direction="forward")
+    got = {r["id"]: r["asof_v"] for r in fwd.collect()}
+    assert got[1] == 2.0   # earliest at-or-after 10:00
+    assert got[2] is None  # nothing after 10:05
+    assert got[3] == 1.0
+    assert got[4] == 7.0   # inclusive in forward direction too
+    tol = T.asof_join(
+        left, right, ["k"], tolerance_us=5 * 60 * 1_000_000,
+        matched_ts_col="m_us",
+    )
+    gt = {r["id"]: r["asof_v"] for r in tol.collect()}
+    assert gt[1] is None  # 30min-old match nulled by 5min tolerance
+    assert gt[2] == 2.0   # 3min-old match survives
+    assert gt[4] == 7.0   # 0-distance match survives
+
+
+def test_asof_validations(spark):
+    left, right = _asof_frames(spark)
+    with pytest.raises(ValueError, match="direction"):
+        T.asof_join(left, right, ["k"], direction="nearest")
+    with pytest.raises(ValueError, match="no value columns"):
+        T.asof_join(left, right.select("k", "ts"), ["k"])
+    with pytest.raises(ValueError, match="collide"):
+        T.asof_join(
+            left.withColumn("asof_v", F.lit(1)), right, ["k"]
+        )
+
+
+def test_bloom_ri_matches_exact_and_skips_nulls(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, None), (5, 20)],
+        "id long, fk long",
+    ).repartition(3)
+    parent = spark.createDataFrame([(10,), (40,)], "pk long")
+    bloom = ri.bloom_ri_violations(child, parent, ["fk"], ["pk"])
+    exact = ri.ri_violations(child, parent, ["fk"], ["pk"])
+    assert sorted(r["id"] for r in bloom.collect()) == [2, 3, 5]
+    assert sorted(r["id"] for r in bloom.collect()) == sorted(
+        r["id"] for r in exact.collect()
+    )
+
+
+def test_bloom_ri_probe_side_has_no_exchange(spark):
+    child = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(i,) for i in range(5)], "pk long")
+    out = ri.bloom_ri_violations(child, parent, ["fk"], ["pk"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probe is scan -> JVM position projection -> Arrow bit test ->
+    # filter; the bitmap build already ran (collect) and is not in this
+    # plan, and the operator introduces NO shuffle of any kind
+    assert "Exchange" not in plan
+    # the null-key filter is pushed below the Arrow eval (probe only
+    # non-null keys)
+    assert plan.index("isnotnull") > plan.index("ArrowEvalPython")
+    assert sorted({r["fk"] for r in out.collect()}) == [5, 6]
+
+
+def test_bloom_ri_multi_column_key_and_empty_parent(spark):
+    child = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", 2), (3, "x", 2)], "id long, a string, b long"
+    )
+    parent = spark.createDataFrame([("x", 1)], "ra string, rb long")
+    out = ri.bloom_ri_violations(
+        child, parent, ["a", "b"], ["ra", "rb"]
+    )
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
+    empty = parent.filter(F.lit(False))
+    assert ri.bloom_ri_violations(
+        child, empty, ["a", "b"], ["ra", "rb"]
+    ).count() == 3
+
+
+def test_bloom_build_validations(spark):
+    parent = spark.createDataFrame([(1,)], "pk long")
+    with pytest.raises(ValueError, match="n_bits"):
+        ri.bloom_build(parent, ["pk"], n_bits=100)
+    with pytest.raises(ValueError, match="n_hashes"):
+        ri.bloom_build(parent, ["pk"], n_hashes=0)
