@@ -3305,6 +3305,79 @@ ORDER BY window_start, event_type
 """
 
 
+def _q_streaming_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked gap sessions over a STREAMED read of the events table
+    (streaming/stateful.session_metrics — the streaming twin of
+    operators/temporal.session_stats): per-user ``F.session_window`` with
+    a 1h gap and 10-minute watermark, append mode.  availableNow's final
+    flush closes every session whose end (last event + gap) ≤
+    max(ts) − 10min, so the emitted set is exactly SQL-derivable; the
+    gap boundary matches the batch operator exactly (a gap EQUAL to the
+    threshold stays in the session — pinned by the unit test), so the
+    oracle is session_stats' own derivation plus the watermark cut."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from json_to_avro_schema_spark.streaming import drain
+    from json_to_avro_schema_spark.streaming.stateful import session_metrics
+
+    src = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    name = "ss_q_" + uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix="ss_src_")
+    shutil.copy(src, os.path.join(tmp, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema).parquet(tmp)
+        # watermarks require TIMESTAMP_LTZ; session tz is pinned UTC so the
+        # NTZ→LTZ cast preserves wall-clock values
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = session_metrics(
+        stream, ts_col="ts", gap_duration="1 hour",
+        watermark_delay="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        drain(q, 180)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.table(name).orderBy("user_id", "start_us")
+    rows = res.collect()
+    return spark.createDataFrame(rows, res.schema)
+
+
+_O_STREAMING_SESSION_STATS = """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, ts,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+  FROM s
+),
+sess AS (
+  SELECT user_id, seq, count(*) AS n_events,
+         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+  FROM s2 GROUP BY 1, 2
+),
+m AS (SELECT max(epoch_us(ts)) - 600000000 AS wm FROM events)
+SELECT user_id, start_us, end_us, end_us - start_us AS duration_us, n_events
+FROM sess, m
+WHERE end_us + 3600000000 <= wm
+ORDER BY user_id, start_us
+"""
+
+
 def _q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming exact dedup (streaming/dedup.py): the documents corpus is
     streamed TWICE (two files, maxFilesPerTrigger=1 → two micro-batches);
@@ -4974,6 +5047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_returnflag": _q_enum_returnflag,
         "histograms": _q_histograms,
         "approx_unique_lineitem": _q_approx_unique_lineitem,
+        # r5 addition: streaming twin of session_stats_events (gap
+        # sessions via F.session_window, state bounded by OPEN sessions)
+        "streaming_session_stats": _q_streaming_session_stats,
     }
 
 
@@ -5077,6 +5153,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_docs": _O_URL_DEDUP_DOCS,
         "url_dedup_incremental_docs": _O_URL_DEDUP_INCREMENTAL_DOCS,
         "streaming_url_dedup": _O_STREAMING_URL_DEDUP,
+        "streaming_session_stats": _O_STREAMING_SESSION_STATS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

@@ -1,12 +1,16 @@
 """Stateful Structured-Streaming operators.
 
-Two surfaces the batch engine cannot express:
+Three surfaces the batch engine cannot express:
 
 * **Watermarked windowed metrics** — event-time tumbling-window aggregates
   with bounded late-data state (``withWatermark`` + ``window()``), the
   streaming analog of the per-partition verdict table: one row per
   (window, group) once the watermark closes the window. Pure built-in
   operators — Catalyst manages the window state store.
+
+* **Watermarked gap sessions** — per-user ``F.session_window`` rollups,
+  the streaming form of ``operators.temporal.session_stats`` whose state
+  is bounded by OPEN sessions, not per-user history length.
 
 * **Running per-partition verdict totals** — a custom stateful operator via
   ``applyInPandasWithState`` (Arrow-batched, no per-row Python): per
@@ -70,6 +74,52 @@ def windowed_metrics(
         F.col("win.end").alias("window_end"),
         *([F.col(group_col)] if group_col else []),
         *[F.col(c) for c in out.columns if c not in ("win",) and c != group_col],
+    )
+
+
+def session_metrics(
+    stream_df: DataFrame,
+    *,
+    ts_col: str,
+    gap_duration: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Event-time GAP sessions per user (``F.session_window``) — the
+    streaming counterpart of :func:`..operators.temporal.session_stats`
+    for unbounded per-user histories, where the batch window-over-ts
+    approach would hold a user's whole history in one sort.
+
+    Emits one row per closed session: (user, session start/end epoch-µs
+    over the MEMBER events, n_events).  Append-mode semantics: a session
+    is final once the watermark passes its window end (last event +
+    gap), so Catalyst's session state store holds only open sessions
+    inside the watermark horizon — state is bounded by active users, not
+    history length.
+
+    Boundary contract (pinned by test, not assumed): ``session_window``
+    merges an event whose start equals the session's current end
+    (last event + gap) — a gap EXACTLY equal to ``gap_duration`` stays in
+    the session, identical to the batch ``sessionize`` rule (new session
+    only when gap > threshold), so batch and stream agree row-for-row on
+    closed sessions.
+    """
+    win = F.session_window(F.col(ts_col), gap_duration)
+    out = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(win, F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min(ts_col)).alias("start_us"),
+            F.unix_micros(F.max(ts_col)).alias("end_us"),
+        )
+    )
+    return out.select(
+        F.col(user_col),
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        "n_events",
     )
 
 

@@ -125,3 +125,68 @@ def test_running_partition_verdicts_converge_to_batch(spark, tmp_path):
     # at least one partition must have been updated across two batches
     per_group = emitted.groupBy("part_key", "check_name").count()
     assert per_group.agg(F.max("count")).collect()[0][0] >= 2
+
+
+def test_session_metrics_gap_boundary_and_cross_batch_merge(spark, tmp_path):
+    """Gap sessions via F.session_window: a gap EXACTLY equal to the
+    threshold MERGES (engine contract pinned here — same boundary as
+    batch sessionize's strict >, so batch and stream agree row-for-row);
+    sub-gap events merge even when they arrive in DIFFERENT micro-batches
+    (the session state store must merge open windows); only sessions
+    closed by the final watermark are emitted."""
+    from json_to_avro_schema_spark.streaming.stateful import session_metrics
+
+    src = str(tmp_path / "sess_src")
+
+    def evs(rows):
+        return spark.createDataFrame(
+            rows, "user_id string, m int"
+        ).selectExpr(
+            "user_id",
+            "CAST('2026-01-01 00:00:00' AS TIMESTAMP)"
+            " + make_interval(0,0,0,0,0,m,0) AS ts",
+        )
+
+    # batch 1: u1 two events 5min apart (merge), one exactly 10min later
+    # (boundary -> MERGES), one 11min after that (past gap -> NEW
+    # session); u2 one event whose session stays open into batch 2
+    _write_one_file(
+        evs([("u1", 0), ("u1", 5), ("u1", 15), ("u1", 26), ("u2", 20)]), src
+    )
+    # batch 2: u2 event 5min after its batch-1 event (cross-batch session
+    # MERGE) + a late sentinel pushing the watermark far enough to close
+    # every session above (its own session stays open and is not emitted)
+    _write_one_file(evs([("u2", 25), ("zz", 300)]), src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = session_metrics(
+        stream, ts_col="ts", gap_duration="10 minutes",
+        watermark_delay="10 minutes", user_col="user_id",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sess_metrics")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    drain(q, 180)
+
+    got = {
+        (r["user_id"], r["start_us"] // 60_000_000, r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_metrics").collect()
+    }
+    base = 29_453_760  # 2026-01-01 00:00 UTC in minutes since the epoch
+    assert got == {
+        ("u1", base + 0, 3),   # 00:00+00:05 merged; exactly-10min MERGES
+        ("u1", base + 26, 1),  # 11min gap (> threshold) -> new session
+        ("u2", base + 20, 2),  # merged ACROSS micro-batches
+    }
+    durations = {
+        (r["user_id"], r["start_us"] // 60_000_000): r["duration_us"]
+        for r in spark.sql("SELECT * FROM sess_metrics").collect()
+    }
+    assert durations[("u1", base + 0)] == 15 * 60_000_000
+    assert durations[("u2", base + 20)] == 5 * 60_000_000
