@@ -4915,6 +4915,76 @@ ORDER BY l.event_id
 """
 
 
+def _q_range_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketized point-in-interval range join (operators/temporal.
+    range_join): every purchase event annotated with the user's
+    click-session interval containing it (1h-gap sessions over click
+    events only, so a purchase can fall between sessions — inner join
+    drops those).  The plan is a plain equi-join on (user, hour-bucket)
+    + exact BETWEEN filter — intervals replicate into overlapped buckets,
+    points land in exactly one, so no BroadcastNestedLoopJoin and no
+    key-only quadratic pairing (plan-pinned in tests).  Same-user click
+    sessions are time-disjoint by construction, so each purchase matches
+    at most one interval and the result is deterministic."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    sess = tmp.session_stats(
+        clicks, gap_seconds=3600, tiebreak_cols=["event_id"]
+    )
+    intervals = sess.select(
+        "user_id",
+        F.col("session_seq"),
+        F.col("start_us").alias("lo_us"),
+        F.col("end_us").alias("hi_us"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", tmp._epoch_us(ev, "ts").alias("ts_us")
+    )
+    out = tmp.range_join(
+        purch, intervals, ["user_id"], bucket_width_us=3_600_000_000
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("iv_session_seq").alias("click_session"),
+        "lo_us",
+        "hi_us",
+    ).orderBy("event_id")
+
+
+_O_RANGE_JOIN_EVENTS = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'click'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c2 AS (
+  SELECT user_id, ts,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM c
+),
+sess AS (
+  SELECT user_id, session_seq,
+         min(epoch_us(ts)) AS lo_us, max(epoch_us(ts)) AS hi_us
+  FROM c2 GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       s.session_seq AS click_session, s.lo_us, s.hi_us
+FROM events p
+JOIN sess s
+  ON p.user_id = s.user_id
+ AND epoch_us(p.ts) BETWEEN s.lo_us AND s.hi_us
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -5050,6 +5120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: streaming twin of session_stats_events (gap
         # sessions via F.session_window, state bounded by OPEN sessions)
         "streaming_session_stats": _q_streaming_session_stats,
+        # r5 addition: bucketized point-in-interval range join (temporal
+        # family sibling of the recorded session_stats/asof entries)
+        "range_join_events": _q_range_join_events,
     }
 
 
@@ -5154,6 +5227,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_incremental_docs": _O_URL_DEDUP_INCREMENTAL_DOCS,
         "streaming_url_dedup": _O_STREAMING_URL_DEDUP,
         "streaming_session_stats": _O_STREAMING_SESSION_STATS,
+        "range_join_events": _O_RANGE_JOIN_EVENTS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

@@ -185,6 +185,7 @@ def run_bench() -> dict:
         ("ri_bloom_dangling", qs["ri_bloom_dangling"]),
         ("session_stats_events", qs["session_stats_events"]),
         ("asof_join_events", qs["asof_join_events"]),
+        ("range_join_events", qs["range_join_events"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

@@ -28,7 +28,12 @@ from .operators.referential import (
     ri_verdict,
     ri_violations,
 )
-from .operators.temporal import asof_join, session_stats, sessionize
+from .operators.temporal import (
+    asof_join,
+    range_join,
+    session_stats,
+    sessionize,
+)
 from .operators.drift import (
     emd_drift,
     emd_drift_report,
@@ -81,6 +86,7 @@ __all__ = [
     "asof_join",
     "bloom_build",
     "bloom_ri_violations",
+    "range_join",
     "ri_verdict",
     "ri_violations",
     "session_stats",

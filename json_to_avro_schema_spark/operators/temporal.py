@@ -22,6 +22,19 @@ shape that avoids the naive O(n·m) range join:
   explosion, no per-key collect, no broadcast of either side — the plan
   is two scans + one shuffle + one window, which survives a 100× scale-up
   wherever a plain join on the key would.
+* ``range_join`` — point-in-interval join (event ts ∈ [lo, hi] per key).
+  Catalyst plans a raw ``l.ts BETWEEN r.lo AND r.hi`` as
+  broadcast-nested-loop (intervals must fit in memory) or a sort-merge
+  on the key alone (every point meets every same-key interval before the
+  range filter — quadratic under hot keys).  The bucketized form turns
+  it into a plain equi-join: intervals replicate into the fixed-width
+  buckets they overlap, points land in exactly ONE bucket, and the join
+  key becomes (key, bucket) — each point meets only the interval copies
+  sharing its bucket, and since a point has one bucket, no
+  post-join dedup is needed.  Replication factor = interval_len/width+1,
+  so callers size ``bucket_width_us`` to the TYPICAL interval length
+  (the same bin-size trade as Databricks' range-join hint; degenerate
+  giant intervals are the caller's skew to split).
 
 Determinism notes (both operators feed hash-compared oracles): window
 order ties are broken by caller-supplied tiebreak columns; ``asof_join``
@@ -126,6 +139,95 @@ def session_stats(
             F.max(us).alias("end_us"),
         )
         .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    *,
+    point_ts: str = "ts_us",
+    lo_col: str = "lo_us",
+    hi_col: str = "hi_us",
+    bucket_width_us: int = 3_600_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: each point row paired with every interval
+    row of the same key whose ``[lo_col, hi_col]`` (both ends inclusive)
+    contains the point's timestamp.  All three bound columns are epoch-µs
+    longs — convert timestamps with :func:`_epoch_us` first, so bucket
+    arithmetic is exact integer math.
+
+    Plan shape (the module docstring's bucketization): intervals explode
+    into the ``ceil(len/width)+1``-ish buckets they overlap, points
+    compute ONE bucket each, and the join is a plain hash/sort-merge
+    equi-join on (key…, bucket) followed by the exact BETWEEN filter —
+    never a broadcast-nested-loop and never a key-only join that pairs
+    every point with every same-key interval.  Interval columns other
+    than lo/hi come back prefixed ``iv_``; ``how='left'`` keeps
+    unmatched points with nulls (a point inside k overlapping intervals
+    yields k rows — same as SQL).
+
+    Null contract: null-timestamp points and null-bound intervals match
+    nothing (SQL BETWEEN semantics); under ``left`` the null-ts points
+    still surface with null interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if bucket_width_us <= 0:
+        raise ValueError(f"bucket_width_us must be > 0, got {bucket_width_us}")
+    on = list(on)
+    w = F.lit(int(bucket_width_us))
+
+    def bucket_of(col):
+        # floor-div via pmod subtraction: the numerator is an EXACT
+        # multiple of w, so the (double) division is correctly rounded to
+        # the true integer for |µs| < 2^53 — epoch-µs stays under that
+        # until year ~2255.  (A bare floor(col/w) has the same double
+        # detour but ALSO rounds the non-integer quotient; this form's
+        # error mode is none in the representable range.)
+        return ((col - F.pmod(col, w)) / w).cast("long")
+
+    iv_vals = [c for c in intervals.columns if c not in (*on, lo_col, hi_col)]
+    clash = [
+        c
+        for c in (lo_col, hi_col, *[f"iv_{v}" for v in iv_vals])
+        if c in points.columns
+    ]
+    if clash:
+        raise ValueError(f"interval columns collide with point side: {clash}")
+    iv = (
+        intervals.filter(
+            F.col(lo_col).isNotNull()
+            & F.col(hi_col).isNotNull()
+            & (F.col(lo_col) <= F.col(hi_col))
+        )
+        .select(
+            *on,
+            F.col(lo_col),
+            F.col(hi_col),
+            *[F.col(c).alias(f"iv_{c}") for c in iv_vals],
+            F.explode(
+                F.sequence(
+                    bucket_of(F.col(lo_col)), bucket_of(F.col(hi_col))
+                )
+            ).alias("__bucket"),
+        )
+    )
+    pts = points.withColumn("__bucket", bucket_of(F.col(point_ts)))
+    cond = [
+        *[(pts[c] == iv[c]) for c in on],
+        pts["__bucket"] == iv["__bucket"],
+        pts[point_ts] >= iv[lo_col],
+        pts[point_ts] <= iv[hi_col],
+    ]
+    joined = pts.join(iv, cond, how)
+    return joined.select(
+        *[pts[c] for c in points.columns],
+        iv[lo_col],
+        iv[hi_col],
+        *[iv[f"iv_{c}"] for c in iv_vals],
     )
 
 

@@ -123,9 +123,11 @@ def test_overflow_entries_have_recorded_family_siblings():
         "enum_returnflag": "range_lineitem",
         "histograms": "psi_drift",
         "approx_unique_lineitem": "unique_orders",
-        # r5 session-2 addition: streaming twin of the recorded
-        # session_stats_events / streaming_windowed_metrics families
+        # r5 session-2 additions: streaming twin of the recorded
+        # session_stats_events / streaming_windowed_metrics families,
+        # and the bucketized range join (temporal-family sibling)
         "streaming_session_stats": "streaming_windowed_metrics",
+        "range_join_events": "session_stats_events",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)

@@ -189,3 +189,92 @@ def test_bloom_build_validations(spark):
         ri.bloom_build(parent, ["pk"], n_bits=100)
     with pytest.raises(ValueError, match="n_hashes"):
         ri.bloom_build(parent, ["pk"], n_hashes=0)
+
+
+# ---------------------------------------------------------------------------
+# range_join (bucketized point-in-interval)
+# ---------------------------------------------------------------------------
+
+M = 60_000_000  # one minute in µs
+
+
+@pytest.fixture(scope="module")
+def iv_frames(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, 1, 5 * M),     # inside A only
+            (2, 1, 90 * M),    # inside A and B (overlap region)
+            (3, 1, 100 * M),   # == A.hi (inclusive) and inside B
+            (4, 1, 500 * M),   # no interval
+            (5, 2, 5 * M),     # right key range, wrong key
+            (6, 1, None),      # null ts matches nothing
+        ],
+        "pid long, k long, ts_us long",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("A", 1, 0 * M, 100 * M),
+            ("B", 1, 80 * M, 200 * M),
+            ("C", 2, 300 * M, 400 * M),
+            ("N", 1, None, 50 * M),      # null bound drops
+            ("X", 1, 60 * M, 40 * M),    # inverted drops
+        ],
+        "name string, k long, lo_us long, hi_us long",
+    )
+    return pts, ivs
+
+
+def _pairs(df):
+    return sorted(
+        (r["pid"], r["iv_name"]) for r in df.collect() if r["iv_name"]
+    )
+
+
+def test_range_join_matches_brute_between(spark, iv_frames):
+    pts, ivs = iv_frames
+    # bucket width much smaller than interval length: replication path
+    got = T.range_join(pts, ivs, ["k"], bucket_width_us=7 * M)
+    assert _pairs(got) == [(1, "A"), (2, "A"), (2, "B"), (3, "A"), (3, "B")]
+    # bucket width much larger: single-bucket path — same answer
+    got2 = T.range_join(pts, ivs, ["k"], bucket_width_us=10_000 * M)
+    assert _pairs(got2) == _pairs(got)
+    # brute-force oracle
+    brute = pts.alias("p").join(
+        ivs.alias("i"),
+        (F.col("p.k") == F.col("i.k"))
+        & F.col("p.ts_us").between(F.col("i.lo_us"), F.col("i.hi_us")),
+    )
+    assert sorted(
+        (r["pid"], r["name"]) for r in brute.collect()
+    ) == _pairs(got)
+
+
+def test_range_join_left_keeps_unmatched_and_null_ts(spark, iv_frames):
+    pts, ivs = iv_frames
+    out = T.range_join(pts, ivs, ["k"], bucket_width_us=7 * M, how="left")
+    rows = {r["pid"]: r for r in out.collect() if r["iv_name"] is None}
+    # unmatched (4: out of range, 5: wrong key, 6: null ts) survive
+    assert sorted(rows) == [4, 5, 6]
+    assert all(r["lo_us"] is None for r in rows.values())
+    assert out.count() == 5 + 3  # 5 matches + 3 null-extended points
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, iv_frames):
+    pts, ivs = iv_frames
+    plan = T.range_join(
+        pts, ivs, ["k"], bucket_width_us=7 * M
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_validations(spark, iv_frames):
+    pts, ivs = iv_frames
+    with pytest.raises(ValueError, match="how"):
+        T.range_join(pts, ivs, ["k"], how="full")
+    with pytest.raises(ValueError, match="bucket_width_us"):
+        T.range_join(pts, ivs, ["k"], bucket_width_us=0)
+    with pytest.raises(ValueError, match="collide"):
+        T.range_join(
+            pts.withColumn("iv_name", F.lit("x")), ivs, ["k"]
+        )
