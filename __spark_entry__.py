@@ -4915,6 +4915,73 @@ ORDER BY l.event_id
 """
 
 
+def _q_interval_overlaps_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap validation (operators/temporal.interval_overlaps):
+    per-(user, event_type) 1h-gap session intervals, flagged when they
+    overlap a session of ANOTHER type for the same user ("was the user
+    mid-click-session while a purchase session ran?" — the
+    bookings-must-not-overlap check shape).  One exchange + one window
+    sort per stage (plan-pinned): running max(hi) catches predecessor
+    overlaps, the next row's lo catches successor overlaps — never the
+    naive per-key self-join, which is quadratic under hot users.
+    Same-(user, type) sessions are disjoint by construction, so every
+    flag is a cross-type overlap."""
+    ev = load_table(spark, sf, "events")
+    sess = tmp.session_stats(
+        ev,
+        user_col=["user_id", "event_type"],
+        gap_seconds=3600,
+        tiebreak_cols=["event_id"],
+    )
+    iv = sess.select(
+        "user_id",
+        "event_type",
+        "session_seq",
+        F.col("start_us").alias("lo_us"),
+        F.col("end_us").alias("hi_us"),
+    )
+    out = tmp.interval_overlaps(
+        iv, ["user_id"], tiebreak_cols=["event_type", "session_seq"]
+    )
+    return out.filter(F.col("overlaps")).orderBy(
+        "user_id", "event_type", "session_seq"
+    )
+
+
+_O_INTERVAL_OVERLAPS_EVENTS = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id, event_type, ts,
+         CAST(sum(ns) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM s
+),
+iv AS (
+  SELECT user_id, event_type, session_seq,
+         min(epoch_us(ts)) AS lo_us, max(epoch_us(ts)) AS hi_us
+  FROM s2 GROUP BY 1, 2, 3
+)
+SELECT a.user_id, a.event_type, a.session_seq, a.lo_us, a.hi_us,
+       TRUE AS overlaps
+FROM iv a
+WHERE EXISTS (
+  SELECT 1 FROM iv b
+  WHERE b.user_id = a.user_id
+    AND (b.event_type <> a.event_type OR b.session_seq <> a.session_seq)
+    AND a.lo_us <= b.hi_us AND b.lo_us <= a.hi_us)
+ORDER BY a.user_id, a.event_type, a.session_seq
+"""
+
+
 def _q_range_join_events(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketized point-in-interval range join (operators/temporal.
     range_join): every purchase event annotated with the user's
@@ -5123,6 +5190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: bucketized point-in-interval range join (temporal
         # family sibling of the recorded session_stats/asof entries)
         "range_join_events": _q_range_join_events,
+        # r5 addition: interval-overlap validation (same family)
+        "interval_overlaps_events": _q_interval_overlaps_events,
     }
 
 
@@ -5228,6 +5297,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_url_dedup": _O_STREAMING_URL_DEDUP,
         "streaming_session_stats": _O_STREAMING_SESSION_STATS,
         "range_join_events": _O_RANGE_JOIN_EVENTS,
+        "interval_overlaps_events": _O_INTERVAL_OVERLAPS_EVENTS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

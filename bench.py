@@ -186,6 +186,7 @@ def run_bench() -> dict:
         ("session_stats_events", qs["session_stats_events"]),
         ("asof_join_events", qs["asof_join_events"]),
         ("range_join_events", qs["range_join_events"]),
+        ("interval_overlaps_events", qs["interval_overlaps_events"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

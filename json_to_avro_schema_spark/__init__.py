@@ -30,6 +30,7 @@ from .operators.referential import (
 )
 from .operators.temporal import (
     asof_join,
+    interval_overlaps,
     range_join,
     session_stats,
     sessionize,
@@ -86,6 +87,7 @@ __all__ = [
     "asof_join",
     "bloom_build",
     "bloom_ri_violations",
+    "interval_overlaps",
     "range_join",
     "ri_verdict",
     "ri_violations",

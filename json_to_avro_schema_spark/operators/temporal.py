@@ -75,10 +75,14 @@ def _epoch_us(df: DataFrame, col: str):
     return F.unix_micros(F.col(col))
 
 
+def _key_cols(user_col) -> list:
+    return [user_col] if isinstance(user_col, str) else list(user_col)
+
+
 def sessionize(
     events: DataFrame,
     *,
-    user_col: str = "user_id",
+    user_col="user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     tiebreak_cols: Sequence[str] = (),
@@ -86,7 +90,9 @@ def sessionize(
 ) -> DataFrame:
     """Add a per-user 1-based session sequence number: a new session
     starts at the first event and whenever the gap since the previous
-    event exceeds ``gap_seconds``.
+    event exceeds ``gap_seconds``.  ``user_col`` may be one column name
+    or a sequence of them (composite session key, e.g.
+    ``["user_id", "event_type"]``).
 
     Gap arithmetic is exact integer epoch microseconds (:func:`_epoch_us`,
     timezone-independent for NTZ inputs) — no float epoch, no sub-second
@@ -96,7 +102,7 @@ def sessionize(
     them (engines disagree on null placement).
     """
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
-    w = Window.partitionBy(user_col).orderBy(*order)
+    w = Window.partitionBy(*_key_cols(user_col)).orderBy(*order)
     us = _epoch_us(events, ts_col)
     prev_us = F.lag(us).over(w)
     gap_us = int(gap_seconds) * 1_000_000
@@ -110,7 +116,7 @@ def sessionize(
 def session_stats(
     events: DataFrame,
     *,
-    user_col: str = "user_id",
+    user_col="user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
     tiebreak_cols: Sequence[str] = (),
@@ -132,13 +138,65 @@ def session_stats(
     )
     us = _epoch_us(s, ts_col)
     return (
-        s.groupBy(F.col(user_col), F.col("session_seq"))
+        s.groupBy(*[F.col(c) for c in _key_cols(user_col)], F.col("session_seq"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min(us).alias("start_us"),
             F.max(us).alias("end_us"),
         )
         .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+
+
+def interval_overlaps(
+    intervals: DataFrame,
+    on: Sequence[str],
+    *,
+    lo_col: str = "lo_us",
+    hi_col: str = "hi_us",
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "overlaps",
+) -> DataFrame:
+    """Flag every interval that overlaps ANOTHER interval of the same key
+    (inclusive bounds: touching endpoints count) — the validation twin of
+    :func:`range_join` for "bookings/sessions must not overlap" checks.
+
+    The naive form is a per-key self-join (quadratic under hot keys).
+    This is ONE exchange + ONE window sort by (lo asc, hi desc): a row
+    overlaps some PREDECESSOR iff the running ``max(hi)`` over earlier
+    rows reaches its lo, and overlaps some SUCCESSOR iff the next row's
+    lo (the minimum among successors, by the sort) is within its hi —
+    together that's "overlaps anything", each row flagged in O(1) state.
+
+    Null-bound and inverted (lo > hi) rows match nothing and come back
+    flagged ``false`` (SQL comparison semantics — the compiled range
+    checks catch those separately).  Duplicate intervals overlap each
+    other and both flag ``true``.
+    """
+    on = list(on)
+    valid = (
+        F.col(lo_col).isNotNull()
+        & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col))
+    )
+    # invalid rows sort LAST so they never sit between two valid rows
+    # (which would break the next-row-is-min-successor-lo invariant), and
+    # their bounds are masked out of the running aggregates so they can't
+    # flag a neighbor.
+    order = [
+        valid.desc(),
+        F.col(lo_col).asc(),
+        F.col(hi_col).desc(),
+        *[F.col(c).asc() for c in tiebreak_cols],
+    ]
+    w = Window.partitionBy(*on).orderBy(*order)
+    prev_max_hi = F.max(F.when(valid, F.col(hi_col))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_lo = F.lead(F.when(valid, F.col(lo_col))).over(w)
+    hit = (F.col(lo_col) <= prev_max_hi) | (next_lo <= F.col(hi_col))
+    return intervals.withColumn(
+        out_col, F.when(valid, F.coalesce(hit, F.lit(False))).otherwise(False)
     )
 
 

@@ -128,6 +128,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         # and the bucketized range join (temporal-family sibling)
         "streaming_session_stats": "streaming_windowed_metrics",
         "range_join_events": "session_stats_events",
+        "interval_overlaps_events": "session_stats_events",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)

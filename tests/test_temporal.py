@@ -278,3 +278,75 @@ def test_range_join_validations(spark, iv_frames):
         T.range_join(
             pts.withColumn("iv_name", F.lit("x")), ivs, ["k"]
         )
+
+
+def test_asof_join_single_key_exchange(spark):
+    """The union-trick plan: both sides union BEFORE the one (key)
+    exchange, so the whole as-of costs exactly one hashpartitioning
+    shuffle — the property that lets it survive a 100x scale-up wherever
+    a plain key join would."""
+    l = spark.createDataFrame(
+        [(1, 1, 100)], "eid long, k long, us long"
+    ).withColumn("ts", F.timestamp_micros("us")).drop("us")
+    r = spark.createDataFrame(
+        [(1, 50, 5.0)], "k long, us long, v double"
+    ).withColumn("ts", F.timestamp_micros("us")).drop("us")
+    plan = (
+        T.asof_join(l, r, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# interval_overlaps
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlaps_matches_self_join_oracle(spark):
+    rows = [
+        # k=1: A-B overlap (touching endpoint counts), C disjoint,
+        # D-E identical duplicates, F contains G (nesting)
+        ("A", 1, 0, 10), ("B", 1, 10, 20), ("C", 1, 30, 40),
+        ("D", 1, 50, 60), ("E", 1, 50, 60),
+        ("F", 1, 100, 200), ("G", 1, 120, 130),
+        # k=2: same bounds as an overlapping k=1 pair but alone per key
+        ("H", 2, 0, 10),
+        # invalid rows: must flag false AND not flag neighbors
+        ("I", 2, None, 10), ("J", 2, 60, 40), ("K", 2, 5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, k long, lo_us long, hi_us long"
+    )
+    got = {
+        r["name"]: r["overlaps"]
+        for r in T.interval_overlaps(df, ["k"], tiebreak_cols=["name"]).collect()
+    }
+    oracle = df.alias("a").join(
+        df.alias("b"),
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.name") != F.col("b.name"))
+        & (F.col("a.lo_us") <= F.col("b.hi_us"))
+        & (F.col("b.lo_us") <= F.col("a.hi_us"))
+        & (F.col("a.lo_us") <= F.col("a.hi_us"))
+        & (F.col("b.lo_us") <= F.col("b.hi_us")),
+        "left_semi",
+    )
+    flagged = {r["name"] for r in oracle.collect()}
+    assert got == {r[0]: (r[0] in flagged) for r in rows}
+    assert flagged == {"A", "B", "D", "E", "F", "G"}
+
+
+def test_interval_overlaps_one_exchange(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 0, 10)], "name string, k long, lo_us long, hi_us long"
+    )
+    plan = (
+        T.interval_overlaps(df, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    # no shrinking unbounded-following frame (quadratic per partition)
+    assert "UnboundedFollowing" not in plan.replace(
+        "unboundedfollowing$()", ""
+    )
