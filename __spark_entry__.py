@@ -4915,6 +4915,63 @@ ORDER BY l.event_id
 """
 
 
+def _q_sequence_gaps_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Global sequence-gap detection (operators/temporal.sequence_gaps):
+    the id ranges missing from the click-filtered event stream — the
+    surrogate-key / completeness audit.  A naive global window is a
+    single-partition sort; this range-partitions the ids, finds holes
+    per partition via a spark_partition_id window (range pids ascend, so
+    in-partition order IS global order), and stitches the ≤P−1 boundary
+    holes from an O(P)-row min/max aggregate — the packing module's
+    two-level shape, never a global sort, never the data on the driver."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = tmp.sequence_gaps(clicks, "event_id")
+    return out.orderBy("gap_start")
+
+
+_O_SEQUENCE_GAPS_EVENTS = """
+WITH c AS (
+  SELECT event_id FROM events
+  WHERE event_type = 'click' AND event_id IS NOT NULL
+),
+s AS (
+  SELECT event_id, lag(event_id) OVER (ORDER BY event_id) AS prev
+  FROM c
+)
+SELECT prev + 1 AS gap_start, event_id - 1 AS gap_end,
+       event_id - prev - 1 AS n_missing
+FROM s WHERE event_id - prev > 1
+ORDER BY gap_start
+"""
+
+
+def _q_fd_violations_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency violation extraction (operators/profile.
+    fd_violations): sources whose documents span more than one language —
+    the source⇒lang consistency check, with min/max example values as
+    triage evidence.  ONE map-side-combined hash-aggregate scan; output
+    is one row per violating key, driver state zero."""
+    from json_to_avro_schema_spark.operators.profile import fd_violations
+
+    docs = load_table(spark, sf, "documents")
+    out = fd_violations(docs, ["source"], ["lang"])
+    return out.orderBy("source")
+
+
+_O_FD_VIOLATIONS_DOCS = """
+SELECT source,
+       count(DISTINCT lang) AS n_distinct,
+       count(*) AS n_rows,
+       min(lang) AS lang_min,
+       max(lang) AS lang_max
+FROM documents
+GROUP BY source
+HAVING count(DISTINCT lang) > 1
+ORDER BY source
+"""
+
+
 def _q_interval_overlaps_events(spark: SparkSession, sf: str) -> DataFrame:
     """Interval-overlap validation (operators/temporal.interval_overlaps):
     per-(user, event_type) 1h-gap session intervals, flagged when they
@@ -5192,6 +5249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": _q_range_join_events,
         # r5 addition: interval-overlap validation (same family)
         "interval_overlaps_events": _q_interval_overlaps_events,
+        # r5 additions: sequence completeness + FD consistency checks
+        "sequence_gaps_events": _q_sequence_gaps_events,
+        "fd_violations_docs": _q_fd_violations_docs,
     }
 
 
@@ -5298,6 +5358,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_session_stats": _O_STREAMING_SESSION_STATS,
         "range_join_events": _O_RANGE_JOIN_EVENTS,
         "interval_overlaps_events": _O_INTERVAL_OVERLAPS_EVENTS,
+        "sequence_gaps_events": _O_SEQUENCE_GAPS_EVENTS,
+        "fd_violations_docs": _O_FD_VIOLATIONS_DOCS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

@@ -187,6 +187,8 @@ def run_bench() -> dict:
         ("asof_join_events", qs["asof_join_events"]),
         ("range_join_events", qs["range_join_events"]),
         ("interval_overlaps_events", qs["interval_overlaps_events"]),
+        ("sequence_gaps_events", qs["sequence_gaps_events"]),
+        ("fd_violations_docs", qs["fd_violations_docs"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

@@ -28,10 +28,12 @@ from .operators.referential import (
     ri_verdict,
     ri_violations,
 )
+from .operators.profile import fd_violations
 from .operators.temporal import (
     asof_join,
     interval_overlaps,
     range_join,
+    sequence_gaps,
     session_stats,
     sessionize,
 )
@@ -87,10 +89,12 @@ __all__ = [
     "asof_join",
     "bloom_build",
     "bloom_ri_violations",
+    "fd_violations",
     "interval_overlaps",
     "range_join",
     "ri_verdict",
     "ri_violations",
+    "sequence_gaps",
     "session_stats",
     "sessionize",
     "CheckpointStore",

@@ -504,6 +504,51 @@ def frequent_values(
     )
 
 
+def fd_violations(
+    df: DataFrame,
+    determinants: Sequence[str],
+    dependents: Sequence[str],
+    *,
+    with_examples: bool = True,
+) -> DataFrame:
+    """Functional-dependency violation extraction: determinant values
+    that map to MORE than one distinct dependent combination — the
+    "source must imply lang" / "order implies customer" consistency
+    check (Deequ's uniqueness-within-group shape, inverted to report
+    the violating keys).
+
+    One hash-aggregate scan, map-side combined: per determinant group,
+    ``count_distinct`` over the dependents plus total rows and, as
+    evidence, the min/max of each dependent (two concrete conflicting
+    values when the FD is violated — enough to triage without a second
+    scan).  Rows whose dependents are all null don't count toward
+    distinctness (SQL COUNT DISTINCT semantics); driver state is zero,
+    output is one row per violating key.
+    """
+    determinants = list(determinants)
+    dependents = list(dependents)
+    if not determinants or not dependents:
+        raise ValueError("determinants and dependents must be non-empty")
+    overlap = set(determinants) & set(dependents)
+    if overlap:
+        raise ValueError(f"columns on both sides: {sorted(overlap)}")
+    aggs = [
+        F.count_distinct(*[F.col(c) for c in dependents]).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    if with_examples:
+        for c in dependents:
+            aggs += [
+                F.min(c).alias(f"{c}_min"),
+                F.max(c).alias(f"{c}_max"),
+            ]
+    return (
+        df.groupBy(*determinants)
+        .agg(*aggs)
+        .filter(F.col("n_distinct") > 1)
+    )
+
+
 def profile_drift(old: DataFrame, new: DataFrame,
                   *,
                   null_rate_jump: float = 0.01,

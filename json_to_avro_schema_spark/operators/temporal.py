@@ -148,6 +148,86 @@ def session_stats(
     )
 
 
+def sequence_gaps(
+    df: DataFrame,
+    seq_col: str,
+    *,
+    key_cols: Optional[Sequence[str]] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Missing ranges in an integer sequence column — the surrogate-key /
+    event-id completeness check: one output row per hole, as
+    (key…, gap_start, gap_end, n_missing) where ``[gap_start, gap_end]``
+    are the absent values between two adjacent present ones.  Duplicate
+    present values are not gaps; null sequence values are ignored.
+
+    With ``key_cols`` the sort distributes on the keys (one exchange, one
+    window).  WITHOUT keys a naive global window is a single-partition
+    sort — the anti-pattern — so the global mode range-partitions the
+    sequence instead: within-partition holes come from a window
+    partitioned by ``spark_partition_id()`` (range partitions are
+    ascending by pid, so in-partition order is global order), and the
+    ≤P−1 cross-partition boundary holes are stitched from the per-pid
+    min/max — an O(P)-row driver aggregate, the same two-level shape as
+    the packing prefix sum.
+    """
+    key_cols = list(key_cols or [])
+    seq = F.col(seq_col)
+    if key_cols:
+        w = Window.partitionBy(*key_cols).orderBy(seq.asc())
+        prev = F.lag(seq).over(w)
+        return (
+            df.filter(seq.isNotNull())
+            .select(*key_cols, seq)
+            .withColumn("__prev", prev)
+            .filter(seq - F.col("__prev") > 1)
+            .select(
+                *key_cols,
+                (F.col("__prev") + 1).alias("gap_start"),
+                (seq - 1).alias("gap_end"),
+                (seq - F.col("__prev") - 1).alias("n_missing"),
+            )
+        )
+
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = (
+        df.filter(seq.isNotNull())
+        .select(seq.alias("__seq"))
+        .repartitionByRange(n, F.col("__seq"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__seq").asc())
+    within = (
+        ranged.withColumn("__prev", F.lag("__seq").over(w))
+        .filter(F.col("__seq") - F.col("__prev") > 1)
+        .select(
+            (F.col("__prev") + 1).alias("gap_start"),
+            (F.col("__seq") - 1).alias("gap_end"),
+            (F.col("__seq") - F.col("__prev") - 1).alias("n_missing"),
+        )
+    )
+    # boundary holes between adjacent non-empty range partitions: O(P)
+    # rows to the driver, never the data
+    bounds = sorted(
+        ranged.groupBy("__pid")
+        .agg(F.min("__seq").alias("lo"), F.max("__seq").alias("hi"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    edge_rows = [
+        (int(prev["hi"]) + 1, int(cur["lo"]) - 1, int(cur["lo"] - prev["hi"] - 1))
+        for prev, cur in zip(bounds, bounds[1:])
+        if cur["lo"] - prev["hi"] > 1
+    ]
+    edges = spark.createDataFrame(
+        edge_rows, "gap_start long, gap_end long, n_missing long"
+    )
+    return within.unionByName(edges)
+
+
 def interval_overlaps(
     intervals: DataFrame,
     on: Sequence[str],

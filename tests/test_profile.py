@@ -373,3 +373,37 @@ def test_profile_drift_enum_blew_cap(spark):
     npf = profile_frame(new, profile_table(new, exact_distinct=True))
     (row,) = profile_drift(opf, npf).collect()
     assert row["enum_widened"] and row["drifted"]
+
+
+def test_fd_violations_extracts_conflicting_keys(spark):
+    from json_to_avro_schema_spark.operators.profile import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            ("a", "en", 1), ("a", "en", 2),          # FD holds
+            ("b", "en", 3), ("b", "de", 4),          # violated
+            ("c", None, 5), ("c", "fr", 6),          # null doesn't count
+            ("d", None, 7), ("d", None, 8),          # all-null: holds
+        ],
+        "src string, lang string, id long",
+    )
+    got = {
+        r["src"]: (r["n_distinct"], r["n_rows"], r["lang_min"], r["lang_max"])
+        for r in fd_violations(df, ["src"], ["lang"]).collect()
+    }
+    assert got == {"b": (2, 2, "de", "en")}
+
+    # composite dependents and the no-examples mode
+    multi = fd_violations(
+        df, ["src"], ["lang", "id"], with_examples=False
+    )
+    assert set(multi.columns) == {"src", "n_distinct", "n_rows"}
+    # every src maps to >1 (lang, id) pair except the all-null-lang d
+    # (count_distinct skips rows with ANY null dependent)
+    assert {r["src"] for r in multi.collect()} == {"a", "b"}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        fd_violations(df, [], ["lang"])
+    with _pt.raises(ValueError, match="both sides"):
+        fd_violations(df, ["src"], ["src", "lang"])

@@ -129,6 +129,8 @@ def test_overflow_entries_have_recorded_family_siblings():
         "streaming_session_stats": "streaming_windowed_metrics",
         "range_join_events": "session_stats_events",
         "interval_overlaps_events": "session_stats_events",
+        "sequence_gaps_events": "session_stats_events",
+        "fd_violations_docs": "profile_drift_lineitem",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)

@@ -350,3 +350,40 @@ def test_interval_overlaps_one_exchange(spark):
     assert "UnboundedFollowing" not in plan.replace(
         "unboundedfollowing$()", ""
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence_gaps
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_gaps_keyed(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 5), (1, 5), (1, 9),
+         (2, 10), (2, 11), (1, None)],
+        "k long, seq long",
+    )
+    got = sorted(
+        (r["k"], r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in T.sequence_gaps(df, "seq", key_cols=["k"]).collect()
+    )
+    assert got == [(1, 3, 4, 2), (1, 6, 8, 3)]
+
+
+def test_sequence_gaps_global_with_boundary_stitch(spark):
+    # ids 0..99 with three holes; num_partitions=8 forces holes to land
+    # both inside range partitions and ACROSS partition boundaries
+    present = [i for i in range(100) if i not in (*range(10, 15), 40, *range(70, 90))]
+    df = spark.createDataFrame([(i,) for i in present], "seq long")
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in T.sequence_gaps(df, "seq", num_partitions=8).collect()
+    )
+    assert got == [(10, 14, 5), (40, 40, 1), (70, 89, 20)]
+    # duplicates and a single partition behave
+    dup = spark.createDataFrame([(1,), (1,), (3,)], "seq long")
+    got2 = [
+        (r["gap_start"], r["gap_end"])
+        for r in T.sequence_gaps(dup, "seq", num_partitions=1).collect()
+    ]
+    assert got2 == [(2, 2)]
