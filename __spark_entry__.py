@@ -4959,6 +4959,44 @@ def _q_fd_violations_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("source")
 
 
+def _q_correlations_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlation profiling (operators/profile.
+    correlations — the Deequ correlation analyzer): all 6 unordered pairs
+    of the four lineitem value columns in ONE fused agg scan (F.corr is a
+    declarative aggregate, map-side-combined running moments; the unpivot
+    is a literal-struct explode on the one-row result).  NaN (zero
+    variance) normalized to null, 6-dp rounded per the module's
+    cross-engine float contract."""
+    from json_to_avro_schema_spark.operators.profile import correlations
+
+    li = load_table(spark, sf, "lineitem")
+    out = correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return out.orderBy("col_x", "col_y")
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    return (
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y,\n"
+        f"       round(corr({a}, {b}), 6) AS pearson_r,\n"
+        f"       count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL "
+        f"THEN 1 END) AS n_pairs\n"
+        f"FROM lineitem"
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_O_CORRELATIONS_LINEITEM = (
+    "\nUNION ALL\n".join(
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+    + "\nORDER BY col_x, col_y"
+)
+
+
 _O_FD_VIOLATIONS_DOCS = """
 SELECT source,
        count(DISTINCT lang) AS n_distinct,
@@ -5252,6 +5290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 additions: sequence completeness + FD consistency checks
         "sequence_gaps_events": _q_sequence_gaps_events,
         "fd_violations_docs": _q_fd_violations_docs,
+        # r5 addition: pairwise Pearson correlation profiling (profiler
+        # family sibling of the recorded profile_drift/fd entries)
+        "correlations_lineitem": _q_correlations_lineitem,
     }
 
 
@@ -5360,6 +5401,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlaps_events": _O_INTERVAL_OVERLAPS_EVENTS,
         "sequence_gaps_events": _O_SEQUENCE_GAPS_EVENTS,
         "fd_violations_docs": _O_FD_VIOLATIONS_DOCS,
+        "correlations_lineitem": _O_CORRELATIONS_LINEITEM,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

@@ -549,6 +549,80 @@ def fd_violations(
     )
 
 
+def correlations(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    decimals: Optional[int] = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation over the given numeric columns — the
+    Deequ correlation analyzer: (col_x, col_y, pearson_r, n_pairs) for
+    every unordered pair, the redundant-feature / derived-column detector
+    that feeds FD triage (a |r|≈1 pair is an FD candidate for
+    :func:`fd_violations`; spec-wise, a derived column wants an x-stats
+    check, not independent range checks).
+
+    Distributed shape: ONE fused ``df.agg`` scan — ``F.corr`` is a
+    declarative aggregate (map-side-combined running moments), so all
+    k·(k−1)/2 pairs ride a single pass with O(k²) scalar state and a
+    one-row result; the unpivot to pair rows is a literal-struct explode
+    on that single row, never a shuffle.  k² agg columns bound the
+    practical pair count (~50 columns ≈ 1225 aggregates), which is the
+    profiler's regime — at wider k, select candidate pairs first.
+
+    Semantics pinned for the cross-engine oracle: rows where EITHER side
+    is null are excluded per pair (SQL ``corr`` — both inputs are masked
+    to the pairwise-complete subset before the moment aggregates, so the
+    stddevs see exactly the rows the covariance does); sample
+    correlation; zero-variance / sub-2-row pairs return null (DuckDB's
+    NULL there; ``F.corr`` itself is ANSI-fatal on zero variance —
+    DIVIDE_BY_ZERO — so the ratio is built from ``covar_samp`` /
+    ``stddev_samp`` under ``try_divide``, numerically the same
+    stable-update moments ``corr`` runs); ``decimals`` pre-rounds
+    (default 6, the module float contract; ``None`` = raw).  ``n_pairs``
+    is the per-pair non-null row count the coefficient was computed over
+    — the evidence column (r over 3 rows is noise, over 10^9 it's
+    structure).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"correlations needs >= 2 columns, got {cols}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns: {cols}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        ma = F.when(both, F.col(a))
+        mb = F.when(both, F.col(b))
+        aggs.append(
+            F.try_divide(
+                F.covar_samp(ma, mb),
+                F.stddev_samp(ma) * F.stddev_samp(mb),
+            ).alias(f"__r{i}")
+        )
+        aggs.append(F.count(F.when(both, 1)).alias(f"__n{i}"))
+    one = df.agg(*aggs)
+    structs = []
+    for i, (a, b) in enumerate(pairs):
+        r = F.col(f"__r{i}")
+        r = F.when(~F.isnan(r), r)  # NaN (zero variance, n<2) -> null
+        if decimals is not None:
+            r = F.round(r, decimals)
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                r.alias("pearson_r"),
+                F.col(f"__n{i}").alias("n_pairs"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*structs)).alias("__p"))
+        .select("__p.*")
+    )
+
+
 def profile_drift(old: DataFrame, new: DataFrame,
                   *,
                   null_rate_jump: float = 0.01,

@@ -101,6 +101,10 @@ def sessionize(
     ascending order; callers wanting SQL-portable output should filter
     them (engines disagree on null placement).
     """
+    if out_col in events.columns:
+        raise ValueError(
+            f"sessionize output column {out_col!r} already exists on the input"
+        )
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
     w = Window.partitionBy(*_key_cols(user_col)).orderBy(*order)
     us = _epoch_us(events, ts_col)
@@ -254,6 +258,11 @@ def interval_overlaps(
     other and both flag ``true``.
     """
     on = list(on)
+    if out_col in intervals.columns:
+        raise ValueError(
+            f"interval_overlaps output column {out_col!r} already exists "
+            f"on the input"
+        )
     valid = (
         F.col(lo_col).isNotNull()
         & F.col(hi_col).isNotNull()
@@ -330,7 +339,7 @@ def range_join(
     iv_vals = [c for c in intervals.columns if c not in (*on, lo_col, hi_col)]
     clash = [
         c
-        for c in (lo_col, hi_col, *[f"iv_{v}" for v in iv_vals])
+        for c in (lo_col, hi_col, "__bucket", *[f"iv_{v}" for v in iv_vals])
         if c in points.columns
     ]
     if clash:
@@ -407,6 +416,14 @@ def asof_join(
     clash = [f"asof_{c}" for c in val_cols if f"asof_{c}" in left.columns]
     if clash:
         raise ValueError(f"prefixed right columns collide with left: {clash}")
+    work_clash = ({_SIDE, _TS, _MATCH_TS} & set(left.columns)) | (
+        {_SIDE, _TS, _MATCH_TS} & set(right.columns)
+    )
+    if work_clash:
+        raise ValueError(
+            f"asof_join working columns {sorted(work_clash)} already exist "
+            f"on an input"
+        )
 
     lhs = left.withColumns(
         {

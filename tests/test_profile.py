@@ -407,3 +407,52 @@ def test_fd_violations_extracts_conflicting_keys(spark):
         fd_violations(df, [], ["lang"])
     with _pt.raises(ValueError, match="both sides"):
         fd_violations(df, ["src"], ["src", "lang"])
+
+
+def test_correlations_fused_pairs(spark):
+    from json_to_avro_schema_spark.operators.profile import correlations
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, 5.0, 1.0),
+            (2.0, 4.0, 4.0, 1.0),
+            (3.0, 6.0, 3.0, 1.0),
+            (4.0, 8.0, 2.0, 1.0),
+            (5.0, None, 1.0, 1.0),  # null excluded pairwise, not rowwise
+        ],
+        "a double, b double, c double, k double",
+    )
+    out = correlations(df, ["a", "b", "c", "k"])
+    got = {(r["col_x"], r["col_y"]): (r["pearson_r"], r["n_pairs"])
+           for r in out.collect()}
+    assert len(got) == 6  # 4 choose 2
+    assert got[("a", "b")] == (1.0, 4)       # perfect, null pair dropped
+    assert got[("a", "c")] == (-1.0, 5)      # perfect negative, all rows
+    assert got[("a", "k")] == (None, 5)      # zero variance -> null
+    assert got[("b", "c")] == (-1.0, 4)
+
+    # exact value vs the closed form on a non-degenerate pair
+    df2 = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 5.0)], "x double, y double"
+    )
+    r = correlations(df2, ["x", "y"]).collect()[0]
+    import math
+    xs, ys = [1.0, 2.0, 3.0, 4.0], [1.0, 3.0, 2.0, 5.0]
+    mx, my = sum(xs) / 4, sum(ys) / 4
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = math.sqrt(sum((x - mx) ** 2 for x in xs)
+                    * sum((y - my) ** 2 for y in ys))
+    assert r["pearson_r"] == round(num / den, 6)
+
+    # ONE scan: a single fused aggregate, no shuffle beyond its exchange,
+    # no per-pair re-scan (exactly one scan node in the plan)
+    plan = (
+        correlations(df, ["a", "b", "c"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") <= 1
+
+    with pytest.raises(ValueError, match=">= 2"):
+        correlations(df, ["a"])
+    with pytest.raises(ValueError, match="duplicate"):
+        correlations(df, ["a", "a"])

@@ -135,6 +135,10 @@ def test_asof_validations(spark):
         T.asof_join(
             left.withColumn("asof_v", F.lit(1)), right, ["k"]
         )
+    with pytest.raises(ValueError, match="working columns"):
+        T.asof_join(
+            left.withColumn("__asof_ts", F.lit(1)), right, ["k"]
+        )
 
 
 def test_bloom_ri_matches_exact_and_skips_nulls(spark):
@@ -278,6 +282,10 @@ def test_range_join_validations(spark, iv_frames):
         T.range_join(
             pts.withColumn("iv_name", F.lit("x")), ivs, ["k"]
         )
+    with pytest.raises(ValueError, match="collide"):
+        T.range_join(
+            pts.withColumn("__bucket", F.lit(0)), ivs, ["k"]
+        )
 
 
 def test_asof_join_single_key_exchange(spark):
@@ -387,3 +395,13 @@ def test_sequence_gaps_global_with_boundary_stitch(spark):
         for r in T.sequence_gaps(dup, "seq", num_partitions=1).collect()
     ]
     assert got2 == [(2, 2)]
+
+
+def test_output_column_clash_guards(events, spark):
+    with pytest.raises(ValueError, match="session_seq"):
+        T.sessionize(events.withColumn("session_seq", F.lit(1)))
+    iv = spark.createDataFrame(
+        [(1, 0, 10, True)], "k long, lo_us long, hi_us long, overlaps boolean"
+    )
+    with pytest.raises(ValueError, match="overlaps"):
+        T.interval_overlaps(iv, ["k"])
