@@ -189,6 +189,9 @@ def run_bench() -> dict:
         ("interval_overlaps_events", qs["interval_overlaps_events"]),
         ("sequence_gaps_events", qs["sequence_gaps_events"]),
         ("fd_violations_docs", qs["fd_violations_docs"]),
+        # r5 session 3: pairwise Pearson correlation profiling (one
+        # fused agg scan over all column pairs)
+        ("correlations_lineitem", qs["correlations_lineitem"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers
