@@ -4976,6 +4976,46 @@ def _q_correlations_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("col_x", "col_y")
 
 
+def _q_null_patterns_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Missingness-structure report (operators/profile.null_patterns):
+    frequency + share of every observed null/non-null combination — the
+    joint view per-column null rates can't give (columns missing
+    TOGETHER = one ingestion fault).  The synthetic tables are null-free,
+    so nulls are derived deterministically (value masked below 50,
+    props masked on clicks — the same CASE logic in the oracle), giving
+    all four patterns.  ONE map-side-combined hash-agg bounded at 2^k
+    groups; the pct denominator is a running sum over that aggregate."""
+    from json_to_avro_schema_spark.operators.profile import null_patterns
+
+    ev = load_table(spark, sf, "events")
+    d = ev.select(
+        F.when(F.col("value") >= 50, F.col("value")).alias("value_hi"),
+        F.when(F.col("event_type") != "click", F.col("props")).alias(
+            "nonclick_props"
+        ),
+    )
+    out = null_patterns(d, ["value_hi", "nonclick_props"])
+    return out.orderBy("value_hi_null", "nonclick_props_null")
+
+
+_O_NULL_PATTERNS_EVENTS = """
+WITH d AS (
+  SELECT CASE WHEN value >= 50 THEN value END AS value_hi,
+         CASE WHEN event_type <> 'click' THEN props END AS nonclick_props
+  FROM events
+), p AS (
+  SELECT value_hi IS NULL AS value_hi_null,
+         nonclick_props IS NULL AS nonclick_props_null,
+         count(*) AS n_rows
+  FROM d GROUP BY 1, 2
+)
+SELECT value_hi_null, nonclick_props_null, n_rows,
+       round(n_rows / (SELECT sum(n_rows) FROM p), 6) AS pct
+FROM p
+ORDER BY value_hi_null, nonclick_props_null
+"""
+
+
 def _corr_pair_sql(a: str, b: str) -> str:
     return (
         f"SELECT '{a}' AS col_x, '{b}' AS col_y,\n"
@@ -5293,6 +5333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: pairwise Pearson correlation profiling (profiler
         # family sibling of the recorded profile_drift/fd entries)
         "correlations_lineitem": _q_correlations_lineitem,
+        # r5 addition: joint missingness-structure report (profiler
+        # family sibling of the recorded profile_drift/fd entries)
+        "null_patterns_events": _q_null_patterns_events,
     }
 
 
@@ -5402,6 +5445,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_gaps_events": _O_SEQUENCE_GAPS_EVENTS,
         "fd_violations_docs": _O_FD_VIOLATIONS_DOCS,
         "correlations_lineitem": _O_CORRELATIONS_LINEITEM,
+        "null_patterns_events": _O_NULL_PATTERNS_EVENTS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

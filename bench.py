@@ -190,8 +190,10 @@ def run_bench() -> dict:
         ("sequence_gaps_events", qs["sequence_gaps_events"]),
         ("fd_violations_docs", qs["fd_violations_docs"]),
         # r5 session 3: pairwise Pearson correlation profiling (one
-        # fused agg scan over all column pairs)
+        # fused agg scan over all column pairs) + joint missingness
+        # structure (bounded 2^k-group hash-agg)
         ("correlations_lineitem", qs["correlations_lineitem"]),
+        ("null_patterns_events", qs["null_patterns_events"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

@@ -623,6 +623,53 @@ def correlations(
     )
 
 
+def null_patterns(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    decimals: Optional[int] = 6,
+) -> DataFrame:
+    """Missingness-structure report: one row per OBSERVED null/non-null
+    combination of the given columns — ``<col>_null`` boolean flags plus
+    ``n_rows`` and ``pct`` — the md.pattern-style view data-observability
+    tools ship: it distinguishes "these columns go missing together"
+    (one joint ingestion fault) from independent nulls, which per-column
+    null rates cannot (the profiler's null_count sees 10% + 10% whether
+    that's one broken 10% slice or two).
+
+    Distributed shape: ONE map-side-combined hash-agg on the k boolean
+    flags — at most ``2^k`` groups regardless of row count, so the
+    shuffle carries ≤ 2^k tiny rows (k is capped at 20 ⇒ ≤ 1 M groups;
+    in practice patterns observed ≪ 2^k).  The ``pct`` denominator is a
+    single-partition running sum OVER THE AGGREGATE — bounded by the
+    same 2^k, never the corpus.  Output ordering is unspecified; sort on
+    the flag columns for deterministic presentation.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("null_patterns needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns: {cols}")
+    if len(cols) > 20:
+        raise ValueError(
+            f"null_patterns is bounded at 20 columns (2^k pattern groups); "
+            f"got {len(cols)} — profile a column subset"
+        )
+    flags = [F.col(c).isNull().alias(f"{c}_null") for c in cols]
+    grouped = df.groupBy(*flags).agg(F.count(F.lit(1)).alias("n_rows"))
+    from pyspark.sql import Window
+
+    total = F.sum("n_rows").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    pct = F.col("n_rows") / total
+    if decimals is not None:
+        pct = F.round(pct, decimals)
+    return grouped.withColumn("pct", pct)
+
+
 def profile_drift(old: DataFrame, new: DataFrame,
                   *,
                   null_rate_jump: float = 0.01,

@@ -456,3 +456,46 @@ def test_correlations_fused_pairs(spark):
         correlations(df, ["a"])
     with pytest.raises(ValueError, match="duplicate"):
         correlations(df, ["a", "a"])
+
+
+def test_null_patterns_joint_missingness(spark):
+    from json_to_avro_schema_spark.operators.profile import null_patterns
+
+    df = spark.createDataFrame(
+        [
+            (1.0, "x"), (2.0, "y"),            # both present x2
+            (None, "z"), (None, "w"), (None, "v"),  # a null only x3
+            (3.0, None),                        # b null only x1
+            (None, None), (None, None),         # both null x2
+        ],
+        "a double, b string",
+    )
+    out = null_patterns(df, ["a", "b"])
+    got = {(r["a_null"], r["b_null"]): (r["n_rows"], r["pct"])
+           for r in out.collect()}
+    assert got == {
+        (False, False): (2, 0.25),
+        (True, False): (3, 0.375),
+        (False, True): (1, 0.125),
+        (True, True): (2, 0.25),
+    }
+    # only observed patterns appear
+    solo = null_patterns(df.select("b"), ["b"])
+    assert {r["b_null"] for r in solo.collect()} == {True, False}
+
+    # the agg is the only full-row exchange; the pct window runs on the
+    # <= 2^k aggregate (SinglePartition over tiny rows), not the corpus
+    # (split off AQE's "Initial Plan" echo before counting)
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+
+    with pytest.raises(ValueError, match="at least one"):
+        null_patterns(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        null_patterns(df, ["a", "a"])
+    with pytest.raises(ValueError, match="bounded at 20"):
+        null_patterns(df, [f"c{i}" for i in range(21)])

@@ -131,8 +131,10 @@ def test_overflow_entries_have_recorded_family_siblings():
         "interval_overlaps_events": "session_stats_events",
         "sequence_gaps_events": "session_stats_events",
         "fd_violations_docs": "profile_drift_lineitem",
-        # r5 session-3 addition: correlation profiling (profiler family)
+        # r5 session-3 additions: correlation + missingness profiling
+        # (profiler family)
         "correlations_lineitem": "profile_drift_lineitem",
+        "null_patterns_events": "profile_drift_lineitem",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
