@@ -4976,6 +4976,57 @@ def _q_correlations_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("col_x", "col_y")
 
 
+def _q_table_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff (operators/diff.table_diff): added/removed/changed
+    keys between two deterministically derived versions of orders (old
+    drops keys ≡3 mod 10; new drops ≡5 mod 13 and doubles o_totalprice
+    on multiples of 7).  The full-outer join shuffles only
+    (key, xxhash64 fingerprint) rows — row bodies are pruned before the
+    exchange; the oracle re-derives statuses with per-column
+    IS DISTINCT FROM (fingerprint equality ≡ value equality modulo a
+    2^-64 collision, absent here)."""
+    from json_to_avro_schema_spark.operators.diff import table_diff
+
+    o = load_table(spark, sf, "orders")
+    key = F.col("o_orderkey")
+    old = o.filter(key % 10 != 3)
+    new = o.filter(key % 13 != 5).withColumn(
+        "o_totalprice",
+        F.when(key % 7 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    out = table_diff(old, new, ["o_orderkey"])
+    return out.orderBy("o_orderkey")
+
+
+_O_TABLE_DIFF_ORDERS = """
+WITH old AS (
+  SELECT * FROM orders WHERE o_orderkey % 10 <> 3
+), new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 <> 5
+), j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+              THEN 'changed' ELSE 'unchanged' END AS status
+  FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, status FROM j
+WHERE status <> 'unchanged'
+ORDER BY o_orderkey
+"""
+
+
 def _q_null_patterns_events(spark: SparkSession, sf: str) -> DataFrame:
     """Missingness-structure report (operators/profile.null_patterns):
     frequency + share of every observed null/non-null combination — the
@@ -5336,6 +5387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: joint missingness-structure report (profiler
         # family sibling of the recorded profile_drift/fd entries)
         "null_patterns_events": _q_null_patterns_events,
+        # r5 addition: snapshot diff (added/removed/changed keys) —
+        # validation-extra family, skinny key+fingerprint shuffle
+        "table_diff_orders": _q_table_diff_orders,
     }
 
 
@@ -5446,6 +5500,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_violations_docs": _O_FD_VIOLATIONS_DOCS,
         "correlations_lineitem": _O_CORRELATIONS_LINEITEM,
         "null_patterns_events": _O_NULL_PATTERNS_EVENTS,
+        "table_diff_orders": _O_TABLE_DIFF_ORDERS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

@@ -194,6 +194,8 @@ def run_bench() -> dict:
         # structure (bounded 2^k-group hash-agg)
         ("correlations_lineitem", qs["correlations_lineitem"]),
         ("null_patterns_events", qs["null_patterns_events"]),
+        # r5 session 3: snapshot diff (skinny key+fingerprint shuffle)
+        ("table_diff_orders", qs["table_diff_orders"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

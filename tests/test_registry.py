@@ -135,6 +135,9 @@ def test_overflow_entries_have_recorded_family_siblings():
         # (profiler family)
         "correlations_lineitem": "profile_drift_lineitem",
         "null_patterns_events": "profile_drift_lineitem",
+        # snapshot diff = the row-level form of the run-over-run
+        # comparison family profile_drift_lineitem records
+        "table_diff_orders": "profile_drift_lineitem",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
