@@ -4976,6 +4976,38 @@ def _q_correlations_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("col_x", "col_y")
 
 
+def _q_entropy_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy per column (operators/profile.entropy — the Deequ
+    Entropy analyzer) over documents lang + source: k columns in one
+    pass via a skinny (column, value) explode + vocabulary-scale
+    hash-agg, folded with H = ln(N) − Σ n·ln(n)/N (no per-value p
+    division, so no pre-computed totals).  6-dp rounded."""
+    from json_to_avro_schema_spark.operators.profile import entropy
+
+    docs = load_table(spark, sf, "documents")
+    return entropy(docs, ["lang", "source"]).orderBy("column")
+
+
+_O_ENTROPY_DOCS = """
+SELECT * FROM (
+  SELECT 'lang' AS "column",
+         CAST(sum(n) AS BIGINT) AS n_values,
+         count(*) AS n_distinct,
+         round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+  FROM (SELECT count(*) AS n FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang)
+  UNION ALL
+  SELECT 'source' AS "column",
+         CAST(sum(n) AS BIGINT) AS n_values,
+         count(*) AS n_distinct,
+         round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+  FROM (SELECT count(*) AS n FROM documents
+        WHERE source IS NOT NULL GROUP BY source)
+)
+ORDER BY "column"
+"""
+
+
 def _q_table_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot diff (operators/diff.table_diff): added/removed/changed
     keys between two deterministically derived versions of orders (old
@@ -5390,6 +5422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: snapshot diff (added/removed/changed keys) —
         # validation-extra family, skinny key+fingerprint shuffle
         "table_diff_orders": _q_table_diff_orders,
+        # r5 addition: Deequ-parity entropy analyzer (profiler family)
+        "entropy_docs": _q_entropy_docs,
     }
 
 
@@ -5501,6 +5535,7 @@ def oracle_sql() -> dict[str, str]:
         "correlations_lineitem": _O_CORRELATIONS_LINEITEM,
         "null_patterns_events": _O_NULL_PATTERNS_EVENTS,
         "table_diff_orders": _O_TABLE_DIFF_ORDERS,
+        "entropy_docs": _O_ENTROPY_DOCS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

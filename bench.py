@@ -196,6 +196,8 @@ def run_bench() -> dict:
         ("null_patterns_events", qs["null_patterns_events"]),
         # r5 session 3: snapshot diff (skinny key+fingerprint shuffle)
         ("table_diff_orders", qs["table_diff_orders"]),
+        # r5 session 3: per-column Shannon entropy (one-pass, all cols)
+        ("entropy_docs", qs["entropy_docs"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

@@ -670,6 +670,67 @@ def null_patterns(
     return grouped.withColumn("pct", pct)
 
 
+def entropy(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    decimals: Optional[int] = 6,
+) -> DataFrame:
+    """Shannon entropy (nats) of each column's value distribution — the
+    Deequ Entropy analyzer: (column, n_values, n_distinct, entropy),
+    nulls excluded.  Near-zero entropy on a supposedly-informative
+    column (one value dominates) and entropy ≈ ln(n_distinct) on a
+    supposedly-skewed one are both anomaly signals the null/distinct
+    profile alone misses; run-over-run entropy shifts feed
+    :func:`profile_drift`-style monitoring.
+
+    Distributed shape: ALL k columns in one pass — each row explodes to
+    k skinny (column, value-string) pairs, one map-side-combined
+    hash-agg on (column, value) builds the per-value counts (the shuffle
+    is vocabulary-scale, the same regime as categorical drift), and a
+    k-row second agg folds them with the identity
+    ``H = ln(N) − Σ n·ln(n) / N`` — no per-value p=n/N division, so one
+    pass needs no pre-computed totals.  The string cast only routes
+    GROUPING (injective per column for atomic types); the values
+    themselves never reach the output, so cross-engine formatting
+    differences cannot skew the result.  ``decimals`` rounds the
+    entropy (default 6, the module float contract).
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("entropy needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns: {cols}")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("__val"),
+            )
+            for c in cols
+        ]
+    )
+    counts = (
+        df.select(F.explode(pairs).alias("__p"))
+        .select("__p.*")
+        .filter(F.col("__val").isNotNull())
+        .groupBy("column", "__val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    n = F.col("__n").cast("double")
+    per_col = counts.groupBy("column").agg(
+        F.sum("__n").alias("n_values"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(n * F.log(n)).alias("__s"),
+    )
+    h = F.log(F.col("n_values").cast("double")) - F.col("__s") / F.col(
+        "n_values"
+    )
+    if decimals is not None:
+        h = F.round(h, decimals)
+    return per_col.select("column", "n_values", "n_distinct", h.alias("entropy"))
+
+
 def profile_drift(old: DataFrame, new: DataFrame,
                   *,
                   null_rate_jump: float = 0.01,

@@ -499,3 +499,33 @@ def test_null_patterns_joint_missingness(spark):
         null_patterns(df, ["a", "a"])
     with pytest.raises(ValueError, match="bounded at 20"):
         null_patterns(df, [f"c{i}" for i in range(21)])
+
+
+def test_entropy_matches_closed_form(spark):
+    import math
+
+    from json_to_avro_schema_spark.operators.profile import entropy
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 1), ("b", 1),        # uniform 2-way
+         ("c", 1), ("c", None), (None, 1), (None, 1)],  # nulls excluded
+        "s string, v int",
+    )
+    got = {r["column"]: r for r in entropy(df, ["s", "v"]).collect()}
+    # s: counts a=2 b=2 c=2 over N=6 -> uniform 3-way = ln 3
+    assert got["s"]["n_values"] == 6 and got["s"]["n_distinct"] == 3
+    assert got["s"]["entropy"] == round(math.log(3), 6)
+    # v: single value -> zero entropy
+    assert got["v"]["n_values"] == 7 and got["v"]["n_distinct"] == 1
+    assert got["v"]["entropy"] == 0.0
+
+    # skewed closed form: p = (3/4, 1/4)
+    sk = spark.createDataFrame([("x",)] * 3 + [("y",)], "c string")
+    h = entropy(sk, ["c"]).collect()[0]["entropy"]
+    expect = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert h == round(expect, 6)
+
+    with pytest.raises(ValueError, match="at least one"):
+        entropy(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        entropy(df, ["s", "s"])
