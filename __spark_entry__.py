@@ -5008,6 +5008,44 @@ ORDER BY "column"
 """
 
 
+def _q_mutual_info_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between column pairs (operators/profile.
+    mutual_information — the Deequ MutualInformation analyzer): the
+    categorical dependence detector over documents (lang, source) and
+    (source, n_chars).  Both pairs in ONE corpus scan: skinny triple
+    explode + one groupingSets pass (joint + both margins + total),
+    folded via MI = ln N + (Σn_xy·ln n_xy − Σn_x·ln n_x − Σn_y·ln n_y)/N."""
+    from json_to_avro_schema_spark.operators.profile import mutual_information
+
+    docs = load_table(spark, sf, "documents")
+    out = mutual_information(
+        docs, [("lang", "source"), ("source", "n_chars")]
+    )
+    return out.orderBy("col_x", "col_y")
+
+
+def _mi_pair_sql(a: str, b: str) -> str:
+    nn = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+    return f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+       CAST(t.N AS BIGINT) AS n_pairs,
+       round(ln(t.N) + (t.sxy - mx.sx - my.sy) / t.N, 6) AS mi
+FROM
+ (SELECT sum(n) AS N, sum(n*ln(n)) AS sxy FROM
+   (SELECT count(*) AS n FROM documents WHERE {nn} GROUP BY {a}, {b})) t,
+ (SELECT sum(n*ln(n)) AS sx FROM
+   (SELECT count(*) AS n FROM documents WHERE {nn} GROUP BY {a})) mx,
+ (SELECT sum(n*ln(n)) AS sy FROM
+   (SELECT count(*) AS n FROM documents WHERE {nn} GROUP BY {b})) my"""
+
+
+_O_MUTUAL_INFO_DOCS = (
+    _mi_pair_sql("lang", "source")
+    + "\nUNION ALL\n"
+    + _mi_pair_sql("source", "n_chars")
+    + "\nORDER BY col_x, col_y"
+)
+
+
 def _q_table_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot diff (operators/diff.table_diff): added/removed/changed
     keys between two deterministically derived versions of orders (old
@@ -5424,6 +5462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff_orders": _q_table_diff_orders,
         # r5 addition: Deequ-parity entropy analyzer (profiler family)
         "entropy_docs": _q_entropy_docs,
+        # r5 addition: Deequ-parity mutual information (profiler family)
+        "mutual_info_docs": _q_mutual_info_docs,
     }
 
 
@@ -5536,6 +5576,7 @@ def oracle_sql() -> dict[str, str]:
         "null_patterns_events": _O_NULL_PATTERNS_EVENTS,
         "table_diff_orders": _O_TABLE_DIFF_ORDERS,
         "entropy_docs": _O_ENTROPY_DOCS,
+        "mutual_info_docs": _O_MUTUAL_INFO_DOCS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

@@ -198,6 +198,8 @@ def run_bench() -> dict:
         ("table_diff_orders", qs["table_diff_orders"]),
         # r5 session 3: per-column Shannon entropy (one-pass, all cols)
         ("entropy_docs", qs["entropy_docs"]),
+        # r5 session 3: mutual information (one groupingSets scan)
+        ("mutual_info_docs", qs["mutual_info_docs"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

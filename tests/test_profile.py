@@ -529,3 +529,51 @@ def test_entropy_matches_closed_form(spark):
         entropy(df, [])
     with pytest.raises(ValueError, match="duplicate"):
         entropy(df, ["s", "s"])
+
+
+def test_mutual_information_closed_forms(spark):
+    import math
+
+    from json_to_avro_schema_spark.operators.profile import mutual_information
+
+    # deterministic pair: y = f(x), uniform 2x2 -> MI = H(X) = ln 2;
+    # independent pair: all 4 combos equally likely -> MI = 0
+    df = spark.createDataFrame(
+        [("a", "p", "u"), ("a", "p", "v"), ("b", "q", "u"), ("b", "q", "v")],
+        "x string, y string, z string",
+    )
+    got = {(r["col_x"], r["col_y"]): r
+           for r in mutual_information(df, [("x", "y"), ("x", "z")]).collect()}
+    assert got[("x", "y")]["n_pairs"] == 4
+    assert got[("x", "y")]["mi"] == round(math.log(2), 6)
+    assert got[("x", "z")]["mi"] == 0.0
+
+    # skewed dependent closed form: joint counts {(a,p):2, (a,q):1, (b,q):1}
+    sk = spark.createDataFrame(
+        [("a", "p"), ("a", "p"), ("a", "q"), ("b", "q")], "x string, y string"
+    )
+    r = mutual_information(sk, [("x", "y")]).collect()[0]
+    expect = (
+        0.5 * math.log(0.5 / (0.75 * 0.5))
+        + 0.25 * math.log(0.25 / (0.75 * 0.5))
+        + 0.25 * math.log(0.25 / (0.25 * 0.5))
+    )
+    assert r["mi"] == round(expect, 6)
+
+    # nulls excluded pairwise; an all-null pair surfaces as (0, null)
+    nl = spark.createDataFrame(
+        [("a", None), (None, "p")], "x string, y string"
+    )
+    rows = {(r["col_x"], r["col_y"]): r
+            for r in mutual_information(nl, [("x", "y")]).collect()}
+    assert rows[("x", "y")]["n_pairs"] == 0
+    assert rows[("x", "y")]["mi"] is None
+
+    with pytest.raises(ValueError, match="at least one"):
+        mutual_information(df, [])
+    with pytest.raises(ValueError, match="itself"):
+        mutual_information(df, [("x", "x")])
+    with pytest.raises(ValueError, match="missing"):
+        mutual_information(df, [("x", "nope")])
+    with pytest.raises(ValueError, match="duplicate"):
+        mutual_information(df, [("x", "y"), ("x", "y")])

@@ -139,6 +139,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         # comparison family profile_drift_lineitem records
         "table_diff_orders": "profile_drift_lineitem",
         "entropy_docs": "profile_drift_lineitem",
+        "mutual_info_docs": "profile_drift_lineitem",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
