@@ -188,3 +188,99 @@ def test_cluster_pairs_is_valid_partition(spark, raw_pairs):
         union(a, b)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.sampled_from(["p", "q", None]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_entropy_and_mi_match_driver_oracle(spark, rows):
+    """entropy / mutual_information must agree with a driver-side
+    closed-form computation on arbitrary small categorical frames,
+    including all-null and empty inputs."""
+    from collections import Counter
+
+    from json_to_avro_schema_spark.operators.profile import (
+        entropy,
+        mutual_information,
+    )
+
+    df = spark.createDataFrame(rows, "x string, y string") if rows else (
+        spark.createDataFrame([], "x string, y string")
+    )
+
+    def h(counter):
+        n = sum(counter.values())
+        if n == 0:
+            return None
+        return round(
+            math.log(n) - sum(c * math.log(c) for c in counter.values()) / n,
+            6,
+        )
+
+    got_h = {r["column"]: (r["n_values"], r["entropy"])
+             for r in entropy(df, ["x", "y"]).collect()}
+    for col in ("x", "y"):
+        vals = Counter(v for v in
+                       (r[0] if col == "x" else r[1] for r in rows)
+                       if v is not None)
+        if sum(vals.values()) == 0:
+            assert col not in got_h  # no non-null rows -> no output row
+        else:
+            assert got_h[col] == (sum(vals.values()), h(vals))
+
+    both = [(a, b) for a, b in rows if a is not None and b is not None]
+    joint, xm, ym = Counter(both), Counter(a for a, _ in both), Counter(
+        b for _, b in both
+    )
+    n = len(both)
+    (r,) = mutual_information(df, [("x", "y")]).collect()
+    assert r["n_pairs"] == n
+    if n == 0:
+        assert r["mi"] is None
+    else:
+        want = math.log(n) + (
+            sum(c * math.log(c) for c in joint.values())
+            - sum(c * math.log(c) for c in xm.values())
+            - sum(c * math.log(c) for c in ym.values())
+        ) / n
+        assert r["mi"] == round(want, 6)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 12), st.integers(0, 3)), min_size=0,
+             max_size=15, unique_by=lambda t: t[0]),
+    st.lists(st.tuples(st.integers(0, 12), st.integers(0, 3)), min_size=0,
+             max_size=15, unique_by=lambda t: t[0]),
+)
+@settings(max_examples=8, deadline=None)
+def test_table_diff_matches_brute_force(spark, old_rows, new_rows):
+    """table_diff statuses must equal the brute-force dict comparison for
+    arbitrary unique-keyed snapshots."""
+    from json_to_avro_schema_spark.operators.diff import table_diff
+
+    schema = "k long, v long"
+    old = (spark.createDataFrame(old_rows, schema) if old_rows
+           else spark.createDataFrame([], schema))
+    new = (spark.createDataFrame(new_rows, schema) if new_rows
+           else spark.createDataFrame([], schema))
+    got = {r["k"]: r["status"]
+           for r in table_diff(old, new, ["k"]).collect()}
+
+    o, n = dict(old_rows), dict(new_rows)
+    want = {}
+    for k in set(o) | set(n):
+        if k not in o:
+            want[k] = "added"
+        elif k not in n:
+            want[k] = "removed"
+        elif o[k] != n[k]:
+            want[k] = "changed"
+    assert got == want
