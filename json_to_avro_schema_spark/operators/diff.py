@@ -26,7 +26,11 @@ Contracts: ``keys`` must be unique per side (snapshot primary key — with
 duplicates the full-outer join multiplies; enforcing would cost the very
 shuffle this avoids, the asof_join precedent). Null keys never match
 across sides (SQL join semantics): an old null-key row reports
-``removed``, a new one ``added``.
+``removed``, a new one ``added``.  Key/compare dtypes must match between
+the sides (checked — equal values hash differently across integer
+widths, so a silently type-widened rebuild would read as all-changed);
+per-column null flags are hashed alongside the values so a value
+shifting between same-typed columns is detected as changed.
 """
 
 from __future__ import annotations
@@ -80,11 +84,38 @@ def table_diff(
         )
     if _STATUS in keys:
         raise ValueError(f"key column {_STATUS!r} collides with the output")
+    # equal logical values hash differently across widths (int 5 vs
+    # bigint 5), so a type-widened rebuild would flood the gate with
+    # false 'changed' rows — refuse dtype drift instead of guessing a
+    # common cast (schema evolution is a deliberate caller-side cast)
+    old_t = dict(old.dtypes)
+    new_t = dict(new.dtypes)
+    drift = [
+        (c, old_t[c], new_t[c])
+        for c in (*keys, *compare_cols)
+        if old_t[c] != new_t[c]
+    ]
+    if drift:
+        raise ValueError(
+            f"column dtypes differ between snapshots (cast one side "
+            f"first): {drift}"
+        )
 
     def fp(df: DataFrame, alias: str) -> DataFrame:
-        return df.select(
-            *keys, F.xxhash64(F.struct(*compare_cols)).alias(alias)
+        # per-column null flags ride the hashed struct: hash expressions
+        # pass the seed through unchanged on null inputs, so without the
+        # flags a value SHIFTING between same-typed columns (old goes
+        # null, neighbor picks the value up) would fingerprint
+        # identically — a deterministic false negative, not the 2^-64
+        # collision case
+        hashed = F.struct(
+            *[
+                part
+                for c in compare_cols
+                for part in (F.col(c).isNull(), F.col(c))
+            ]
         )
+        return df.select(*keys, F.xxhash64(hashed).alias(alias))
 
     j = fp(old, "__old_h").join(fp(new, "__new_h"), keys, "full_outer")
     status = (

@@ -589,6 +589,9 @@ def correlations(
         raise ValueError(f"correlations needs >= 2 columns, got {cols}")
     if len(set(cols)) != len(cols):
         raise ValueError(f"duplicate columns: {cols}")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns missing from the frame: {missing}")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     aggs = []
     for i, (a, b) in enumerate(pairs):
@@ -655,6 +658,9 @@ def null_patterns(
             f"null_patterns is bounded at 20 columns (2^k pattern groups); "
             f"got {len(cols)} — profile a column subset"
         )
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns missing from the frame: {missing}")
     flags = [F.col(c).isNull().alias(f"{c}_null") for c in cols]
     grouped = df.groupBy(*flags).agg(F.count(F.lit(1)).alias("n_rows"))
     from pyspark.sql import Window
@@ -701,6 +707,15 @@ def entropy(
         raise ValueError("entropy needs at least one column")
     if len(set(cols)) != len(cols):
         raise ValueError(f"duplicate columns: {cols}")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns missing from the frame: {missing}")
+    # same melt shape as frequent_values(single_pass=True); that
+    # function's A/B note (per-column pruned scans beat the melt ~1.6x
+    # on columnar sources) trades differently here — entropy needs EVERY
+    # value's count (no rank pruning), so k pruned scans each shuffle a
+    # full per-column vocabulary anyway and the melt keeps it one pass;
+    # for k == 1 the two shapes coincide
     pairs = F.array(
         *[
             F.struct(

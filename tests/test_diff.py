@@ -107,3 +107,18 @@ def test_table_diff_validations(snapshots):
             new.withColumnRenamed("s", "status"),
             ["status"],
         )
+
+
+def test_table_diff_detects_null_shift_and_rejects_dtype_drift(spark):
+    # a value SHIFTING between same-typed columns (old goes null) must
+    # read as changed — null flags ride the fingerprint
+    old = spark.createDataFrame([(1, "v", None)], "k long, a string, b string")
+    new = spark.createDataFrame([(1, None, "v")], "k long, a string, b string")
+    assert [r["status"] for r in table_diff(old, new, ["k"]).collect()] == [
+        "changed"
+    ]
+    # dtype drift between snapshots is refused, not silently all-changed
+    widened = spark.createDataFrame([(1, 5)], "k long, v int")
+    base = spark.createDataFrame([(1, 5)], "k long, v long")
+    with pytest.raises(ValueError, match="dtypes differ"):
+        table_diff(base, widened, ["k"])

@@ -577,3 +577,20 @@ def test_mutual_information_closed_forms(spark):
         mutual_information(df, [("x", "nope")])
     with pytest.raises(ValueError, match="duplicate"):
         mutual_information(df, [("x", "y"), ("x", "y")])
+
+
+def test_profiler_operators_validate_missing_columns(spark):
+    from json_to_avro_schema_spark.operators.profile import (
+        correlations,
+        entropy,
+        null_patterns,
+    )
+
+    df = spark.createDataFrame([(1.0, "x")], "a double, b string")
+    for call in (
+        lambda: null_patterns(df, ["a", "nope"]),
+        lambda: entropy(df, ["nope"]),
+        lambda: correlations(df, ["a", "nope"]),
+    ):
+        with pytest.raises(ValueError, match="missing"):
+            call()
