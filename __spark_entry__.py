@@ -5308,6 +5308,111 @@ ORDER BY p.event_id
 """
 
 
+_BM25_QUERY = "hash join merge"
+_BM25_K = 20
+
+
+def _q_bm25_search_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Ad-hoc BM25 full-text search (operators/search.bm25_search): top-20
+    docs for the fixed query, NO inverted index — per-term tf is a HOF
+    count in one codegen'd projection (tokenization subexpression-
+    eliminated, no explode), corpus stats (N, Σdl, per-term df) are one
+    scalar agg broadcast back, and the top-k is TakeOrderedAndProject.
+    Scores 6-dp pre-rounded before the >0 filter and the (score desc,
+    doc_id) rank, so ranks are engine-stable."""
+    from json_to_avro_schema_spark.operators.search import bm25_search
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_search(docs, _BM25_QUERY, k=_BM25_K)
+
+
+def _bm25_oracle_sql(query: str, k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB re-derivation mirroring bm25_search exactly: same
+    tokenization, same fixed-order left-associated contribution sum, same
+    double promotions, same post-round filter/rank."""
+    from json_to_avro_schema_spark.operators.search import query_terms
+
+    terms = query_terms(query)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    contribs = "\n           + ".join(
+        f"(ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0!r}) / (tf{i} + {k1!r} *"
+        f" ({1.0 - b!r} + {b!r} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM tok
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) AS sumdl,
+         {df_cols}
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         round({contribs}, 6) AS score
+  FROM base, (SELECT *, sumdl / n AS avgdl FROM s)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _q_tfidf_top_terms_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-3 characteristic terms by tf·idf (operators/search.
+    tfidf_top_terms — keyword extraction): skinny token-scale postings
+    (text never shuffles), vocabulary-scale df agg, one term-keyed join,
+    per-doc rank window with the WindowGroupLimit map-side prune.  Ties
+    break (tfidf desc, term asc) after the 6-dp round."""
+    from json_to_avro_schema_spark.operators.search import tfidf_top_terms
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf_top_terms(docs, top_n=3).orderBy("doc_id", "term_rank")
+
+
+_O_TFIDF_TOP_TERMS_DOCS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), post AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), tdf AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+), scored AS (
+  SELECT p.doc_id, p.term, p.tf, t.df,
+         round(p.tf * ln(nn.n / t.df), 6) AS tfidf
+  FROM post p JOIN tdf t ON p.term = t.term, nn
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term_rank, term, tf, df, tfidf
+FROM ranked WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -5377,7 +5482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "skew_report_events": _q_skew_report_events,
         "perplexity_split_docs": _q_perplexity_split_docs,
-        "dsir_weights": _q_dsir_weights,
+        # r5 new family: full-text relevance search (BM25, no index —
+        # HOF tf projection + one scalar agg + TakeOrderedAndProject);
+        # dsir_weights moved to 51+ (driver-attested green in r04, lm
+        # family stays recorded via perplexity_split_docs above)
+        "bm25_search_docs": _q_bm25_search_docs,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "exactsubstr_clean_docs": _q_exactsubstr_clean_docs,
         "exactsubstr_keep_first": _q_exactsubstr_keep_first,
@@ -5464,6 +5573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_docs": _q_entropy_docs,
         # r5 addition: Deequ-parity mutual information (profiler family)
         "mutual_info_docs": _q_mutual_info_docs,
+        # r5 demotion: driver-attested green in CORRECTNESS_r04.json; the
+        # lm family stays recorded via perplexity_split_docs
+        "dsir_weights": _q_dsir_weights,
+        # r5 addition: search-family sibling of the recorded
+        # bm25_search_docs (per-doc tf·idf keyword extraction)
+        "tfidf_top_terms_docs": _q_tfidf_top_terms_docs,
     }
 
 
@@ -5577,6 +5692,8 @@ def oracle_sql() -> dict[str, str]:
         "table_diff_orders": _O_TABLE_DIFF_ORDERS,
         "entropy_docs": _O_ENTROPY_DOCS,
         "mutual_info_docs": _O_MUTUAL_INFO_DOCS,
+        "bm25_search_docs": _bm25_oracle_sql(_BM25_QUERY, _BM25_K),
+        "tfidf_top_terms_docs": _O_TFIDF_TOP_TERMS_DOCS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }
