@@ -5413,6 +5413,74 @@ ORDER BY doc_id, term_rank
 """
 
 
+def _q_outliers_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level outlier detection (operators/outliers.py), both
+    detectors as one labeled union: per-event_type MAD robust-z
+    (|z| > 3.5, Iglewicz-Hoaglin) and Tukey IQR fences (factor 3.0 —
+    'far out') over events.value.  Group stats are group-scale
+    broadcast joins; rows never shuffle.  stat_a/stat_b carry
+    (med, mad) / (lo_fence, hi_fence); score is the robust z (null for
+    iqr).  All floats 6-dp pre-rounded, flags compare rounded values."""
+    from json_to_avro_schema_spark.operators.outliers import (
+        iqr_outliers,
+        mad_outliers,
+    )
+
+    ev = load_table(spark, sf, "events")
+    mad = mad_outliers(ev, "value", by=["event_type"], k=3.5).select(
+        F.lit("mad").alias("method"),
+        "event_id",
+        "event_type",
+        "value",
+        F.col("med").alias("stat_a"),
+        F.col("mad").alias("stat_b"),
+        F.col("robust_z").alias("score"),
+    )
+    iqr = iqr_outliers(ev, "value", by=["event_type"], factor=3.0).select(
+        F.lit("iqr").alias("method"),
+        "event_id",
+        "event_type",
+        "value",
+        F.col("lo_fence").alias("stat_a"),
+        F.col("hi_fence").alias("stat_b"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return mad.unionByName(iqr).orderBy("method", "event_id")
+
+
+_O_OUTLIERS_EVENTS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+), mz AS (
+  SELECT 'mad' AS method, e.event_id, e.event_type, e.value,
+         round(m.med, 6) AS stat_a, round(d.mad, 6) AS stat_b,
+         round(0.6745 * (e.value - m.med) / d.mad, 6) AS score
+  FROM events e
+  JOIN med m USING (event_type) JOIN mad d USING (event_type)
+  WHERE d.mad > 0
+    AND abs(round(0.6745 * (e.value - m.med) / d.mad, 6)) > 3.5
+), q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+), iq AS (
+  SELECT 'iqr' AS method, e.event_id, e.event_type, e.value,
+         round(q.q1 - 3.0 * (q.q3 - q.q1), 6) AS stat_a,
+         round(q.q3 + 3.0 * (q.q3 - q.q1), 6) AS stat_b,
+         CAST(NULL AS DOUBLE) AS score
+  FROM events e JOIN q USING (event_type)
+  WHERE e.value < round(q.q1 - 3.0 * (q.q3 - q.q1), 6)
+     OR e.value > round(q.q3 + 3.0 * (q.q3 - q.q1), 6)
+)
+SELECT * FROM (SELECT * FROM mz UNION ALL SELECT * FROM iq)
+ORDER BY method, event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -5490,7 +5558,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "exactsubstr_clean_docs": _q_exactsubstr_clean_docs,
         "exactsubstr_keep_first": _q_exactsubstr_keep_first,
-        "exact_dup_groups": _q_exact_dup_groups,
+        # r5 new family: row-level outlier detection (MAD robust-z +
+        # IQR fences as one labeled union); exact_dup_groups moved to
+        # 51+ (driver-attested green in r04, exact-dedup family stays
+        # recorded via the url/paragraph/exactsubstr entries)
+        "outliers_events": _q_outliers_events,
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_decontamination": _q_ngram_decontamination,
         "stratified_sample_events": _q_stratified_sample_events,
@@ -5579,6 +5651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: search-family sibling of the recorded
         # bm25_search_docs (per-doc tf·idf keyword extraction)
         "tfidf_top_terms_docs": _q_tfidf_top_terms_docs,
+        # r5 demotion: driver-attested green in CORRECTNESS_r04.json;
+        # the exact-dedup family stays recorded in the first 50
+        "exact_dup_groups": _q_exact_dup_groups,
     }
 
 
@@ -5694,6 +5769,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info_docs": _O_MUTUAL_INFO_DOCS,
         "bm25_search_docs": _bm25_oracle_sql(_BM25_QUERY, _BM25_K),
         "tfidf_top_terms_docs": _O_TFIDF_TOP_TERMS_DOCS,
+        "outliers_events": _O_OUTLIERS_EVENTS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }
