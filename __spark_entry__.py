@@ -5481,6 +5481,44 @@ ORDER BY method, event_id
 """
 
 
+def _q_fd_suggest_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency discovery (operators/profile.fd_candidates —
+    the suggest side of the new x-fd table check): all 6 ordered pairs of
+    documents (lang, source, n_chars) measured as one column-pruned
+    grouped agg per determinant (each determinant's dependents share the
+    pass), melted to (determinant, dependent, n_keys, n_violating_keys,
+    violation_fraction, fd_holds).  violation_fraction is the raw IEEE
+    division (ref_containment float contract)."""
+    from json_to_avro_schema_spark.operators.profile import fd_candidates
+
+    docs = load_table(spark, sf, "documents")
+    return fd_candidates(docs, ["lang", "source", "n_chars"]).orderBy(
+        "determinant", "dependent"
+    )
+
+
+def _fd_pair_sql(a: str, b: str) -> str:
+    return f"""SELECT '{a}' AS determinant, '{b}' AS dependent,
+       count(*) AS n_keys,
+       CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violating_keys,
+       CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) / count(*) AS violation_fraction,
+       CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) <= 0.0 * count(*) AS fd_holds
+FROM (SELECT {a} AS k, count(DISTINCT {b}) AS nd
+      FROM documents GROUP BY {a})"""
+
+
+_FD_COLS = ["lang", "source", "n_chars"]
+_O_FD_SUGGEST_DOCS = (
+    "\nUNION ALL\n".join(
+        _fd_pair_sql(a, b) for a in _FD_COLS for b in _FD_COLS if a != b
+    )
+    + "\nORDER BY determinant, dependent"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -5654,6 +5692,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 demotion: driver-attested green in CORRECTNESS_r04.json;
         # the exact-dedup family stays recorded in the first 50
         "exact_dup_groups": _q_exact_dup_groups,
+        # r5 addition: FD discovery (profiler family sibling of the
+        # recorded ref_suggest_containment / fd_violations entries;
+        # feeds the new x-fd table check)
+        "fd_suggest_docs": _q_fd_suggest_docs,
     }
 
 
@@ -5770,6 +5812,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_docs": _bm25_oracle_sql(_BM25_QUERY, _BM25_K),
         "tfidf_top_terms_docs": _O_TFIDF_TOP_TERMS_DOCS,
         "outliers_events": _O_OUTLIERS_EVENTS,
+        "fd_suggest_docs": _O_FD_SUGGEST_DOCS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

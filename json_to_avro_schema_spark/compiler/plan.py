@@ -106,6 +106,22 @@ class DriftCheckCfg:
 
 
 @dataclass(frozen=True)
+class FdCheckCfg:
+    """x-fd: functional-dependency consistency — the determinant columns
+    must imply the dependent columns (source ⇒ lang, order ⇒ customer).
+    ``max_violation_fraction`` admits approximate FDs: the check passes
+    while at most that fraction of determinant keys map to >1 distinct
+    dependent combination.  Executed as one grouped aggregate
+    (table_checks.py); discovered from data by
+    operators/profile.fd_candidates / suggest_fds."""
+
+    name: str
+    determinants: Tuple[str, ...]
+    dependents: Tuple[str, ...]
+    max_violation_fraction: float = 0.0
+
+
+@dataclass(frozen=True)
 class VectorCheckCfg:
     """x-vector: embedding-column conformance (dim / NaN / null / L2-norm
     bounds) — one fused aggregation via operators/similarity.vector_stats."""
@@ -127,6 +143,7 @@ class CompiledPlan:
     ref_checks: List[RefCheckCfg] = dc_field(default_factory=list)
     drift_checks: List[DriftCheckCfg] = dc_field(default_factory=list)
     vector_checks: List[VectorCheckCfg] = dc_field(default_factory=list)
+    fd_checks: List[FdCheckCfg] = dc_field(default_factory=list)
     stats_columns: List[str] = dc_field(default_factory=list)
     unchecked_paths: List[str] = dc_field(default_factory=list)
     # accumulative additionalProperties (draft-6-correct; the reference's
@@ -567,6 +584,32 @@ def _compile_extensions(doc: Dict[str, Any], plan: CompiledPlan) -> None:
                 dim=v.get("dim"),
                 norm_min=v.get("normMin"),
                 norm_max=v.get("normMax"),
+            )
+        )
+    for fd in doc.get("x-fd", []) or []:
+        dets = tuple(fd.get("determinants", []) or [])
+        deps = tuple(fd.get("dependents", []) or [])
+        name = fd.get("name", f"fd_{'_'.join(dets)}__{'_'.join(deps)}")
+        if not dets or not deps:
+            raise SpecCompileError(
+                f"x-fd '{name}': determinants and dependents must be "
+                "non-empty"
+            )
+        overlap = set(dets) & set(deps)
+        if overlap:
+            raise SpecCompileError(
+                f"x-fd '{name}': columns on both sides: {sorted(overlap)}"
+            )
+        frac = float(fd.get("maxViolationFraction", 0.0))
+        if not 0.0 <= frac < 1.0:
+            raise SpecCompileError(
+                f"x-fd '{name}': maxViolationFraction must be in [0, 1), "
+                f"got {frac}"
+            )
+        plan.fd_checks.append(
+            FdCheckCfg(
+                name=name, determinants=dets, dependents=deps,
+                max_violation_fraction=frac,
             )
         )
     stats = doc.get("x-stats")

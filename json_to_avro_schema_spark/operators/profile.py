@@ -549,6 +549,124 @@ def fd_violations(
     )
 
 
+def fd_candidates(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    pairs: Optional[Sequence[tuple]] = None,
+    max_violation_fraction: float = 0.0,
+) -> DataFrame:
+    """Functional-dependency DISCOVERY (the Deequ/Metanome profiling
+    loop closed, like :func:`ref_containment` for FKs): measure every
+    ordered pair of ``columns`` (or the explicit ``pairs``) and report
+    ``(determinant, dependent, n_keys, n_violating_keys,
+    violation_fraction, fd_holds)`` — the input :func:`suggest_fds`
+    turns into compiler-accepted ``x-fd`` entries, which
+    table_checks.run_table_checks then enforces every run.
+
+    Distributed shape: ONE column-pruned grouped aggregate per
+    determinant (all that determinant's dependents measured in the same
+    pass via per-dependent ``count_distinct``), reduced to a 1-row
+    frame and melted — so k columns cost k key-scale aggs, never k²
+    scans, and driver state is O(pairs).  ``violation_fraction`` is the
+    raw IEEE division (never decimal-rounded — the ref_containment
+    float contract); ``fd_holds`` compares exact integers when the
+    threshold is 0 (the default).
+
+    Null semantics match SQL: a null determinant value forms a key
+    (GROUP BY), null dependents don't count toward distinctness
+    (COUNT DISTINCT) — so an all-null dependent group never violates."""
+    if pairs is None:
+        cols = list(columns)
+        if len(cols) < 2:
+            raise ValueError("fd_candidates needs >= 2 columns")
+        pairs = [(a, b) for a in cols for b in cols if a != b]
+    by_lhs: "dict[str, list[str]]" = {}
+    for a, b in pairs:
+        if a == b:
+            raise ValueError(f"pair ({a!r}, {b!r}): columns must differ")
+        by_lhs.setdefault(a, []).append(b)
+    parts = []
+    for a, rhs in by_lhs.items():
+        g = df.groupBy(F.col(a).alias("__k")).agg(
+            *[
+                F.count_distinct(F.col(b)).alias(f"__nd_{j}")
+                for j, b in enumerate(rhs)
+            ]
+        )
+        red = g.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            *[
+                F.coalesce(
+                    F.sum((F.col(f"__nd_{j}") > 1).cast("long")), F.lit(0)
+                ).alias(f"__v_{j}")
+                for j in range(len(rhs))
+            ],
+        )
+        melted = red.select(
+            F.lit(a).alias("determinant"),
+            F.col("n_keys"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("dependent"),
+                            F.col(f"__v_{j}").alias("n_violating_keys"),
+                        )
+                        for j, b in enumerate(rhs)
+                    ]
+                )
+            ).alias("p"),
+        ).select("determinant", "p.dependent", "n_keys", "p.n_violating_keys")
+        parts.append(melted)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "determinant",
+        "dependent",
+        "n_keys",
+        "n_violating_keys",
+        (F.col("n_violating_keys") / F.col("n_keys")).alias(
+            "violation_fraction"
+        ),
+        (
+            F.col("n_violating_keys")
+            <= F.lit(max_violation_fraction) * F.col("n_keys")
+        ).alias("fd_holds"),
+    )
+
+
+def suggest_fds(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    pairs: Optional[Sequence[tuple]] = None,
+    max_violation_fraction: float = 0.0,
+) -> List[dict]:
+    """``x-fd`` spec entries (compiler/plan.py:_compile_extensions shape)
+    for every measured pair that holds at the threshold — the
+    profile→suggest→compile→enforce round trip, FD edition.  Collects
+    O(pairs) rows, never data."""
+    held = (
+        fd_candidates(
+            df, columns, pairs=pairs,
+            max_violation_fraction=max_violation_fraction,
+        )
+        .filter(F.col("fd_holds"))
+        .collect()
+    )
+    return [
+        {
+            "name": f"fd_{r['determinant']}__{r['dependent']}",
+            "determinants": [r["determinant"]],
+            "dependents": [r["dependent"]],
+            "maxViolationFraction": max_violation_fraction,
+        }
+        for r in sorted(held, key=lambda r: (r["determinant"], r["dependent"]))
+    ]
+
+
 def correlations(
     df: DataFrame,
     cols: Sequence[str],

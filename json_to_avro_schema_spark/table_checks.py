@@ -12,7 +12,9 @@ verdict table::
 
     (check_name, kind, n_rows, n_bad, pass)
 
-``kind`` ∈ {unique, ref, drift, drift_skipped, vector, stats}. Per-check metric
+``kind`` ∈ {unique, ref, fd, drift, drift_skipped, vector, stats} (``x-fd``
+→ grouped-agg functional-dependency consistency, where ``n_rows`` counts
+determinant KEYS and ``n_bad`` the violating keys). Per-check metric
 detail (PSI value, per-column stats) stays in the operators' own outputs;
 this table is the pass/fail report a run persists next to the row-check
 verdicts.
@@ -136,6 +138,27 @@ def run_table_checks(
         return [(rc.name, "ref", int(r["n_rows"]), int(r["n_dangling"]),
                  bool(r["pass"]))]
 
+    def _run_fd(fc):
+        # functional dependency: no determinant key may map to >1 distinct
+        # dependent combination (up to max_violation_fraction of keys for
+        # approximate FDs).  ONE grouped hash-agg (map-side combined) over
+        # the determinant key, then a scalar reduction — n_rows reports
+        # determinant KEYS, n_bad the violating keys.
+        g = df.groupBy(*[F.col(c) for c in fc.determinants]).agg(
+            F.count_distinct(
+                *[F.col(c) for c in fc.dependents]
+            ).alias("__nd")
+        )
+        r = g.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.coalesce(
+                F.sum((F.col("__nd") > 1).cast("long")), F.lit(0)
+            ).alias("n_viol"),
+        ).collect()[0]
+        n_keys, n_viol = int(r["n_keys"]), int(r["n_viol"])
+        ok = n_viol <= fc.max_violation_fraction * n_keys
+        return [(fc.name, "fd", n_keys, n_viol, bool(ok))]
+
     def _run_drift(dc, base):
         method = getattr(dc, "method", "psi")
         if method in ("ks", "emd"):
@@ -201,6 +224,8 @@ def run_table_checks(
         fused_fut = pool.submit(lambda: df.agg(*fused).collect()[0]) if need_fused else None
         for rc in plan.ref_checks:
             tasks.append(pool.submit(_run_ref, rc))
+        for fc in plan.fd_checks:
+            tasks.append(pool.submit(_run_fd, fc))
         drift_skips = []
         for dc in plan.drift_checks:
             base = drift_baselines.get(dc.name) or drift_baselines.get(dc.column)
