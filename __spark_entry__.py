@@ -5519,6 +5519,34 @@ _O_FD_SUGGEST_DOCS = (
 )
 
 
+def _q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-100 weighted sample (operators/sampling.weighted_sample —
+    Efraimidis-Spirakis A-ES over the portable md5 bucket): documents
+    weighted by n_chars, reproducible on any partitioning, physically a
+    TakeOrderedAndProject on the 9-dp pre-rounded priority.  Oracle
+    re-derives the priority bit-for-bit via weighted_priority_sql."""
+    from json_to_avro_schema_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 100, seed="r5ws").select(
+        "doc_id", "n_chars", "priority"
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from json_to_avro_schema_spark.operators.sampling import (
+        weighted_priority_sql,
+    )
+
+    return f"""
+SELECT doc_id, n_chars,
+       {weighted_priority_sql("doc_id", "n_chars", "r5ws")} AS priority
+FROM documents
+WHERE doc_id IS NOT NULL AND n_chars > 0
+ORDER BY priority DESC, doc_id LIMIT 100
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -5696,6 +5724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recorded ref_suggest_containment / fd_violations entries;
         # feeds the new x-fd table check)
         "fd_suggest_docs": _q_fd_suggest_docs,
+        # r5 addition: weighted exact-N sampling (sampling family
+        # sibling of the recorded stratified_sample_events entry)
+        "weighted_sample_docs": _q_weighted_sample_docs,
     }
 
 
@@ -5813,6 +5844,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms_docs": _O_TFIDF_TOP_TERMS_DOCS,
         "outliers_events": _O_OUTLIERS_EVENTS,
         "fd_suggest_docs": _O_FD_SUGGEST_DOCS,
+        "weighted_sample_docs": _weighted_sample_oracle(),
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

@@ -150,6 +150,53 @@ def deterministic_topn_sample(
     return df.orderBy(bucket.asc(), F.col(key_col).asc()).limit(n)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    seed: str = "",
+    decimals: int = 9,
+) -> DataFrame:
+    """Exact-N WEIGHTED sample without replacement (Efraimidis & Spirakis
+    2006 A-ES/A-ExpJ key): each row gets priority ``ln(u)/w`` with
+    ``u = (bucket+1)/2^32 ∈ (0,1]`` from the portable (seed, key) hash,
+    and the N largest priorities win — inclusion probability proportional
+    to weight, reproducible on any cluster size (same determinism story
+    as :func:`deterministic_sample`: no per-task RNG).
+
+    Physically a TakeOrdered on (priority desc, key asc) — per-partition
+    heaps, no shuffle, no global sort.  Priorities are pre-rounded to
+    ``decimals`` so the selection itself is engine-stable (ties broken by
+    key); the ``priority`` column stays in the output for auditability.
+    Rows with null key or non-positive/null weight are dropped —
+    zero-weight rows have inclusion probability 0 by definition, and the
+    log form is undefined there."""
+    u = (
+        (sample_bucket(F.col(key_col), seed) + F.lit(1)).cast("double")
+        / F.lit(float(HASH_SPACE))
+    )
+    pr = F.round(F.log(u) / F.col(weight_col), decimals)
+    return (
+        df.filter(F.col(key_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("priority", pr)
+        .orderBy(F.col("priority").desc(), F.col(key_col).asc())
+        .limit(n)
+    )
+
+
+def weighted_priority_sql(
+    key_sql: str, weight_sql: str, seed: str = "", decimals: int = 9
+) -> str:
+    """Oracle-side rendering of :func:`weighted_sample`'s priority, kept
+    next to the Spark form so they can't drift."""
+    return (
+        f"round(ln(({bucket_sql(key_sql, seed)} + 1) / 4294967296.0) "
+        f"/ {weight_sql}, {decimals})"
+    )
+
+
 def bucket_sql(key_sql: str, seed: str = "") -> str:
     """The oracle-side rendering of :func:`sample_bucket` for ANSI engines
     (DuckDB syntax), kept next to the Spark form so they can't drift.

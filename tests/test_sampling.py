@@ -164,3 +164,77 @@ def test_sample_filter_plan_has_no_shuffle(spark, keys_df):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_weighted_sample_matches_python_rederivation(spark):
+    import hashlib
+    import math
+
+    from json_to_avro_schema_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r["doc_id"], r["w"], r["priority"])
+        for r in weighted_sample(df, "doc_id", "w", 25, seed="s1").collect()
+    ]
+
+    def _pr(k, w):
+        b = int(hashlib.md5(f"s1{k}".encode()).hexdigest()[:8], 16)
+        return round(math.log((b + 1) / HASH_SPACE) / w, 9)
+
+    want = sorted(
+        ((k, w, _pr(k, w)) for k, w in rows),
+        key=lambda r: (-r[2], r[0]),
+    )[:25]
+    assert got == want
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    from json_to_avro_schema_spark.operators.sampling import weighted_sample
+
+    # 2k keys: even ids weight 10, odd ids weight 1 -> even ids must
+    # dominate the sample (expected share 10/11)
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 10.0).otherwise(1.0).alias("w"),
+    )
+    got = weighted_sample(df, "doc_id", "w", 200, seed="bias")
+    n_even = got.filter(F.col("doc_id") % 2 == 0).count()
+    assert n_even > 150  # expected ~182, uniform would be ~100
+
+
+def test_weighted_sample_drops_bad_rows_and_plan(spark):
+    from json_to_avro_schema_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (None, 5.0), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = weighted_sample(df, "doc_id", "w", 10)
+    assert {r["doc_id"] for r in got.collect()} == {1, 5}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_priority_sql_matches_spark(spark):
+    from json_to_avro_schema_spark.operators.sampling import (
+        weighted_priority_sql,
+        weighted_sample,
+    )
+
+    rows = [(i, float(1 + i % 9)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in weighted_sample(df, "doc_id", "w", 20, seed="qq").collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(rows, columns=["doc_id", "w"]))
+    want = con.execute(
+        "SELECT doc_id, "
+        + weighted_priority_sql("doc_id", "w", "qq")
+        + " AS priority FROM t WHERE doc_id IS NOT NULL AND w > 0 "
+        "ORDER BY priority DESC, doc_id LIMIT 20"
+    ).fetchall()
+    assert got == [(k, p) for k, p in want]
