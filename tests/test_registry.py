@@ -41,11 +41,13 @@ FAMILY_REPRESENTATIVES = {
     # profiler family
     "ref_suggest_containment", "profile_drift_lineitem",
     "frequent_values_docs",
-    # training-data pipeline ops
+    # training-data pipeline ops (r5 session-4: dsir_weights and
+    # exact_dup_groups — both driver-attested green in r04 — rotated to
+    # 51+ for the new search + outlier families)
     "gopher_rules_docs", "c4_clean_docs", "classifier_quality_docs",
     "packed_shards", "mixture_docs", "corpus_funnel_docs",
-    "exact_dup_groups", "stratified_sample_events",
-    "perplexity_split_docs", "dsir_weights",
+    "outliers_events", "stratified_sample_events",
+    "perplexity_split_docs", "bm25_search_docs",
     # crawl-side web pipeline + paragraph-granularity dedup
     "url_dedup_incremental_docs", "paragraph_dedup_docs",
 }
@@ -89,8 +91,8 @@ def test_overflow_entries_have_recorded_family_siblings():
         "clean_corpus_report": "corpus_funnel_docs",
         "url_dedup_docs": "url_dedup_incremental_docs",
         "lm_perplexity_docs": "perplexity_split_docs",
-        "dedup_incremental": "exact_dup_groups",
-        "colocated_dedup": "exact_dup_groups",
+        "dedup_incremental": "url_dedup_incremental_docs",
+        "colocated_dedup": "url_dedup_incremental_docs",
         "decontaminate_pairs": "ngram_decontamination",
         "embedding_near_dups": "semantic_dedup_embeddings",
         # --- long-standing overflow variants ---
@@ -101,8 +103,8 @@ def test_overflow_entries_have_recorded_family_siblings():
         "stats_events_by_type": "stats_lineitem",
         "ngram_jaccard_pairs": "minhash_near_dups",
         "vector_stats": "semantic_dedup_embeddings",
-        "dedup_exact_keep": "exact_dup_groups",
-        "fingerprint_distinct": "exact_dup_groups",
+        "dedup_exact_keep": "url_dedup_incremental_docs",
+        "fingerprint_distinct": "url_dedup_incremental_docs",
         "sample_split_docs": "stratified_sample_events",
         "minhash_incremental_dups": "minhash_near_dups",
         "span_seq_keys": "span_monotonic_violations",
@@ -140,6 +142,15 @@ def test_overflow_entries_have_recorded_family_siblings():
         "table_diff_orders": "profile_drift_lineitem",
         "entropy_docs": "profile_drift_lineitem",
         "mutual_info_docs": "profile_drift_lineitem",
+        # --- round-5 session-4 demotions (both driver-attested green in
+        # CORRECTNESS_r04.json) making room for the search + outlier
+        # families ---
+        "dsir_weights": "perplexity_split_docs",
+        "exact_dup_groups": "url_dedup_incremental_docs",
+        # r5 session-4 additions
+        "tfidf_top_terms_docs": "bm25_search_docs",
+        "fd_suggest_docs": "ref_suggest_containment",
+        "weighted_sample_docs": "stratified_sample_events",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
