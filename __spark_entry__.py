@@ -5547,6 +5547,99 @@ ORDER BY priority DESC, doc_id LIMIT 100
 """
 
 
+def _q_quantile_bins_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency discretization (operators/binning.quantile_bins):
+    l_extendedprice into 8 quantile bins — ONE exact-percentile scan for
+    the 7 edges (6-dp pre-rounded, the engine-stability contract), then a
+    shuffle-free literal-comparison assignment, summarized per bin.  The
+    oracle re-derives edges via quantile_cont (same interpolation) and
+    the identical >= chain."""
+    from json_to_avro_schema_spark.operators.binning import (
+        assign_bins,
+        quantile_bin_edges,
+    )
+
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    edges = quantile_bin_edges(li, "l_extendedprice", 8)
+    return (
+        li.select(
+            assign_bins(F.col("l_extendedprice"), edges).alias("bin"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _quantile_bins_oracle(n_bins: int = 8) -> str:
+    ps = [i / n_bins for i in range(1, n_bins)]
+    e_cols = ", ".join(
+        f"round(quantile_cont(l_extendedprice, {p!r}), 6) AS e{i}"
+        for i, p in enumerate(ps)
+    )
+    chain = " + ".join(
+        f"CAST(l_extendedprice >= e{i} AS INT)" for i in range(len(ps))
+    )
+    return f"""
+WITH e AS (
+  SELECT {e_cols} FROM lineitem WHERE l_extendedprice IS NOT NULL
+), b AS (
+  SELECT ({chain}) AS bin, l_extendedprice AS v
+  FROM lineitem, e WHERE l_extendedprice IS NOT NULL
+)
+SELECT bin, count(*) AS n_rows, min(v) AS v_min, max(v) AS v_max
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+def _q_benford_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit conformity (operators/drift.benford_report —
+    the forensic screen for fabricated/truncated amounts) over
+    l_extendedprice: one 9-group hash-agg on the clamped arithmetic
+    digit, 9-row downstream arithmetic, MAD verdict on every row."""
+    from json_to_avro_schema_spark.operators.drift import benford_report
+
+    li = load_table(spark, sf, "lineitem")
+    return benford_report(li, "l_extendedprice")
+
+
+_O_BENFORD_LINEITEM = """
+WITH v AS (
+  SELECT abs(l_extendedprice) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) > 0
+), o AS (
+  SELECT CAST(CASE WHEN d0 >= 10 THEN 1 WHEN d0 < 1 THEN 9 ELSE d0 END
+              AS INT) AS digit,
+         count(*) AS n
+  FROM (SELECT floor(x / pow(10, floor(log10(x)))) AS d0 FROM v)
+  GROUP BY 1
+), d AS (
+  SELECT CAST(gs AS INT) AS digit FROM generate_series(1, 9) t(gs)
+), j AS (
+  SELECT d.digit, coalesce(o.n, 0) AS n FROM d LEFT JOIN o USING (digit)
+), t AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total FROM j
+), s AS (
+  SELECT digit, n, n / total AS op,
+         log10(1 + 1.0 / digit) AS ep
+  FROM j, t
+), m AS (
+  SELECT round(avg(abs(op - ep)), 6) AS mad FROM s
+)
+SELECT digit, CAST(n AS BIGINT) AS n, round(op, 6) AS observed_p,
+       round(ep, 6) AS expected_p, round(abs(op - ep), 6) AS abs_dev,
+       m.mad AS mad, m.mad <= 0.015 AS conforms
+FROM s, m ORDER BY digit
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -5727,6 +5820,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: weighted exact-N sampling (sampling family
         # sibling of the recorded stratified_sample_events entry)
         "weighted_sample_docs": _q_weighted_sample_docs,
+        # r5 addition: equal-frequency discretization (quantile family
+        # sibling of the recorded tdigest_price entry)
+        "quantile_bins_lineitem": _q_quantile_bins_lineitem,
+        # r5 addition: Benford first-digit conformity (distribution-shape
+        # family sibling of the recorded psi_drift entry)
+        "benford_lineitem": _q_benford_lineitem,
     }
 
 
@@ -5845,6 +5944,8 @@ def oracle_sql() -> dict[str, str]:
         "outliers_events": _O_OUTLIERS_EVENTS,
         "fd_suggest_docs": _O_FD_SUGGEST_DOCS,
         "weighted_sample_docs": _weighted_sample_oracle(),
+        "quantile_bins_lineitem": _quantile_bins_oracle(),
+        "benford_lineitem": _O_BENFORD_LINEITEM,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

@@ -694,3 +694,79 @@ def emd_drift_report(
         w1_norm=float(r["w1_norm"]), ok=bool(r["pass"]),
         n_current=int(r["n_current"]), n_baseline=int(r["n_baseline"]),
     )
+
+
+def benford_report(
+    df: DataFrame,
+    col: str,
+    *,
+    mad_threshold: float = 0.015,
+    decimals: int = 6,
+) -> DataFrame:
+    """Benford first-significant-digit conformity (Nigrini's forensic
+    data-quality screen for naturally occurring amounts — fabricated or
+    truncated numeric columns drift off the log distribution): one row
+    per digit 1-9 with observed vs expected ``log10(1 + 1/d)`` share,
+    plus the mean-absolute-deviation statistic and its verdict repeated
+    on every row (the skew_report one-frame pattern).  ``mad_threshold``
+    defaults to Nigrini's 0.015 nonconformity bound.
+
+    Distributed shape: ONE map-side-combined hash-agg over the derived
+    digit (9 groups); everything after is 9-row arithmetic — the digit
+    table is built driver-side, the MAD fold is a 9-row aggregate, and
+    the corpus is never scanned twice.  Zero/null values carry no first
+    digit and are excluded (standard Benford practice).
+
+    The digit itself is pure arithmetic (``floor(x / 10^floor(log10 x))``)
+    with a two-sided clamp (>=10 → 1, <1 → 9) so a 1-ulp ``log10``
+    disagreement at exact powers of ten cannot mint digit 0 or 10 —
+    this keeps the derivation engine-stable for the SQL oracle.  All
+    reported floats are rounded to ``decimals``; the verdict compares
+    the ROUNDED MAD."""
+    x = F.abs(F.col(col))
+    valid = df.filter(F.col(col).isNotNull() & (x > 0))
+    mag = F.floor(F.log10(x))
+    d0 = F.floor(x / F.pow(F.lit(10.0), mag))
+    digit = (
+        F.when(d0 >= 10, F.lit(1))
+        .when(d0 < 1, F.lit(9))
+        .otherwise(d0)
+        .cast("int")
+    )
+    obs = valid.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    j = (
+        digits.join(obs, "digit", "left")
+        .select("digit", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    tot = j.agg(F.sum("n").cast("double").alias("total"))
+    s = j.join(F.broadcast(tot), how="cross").select(
+        "digit",
+        "n",
+        (F.col("n") / F.col("total")).alias("__op"),
+        F.log10(F.lit(1) + F.lit(1.0) / F.col("digit")).alias("__ep"),
+    )
+    m = s.agg(
+        F.round(F.avg(F.abs(F.col("__op") - F.col("__ep"))), decimals).alias(
+            "mad"
+        )
+    )
+    return (
+        s.join(F.broadcast(m), how="cross")
+        .select(
+            "digit",
+            "n",
+            F.round("__op", decimals).alias("observed_p"),
+            F.round("__ep", decimals).alias("expected_p"),
+            F.round(F.abs(F.col("__op") - F.col("__ep")), decimals).alias(
+                "abs_dev"
+            ),
+            "mad",
+            (F.col("mad") <= F.lit(mad_threshold)).alias("conforms"),
+        )
+        .orderBy("digit")
+    )

@@ -151,6 +151,8 @@ def test_overflow_entries_have_recorded_family_siblings():
         "tfidf_top_terms_docs": "bm25_search_docs",
         "fd_suggest_docs": "ref_suggest_containment",
         "weighted_sample_docs": "stratified_sample_events",
+        "quantile_bins_lineitem": "tdigest_price",
+        "benford_lineitem": "psi_drift",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
