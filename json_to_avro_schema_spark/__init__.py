@@ -62,7 +62,18 @@ from .operators.sampling import (
     deterministic_topn_sample,
     stratified_sample,
     train_test_split,
+    weighted_sample,
 )
+from .operators.search import (
+    bm25_search,
+    bm25_search_indexed,
+    build_bm25_index,
+    tfidf_top_terms,
+)
+from .operators.outliers import iqr_outliers, mad_outliers
+from .operators.binning import quantile_bins, width_bins
+from .operators.drift import benford_report
+from .operators.profile import fd_candidates, suggest_fds
 from .operators.topk import grouped_topk, grouped_topk_salted
 from .operators.web import (
     domain_caps,
@@ -87,7 +98,19 @@ __version__ = "0.1.0"
 
 __all__ = [
     "asof_join",
+    "benford_report",
     "bloom_build",
+    "bm25_search",
+    "bm25_search_indexed",
+    "build_bm25_index",
+    "fd_candidates",
+    "iqr_outliers",
+    "mad_outliers",
+    "quantile_bins",
+    "suggest_fds",
+    "tfidf_top_terms",
+    "weighted_sample",
+    "width_bins",
     "bloom_ri_violations",
     "fd_violations",
     "interval_overlaps",
