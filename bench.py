@@ -200,6 +200,21 @@ def run_bench() -> dict:
         ("entropy_docs", qs["entropy_docs"]),
         # r5 session 3: mutual information (one groupingSets scan)
         ("mutual_info_docs", qs["mutual_info_docs"]),
+        # r5 session 4: index-free BM25 search (HOF tf projection + one
+        # scalar agg + TakeOrdered) and per-doc TF-IDF keyword extraction
+        # (token-scale postings + vocab df + WindowGroupLimit rank)
+        ("bm25_search_docs", qs["bm25_search_docs"]),
+        ("tfidf_top_terms_docs", qs["tfidf_top_terms_docs"]),
+        # r5 session 4: row-level MAD/IQR outlier union (group-scale
+        # percentile aggs broadcast back, corpus never shuffles)
+        ("outliers_events", qs["outliers_events"]),
+        # r5 session 4: FD discovery (one grouped agg per determinant)
+        ("fd_suggest_docs", qs["fd_suggest_docs"]),
+        # r5 session 4: weighted A-ES sample (TakeOrdered on priority)
+        ("weighted_sample_docs", qs["weighted_sample_docs"]),
+        # r5 session 4: quantile discretization + Benford digit screen
+        ("quantile_bins_lineitem", qs["quantile_bins_lineitem"]),
+        ("benford_lineitem", qs["benford_lineitem"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers
