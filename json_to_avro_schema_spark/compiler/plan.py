@@ -122,6 +122,35 @@ class FdCheckCfg:
 
 
 @dataclass(frozen=True)
+class OutlierCheckCfg:
+    """x-outlier: row-level outlier budget on a numeric column — at most
+    ``max_fraction`` of rows may be flagged by the chosen robust detector
+    (``method`` 'mad' → |modified z| > k via operators/outliers.
+    mad_outliers, 'iqr' → outside the Tukey fences with factor k).
+    Optional ``by`` computes the detector per group."""
+
+    name: str
+    column: str
+    method: str = "mad"
+    k: float = 3.5
+    by: Optional[str] = None
+    max_fraction: float = 0.0
+
+
+@dataclass(frozen=True)
+class BenfordCheckCfg:
+    """x-benford: first-significant-digit conformity of a numeric amount
+    column (Nigrini's forensic screen) — one 9-group hash-agg via
+    operators/drift.benford_report; the verdict passes while the
+    mean-absolute-deviation from the Benford distribution stays at or
+    under ``mad_threshold``."""
+
+    name: str
+    column: str
+    mad_threshold: float = 0.015
+
+
+@dataclass(frozen=True)
 class VectorCheckCfg:
     """x-vector: embedding-column conformance (dim / NaN / null / L2-norm
     bounds) — one fused aggregation via operators/similarity.vector_stats."""
@@ -144,6 +173,8 @@ class CompiledPlan:
     drift_checks: List[DriftCheckCfg] = dc_field(default_factory=list)
     vector_checks: List[VectorCheckCfg] = dc_field(default_factory=list)
     fd_checks: List[FdCheckCfg] = dc_field(default_factory=list)
+    benford_checks: List[BenfordCheckCfg] = dc_field(default_factory=list)
+    outlier_checks: List[OutlierCheckCfg] = dc_field(default_factory=list)
     stats_columns: List[str] = dc_field(default_factory=list)
     unchecked_paths: List[str] = dc_field(default_factory=list)
     # accumulative additionalProperties (draft-6-correct; the reference's
@@ -611,6 +642,37 @@ def _compile_extensions(doc: Dict[str, Any], plan: CompiledPlan) -> None:
                 name=name, determinants=dets, dependents=deps,
                 max_violation_fraction=frac,
             )
+        )
+    for oc in doc.get("x-outlier", []) or []:
+        name = oc.get("name", f"outlier_{oc['column']}")
+        method = oc.get("method", "mad")
+        if method not in ("mad", "iqr"):
+            raise SpecCompileError(
+                f"x-outlier '{name}': unknown method {method!r} "
+                "(expected 'mad' or 'iqr')"
+            )
+        frac = float(oc.get("maxFraction", 0.0))
+        if not 0.0 <= frac < 1.0:
+            raise SpecCompileError(
+                f"x-outlier '{name}': maxFraction must be in [0, 1), "
+                f"got {frac}"
+            )
+        plan.outlier_checks.append(
+            OutlierCheckCfg(
+                name=name, column=oc["column"], method=method,
+                k=float(oc.get("k", 3.5 if method == "mad" else 1.5)),
+                by=oc.get("by"), max_fraction=frac,
+            )
+        )
+    for bc in doc.get("x-benford", []) or []:
+        name = bc.get("name", f"benford_{bc['column']}")
+        thr = float(bc.get("madThreshold", 0.015))
+        if not thr > 0.0:
+            raise SpecCompileError(
+                f"x-benford '{name}': madThreshold must be > 0, got {thr}"
+            )
+        plan.benford_checks.append(
+            BenfordCheckCfg(name=name, column=bc["column"], mad_threshold=thr)
         )
     stats = doc.get("x-stats")
     if stats is True:

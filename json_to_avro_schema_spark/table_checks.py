@@ -12,9 +12,13 @@ verdict table::
 
     (check_name, kind, n_rows, n_bad, pass)
 
-``kind`` ∈ {unique, ref, fd, drift, drift_skipped, vector, stats} (``x-fd``
-→ grouped-agg functional-dependency consistency, where ``n_rows`` counts
-determinant KEYS and ``n_bad`` the violating keys). Per-check metric
+``kind`` ∈ {unique, ref, fd, benford, outlier, drift, drift_skipped,
+vector, stats} (``x-fd`` → grouped-agg functional-dependency consistency,
+where ``n_rows`` counts determinant KEYS and ``n_bad`` the violating keys;
+``x-benford`` → first-digit conformity, ``n_rows`` = nonzero values
+screened, ``n_bad`` = 1 on a failed MAD verdict; ``x-outlier`` → a
+row-level robust-outlier budget, ``n_bad`` = flagged rows vs a
+``maxFraction`` of the non-null rows). Per-check metric
 detail (PSI value, per-column stats) stays in the operators' own outputs;
 this table is the pass/fail report a run persists next to the row-check
 verdicts.
@@ -159,6 +163,35 @@ def run_table_checks(
         ok = n_viol <= fc.max_violation_fraction * n_keys
         return [(fc.name, "fd", n_keys, n_viol, bool(ok))]
 
+    def _run_outlier(oc):
+        # row-level outlier budget: count flagged rows vs rows considered
+        # (non-null, and >0-weighted by the detector's own validity rules);
+        # the detectors' group stats are group-scale broadcast joins, so
+        # this is corpus scans + one scalar count — nothing data-sized
+        # reaches the driver.
+        from .operators import outliers as ol
+
+        by = [oc.by] if oc.by else None
+        if oc.method == "mad":
+            flagged = ol.mad_outliers(df, oc.column, by=by, k=oc.k)
+        else:
+            flagged = ol.iqr_outliers(df, oc.column, by=by, factor=oc.k)
+        n_bad = flagged.count()
+        n = df.filter(F.col(oc.column).isNotNull()).count()
+        ok = n_bad <= oc.max_fraction * n
+        return [(oc.name, "outlier", n, n_bad, bool(ok))]
+
+    def _run_benford(bc):
+        # first-digit conformity: benford_report is one 9-group hash-agg;
+        # the 9 collected rows are digit-level detail — n_rows reports the
+        # nonzero values screened, n_bad is 1 when the MAD verdict fails.
+        rep = dr.benford_report(
+            df, bc.column, mad_threshold=bc.mad_threshold
+        ).collect()
+        n = sum(int(r["n"]) for r in rep)
+        ok = bool(rep[0]["conforms"]) if rep else True
+        return [(bc.name, "benford", n, 0 if ok else 1, ok)]
+
     def _run_drift(dc, base):
         method = getattr(dc, "method", "psi")
         if method in ("ks", "emd"):
@@ -226,6 +259,10 @@ def run_table_checks(
             tasks.append(pool.submit(_run_ref, rc))
         for fc in plan.fd_checks:
             tasks.append(pool.submit(_run_fd, fc))
+        for bc in plan.benford_checks:
+            tasks.append(pool.submit(_run_benford, bc))
+        for oc in plan.outlier_checks:
+            tasks.append(pool.submit(_run_outlier, oc))
         drift_skips = []
         for dc in plan.drift_checks:
             base = drift_baselines.get(dc.name) or drift_baselines.get(dc.column)

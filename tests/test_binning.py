@@ -127,3 +127,42 @@ def test_benford_nonconforming_and_powers_of_ten(spark):
     )
     gp = {r["digit"]: r["n"] for r in benford_report(p10, "v").collect()}
     assert gp[1] == 7 and sum(gp.values()) == 7
+
+
+def test_x_benford_table_check(spark):
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.errors import SpecCompileError
+    from json_to_avro_schema_spark.table_checks import run_table_checks
+
+    rng = np.random.RandomState(11)
+    good = [float(10 ** u) for u in rng.uniform(0, 3, 2000)]
+    bad = [500.0 + (i % 100) for i in range(2000)]
+    df = spark.createDataFrame(
+        [(g, b) for g, b in zip(good, bad)], "amount double, fabricated double"
+    )
+    doc = {
+        "$id": "x://t/BF", "type": "object",
+        "properties": {
+            "amount": {"type": "number"}, "fabricated": {"type": "number"},
+        },
+        "x-benford": [
+            {"column": "amount"},
+            {"name": "bf_fab", "column": "fabricated", "madThreshold": 0.02},
+        ],
+    }
+    out = {
+        r["check_name"]: r
+        for r in run_table_checks(spark, df, compile_document(doc)).collect()
+    }
+    ok = out["benford_amount"]
+    assert ok["kind"] == "benford" and ok["pass"] and ok["n_rows"] == 2000
+    assert ok["n_bad"] == 0
+    fab = out["bf_fab"]
+    assert not fab["pass"] and fab["n_bad"] == 1
+
+    with pytest.raises(SpecCompileError, match="madThreshold"):
+        compile_document({
+            "$id": "x://t/BFE", "type": "object",
+            "properties": {"a": {"type": "number"}},
+            "x-benford": [{"column": "a", "madThreshold": 0}],
+        })

@@ -121,3 +121,46 @@ def test_plan_broadcasts_group_stats(df):
         .toString()
     )
     assert "BroadcastHashJoin" in plan2, plan2
+
+
+def test_x_outlier_table_check(spark, df):
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.errors import SpecCompileError
+    from json_to_avro_schema_spark.table_checks import run_table_checks
+
+    doc = {
+        "$id": "x://t/OUT", "type": "object",
+        "properties": {
+            "id": {"type": "integer"}, "grp": {"type": "string"},
+            "val": {"type": "number"},
+        },
+        "x-outlier": [
+            {"name": "strict", "column": "val", "by": "grp"},
+            {"name": "budgeted", "column": "val", "by": "grp",
+             "maxFraction": 0.05},
+            {"name": "iqr_far", "column": "val", "method": "iqr", "k": 3.0},
+        ],
+    }
+    out = {
+        r["check_name"]: r
+        for r in run_table_checks(spark, df, compile_document(doc)).collect()
+    }
+    # one spike among 27 values: strict (budget 0) fails, 5% budget passes
+    strict = out["strict"]
+    assert strict["kind"] == "outlier" and strict["n_bad"] == 1
+    assert strict["n_rows"] == 26 and not strict["pass"]  # null excluded
+    assert out["budgeted"]["pass"]
+    assert out["iqr_far"]["kind"] == "outlier"
+
+    with pytest.raises(SpecCompileError, match="method"):
+        compile_document({
+            "$id": "x://t/OE", "type": "object",
+            "properties": {"v": {"type": "number"}},
+            "x-outlier": [{"column": "v", "method": "zscore"}],
+        })
+    with pytest.raises(SpecCompileError, match="maxFraction"):
+        compile_document({
+            "$id": "x://t/OE2", "type": "object",
+            "properties": {"v": {"type": "number"}},
+            "x-outlier": [{"column": "v", "maxFraction": 1.0}],
+        })
