@@ -1272,3 +1272,125 @@ def paragraph_dedup(
         )
         .drop("__ps", "__lost_pos")
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    *,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via prefix filtering
+    (the AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
+    every unordered doc pair whose DISTINCT-token Jaccard is ≥
+    ``threshold``, with no approximation — the exact-guarantee
+    complement to the MinHash path (recall 1.0 by construction, where
+    LSH trades recall for fewer candidates).
+
+    Prefix-filter principle: order every doc's tokens rarest-first
+    (global document frequency asc, token asc) and keep only the first
+    ``n − ⌈t·n⌉ + 1`` as its PREFIX; two sets with Jaccard ≥ t must
+    share at least one prefix token, so candidate generation is an
+    equi-join on prefix tokens only.  Because prefixes hold each doc's
+    RAREST tokens, candidate buckets are small by construction — the
+    skew a raw token-join would hit on stopwords is engineered away, no
+    cap needed.  A pair-level length filter (``t·n1 ≤ n2``) prunes
+    before the verify.
+
+    Distributed shape: one vocabulary-scale df aggregate, one
+    token-keyed join + per-doc regroup (skinny (id, df, token) rows —
+    text never shuffles), an equi-join on prefix tokens (never a
+    cartesian/nested-loop — plan-pinned in tests), then an exact
+    verify joining the two token arrays for candidates ONLY.  Output:
+    (id_1, id_2, n_tokens_1, n_tokens_2, n_common, jaccard) with
+    id_1 < id_2, jaccard 6-dp rounded for display (the ≥ compare uses
+    the raw division — identical IEEE on every engine).
+
+    Reference analog: none (README.md:100-104); SURVEY.md §2.4 dedup
+    family."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from .text import tokens
+
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_sort(F.array_distinct(tokens(F.col(text_col)))).alias(
+                "__t"
+            ),
+        )
+        .withColumn("__n", F.size("__t"))
+        .filter(F.col("__n") > 0)
+    )
+    posted = base.select(
+        "__id", "__n", F.explode("__t").alias("token")
+    )
+    tok_df = posted.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    # rarest-first order per doc, then the prefix slice: n - ceil(t*n) + 1
+    ordered = (
+        posted.join(tok_df, "token")
+        .groupBy("__id")
+        .agg(
+            F.min("__n").alias("__n"),
+            F.array_sort(
+                F.collect_list(F.struct("__df", "token"))
+            ).alias("__ord"),
+        )
+    )
+    plen = F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+    pref = ordered.select(
+        "__id",
+        "__n",
+        F.explode(
+            F.slice(F.transform("__ord", lambda s: s["token"]), 1, plen)
+        ).alias("token"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (
+                F.col("b.__n") * F.lit(float(threshold)) <= F.col("a.__n")
+            )
+            & (
+                F.col("a.__n") * F.lit(float(threshold)) <= F.col("b.__n")
+            ),
+        )
+        .select(
+            F.col("a.__id").alias("__id1"), F.col("b.__id").alias("__id2")
+        )
+        .distinct()
+    )
+    s1 = base.select(
+        F.col("__id").alias("__id1"),
+        F.col("__t").alias("__t1"),
+        F.col("__n").alias("n_tokens_1"),
+    )
+    s2 = base.select(
+        F.col("__id").alias("__id2"),
+        F.col("__t").alias("__t2"),
+        F.col("__n").alias("n_tokens_2"),
+    )
+    inter = F.size(F.array_intersect("__t1", "__t2"))
+    jac = inter / (
+        F.col("n_tokens_1") + F.col("n_tokens_2") - inter
+    )
+    return (
+        cand.join(s1, "__id1")
+        .join(s2, "__id2")
+        .withColumn("n_common", inter)
+        .withColumn("__jac", jac)
+        .filter(F.col("__jac") >= F.lit(float(threshold)))
+        .select(
+            F.col("__id1").alias(f"{id_col}_1"),
+            F.col("__id2").alias(f"{id_col}_2"),
+            "n_tokens_1",
+            "n_tokens_2",
+            "n_common",
+            F.round("__jac", decimals).alias("jaccard"),
+        )
+    )

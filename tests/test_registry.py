@@ -153,6 +153,7 @@ def test_overflow_entries_have_recorded_family_siblings():
         "weighted_sample_docs": "stratified_sample_events",
         "quantile_bins_lineitem": "tdigest_price",
         "benford_lineitem": "psi_drift",
+        "set_similarity_pairs": "minhash_near_dups",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
