@@ -21,7 +21,7 @@ from .errors import (
     SpecParseError,
     SpecResolutionError,
 )
-from .operators.dedup import paragraph_dedup
+from .operators.dedup import paragraph_dedup, set_similarity_join
 from .operators.referential import (
     bloom_build,
     bloom_ri_violations,
@@ -119,6 +119,7 @@ __all__ = [
     "ri_violations",
     "sequence_gaps",
     "session_stats",
+    "set_similarity_join",
     "sessionize",
     "CheckpointStore",
     "CompiledPlan",
