@@ -5682,6 +5682,55 @@ ORDER BY doc_id_1, doc_id_2
 """
 
 
+def _q_zorder_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) key projection (operators/layout.with_zorder —
+    the data-skipping clustering key `write_zordered` range-partitions
+    on): events quantized to 6 bits per column over (user_id, value),
+    bits interleaved in a pure codegen'd shift-and-or chain.  One
+    min/max agg (4 scalars) + one projection; the oracle re-derives the
+    quantization and every bit position arithmetically."""
+    from json_to_avro_schema_spark.operators.layout import with_zorder
+
+    ev = load_table(spark, sf, "events")
+    return (
+        with_zorder(ev, ["user_id", "value"], bits=6, out_col="z")
+        .select("event_id", "z")
+        .orderBy("event_id")
+    )
+
+
+def _zorder_oracle(bits: int = 6) -> str:
+    def q(col: str, lo: str, hi: str) -> str:
+        return (
+            f"CAST(least(greatest(floor((CAST({col} AS DOUBLE) - {lo}) / "
+            f"({hi} - {lo}) * {float(2 ** bits - 1)!r}), 0), "
+            f"{2 ** bits - 1}) AS BIGINT)"
+        )
+
+    terms = []
+    for j, qc in enumerate(("qx", "qy")):
+        for i in range(bits):
+            terms.append(f"((({qc} >> {i}) & 1) << {i * 2 + j})")
+    z = " | ".join(terms)
+    return f"""
+WITH r AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS lox,
+         max(CAST(user_id AS DOUBLE)) AS hix,
+         min(CAST(value AS DOUBLE)) AS loy,
+         max(CAST(value AS DOUBLE)) AS hiy
+  FROM events
+), qq AS (
+  SELECT event_id,
+         CASE WHEN user_id IS NULL OR hix - lox <= 0 THEN 0
+              ELSE {q("user_id", "lox", "hix")} END AS qx,
+         CASE WHEN value IS NULL OR hiy - loy <= 0 THEN 0
+              ELSE {q("value", "loy", "hiy")} END AS qy
+  FROM events, r
+)
+SELECT event_id, CAST({z} AS BIGINT) AS z FROM qq ORDER BY event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -5872,6 +5921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (near-dup family sibling of the recorded minhash/simhash
         # entries — the recall-1.0 exact complement)
         "set_similarity_pairs": _q_set_similarity_pairs,
+        # r5 addition: Z-order clustering key (layout family; the writer
+        # itself is a sink, pytest-pinned like write_packed_shards)
+        "zorder_events": _q_zorder_events,
     }
 
 
@@ -5993,6 +6045,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_bins_lineitem": _quantile_bins_oracle(),
         "benford_lineitem": _O_BENFORD_LINEITEM,
         "set_similarity_pairs": _O_SET_SIMILARITY_PAIRS,
+        "zorder_events": _zorder_oracle(),
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

@@ -72,6 +72,7 @@ from .operators.search import (
 )
 from .operators.outliers import iqr_outliers, mad_outliers
 from .operators.binning import quantile_bins, width_bins
+from .operators.layout import with_zorder, write_zordered
 from .operators.drift import benford_report
 from .operators.profile import fd_candidates, suggest_fds
 from .operators.topk import grouped_topk, grouped_topk_salted
@@ -111,6 +112,8 @@ __all__ = [
     "tfidf_top_terms",
     "weighted_sample",
     "width_bins",
+    "with_zorder",
+    "write_zordered",
     "bloom_ri_violations",
     "fd_violations",
     "interval_overlaps",

@@ -154,6 +154,9 @@ def test_overflow_entries_have_recorded_family_siblings():
         "quantile_bins_lineitem": "tdigest_price",
         "benford_lineitem": "psi_drift",
         "set_similarity_pairs": "minhash_near_dups",
+        # z-order clustering key: physical-layout family, recorded via
+        # the shard-writer/packing representative
+        "zorder_events": "packed_shards",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
