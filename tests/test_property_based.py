@@ -284,3 +284,170 @@ def test_table_diff_matches_brute_force(spark, old_rows, new_rows):
         elif o[k] != n[k]:
             want[k] = "changed"
     assert got == want
+
+
+# ------------------------------------------- session-4 operator properties
+
+@given(
+    weights=st.lists(
+        st.one_of(
+            st.floats(min_value=0.01, max_value=1e4, allow_nan=False),
+            st.sampled_from([0.0, -2.0, None]),
+        ),
+        min_size=0, max_size=40,
+    ),
+    n=st.integers(min_value=1, max_value=10),
+    seed=st.sampled_from(["", "s1", "p.q-r"]),
+)
+@settings(max_examples=8, deadline=None)
+def test_weighted_sample_matches_brute(spark, weights, n, seed):
+    """weighted_sample must equal the hashlib/md5 re-derivation exactly:
+    same kept set, same priorities, same order — bad rows dropped."""
+    import hashlib
+
+    from json_to_avro_schema_spark.operators.sampling import (
+        HASH_SPACE,
+        weighted_sample,
+    )
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in weighted_sample(df, "doc_id", "w", n, seed=seed).collect()
+    ]
+
+    def pr(k, w):
+        b = int(hashlib.md5(f"{seed}{k}".encode()).hexdigest()[:8], 16)
+        return round(math.log((b + 1) / HASH_SPACE) / w, 9)
+
+    want = sorted(
+        ((k, pr(k, w)) for k, w in rows if w is not None and w > 0),
+        key=lambda r: (-r[1], r[0]),
+    )[:n]
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=4, max_size=60, unique=True,
+    ),
+    n_bins=st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_quantile_bins_assignment_properties(spark, vals, n_bins):
+    """Bin assignment must equal the >=-edge count against the rounded
+    exact-percentile edges, and be monotone in the value."""
+    import numpy as np
+
+    from json_to_avro_schema_spark.operators.binning import (
+        quantile_bin_edges,
+        quantile_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    edges = quantile_bin_edges(df, "v", n_bins)
+    want_edges = [
+        round(float(np.percentile(vals, 100.0 * i / n_bins)), 6)
+        for i in range(1, n_bins)
+    ]
+    assert edges == want_edges
+    got = {
+        r["id"]: r["v_bin"]
+        for r in quantile_bins(df, "v", n_bins).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == sum(1 for e in edges if v >= e)
+    by_val = [got[i] for i, _ in sorted(enumerate(vals), key=lambda t: t[1])]
+    assert by_val == sorted(by_val)  # monotone in the value
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(8)]),
+            min_size=1, max_size=8,
+        ).map(" ".join),
+        min_size=2, max_size=22,
+    ),
+    threshold=st.sampled_from([0.34, 0.5, 0.75]),
+)
+@settings(max_examples=6, deadline=None)
+def test_set_similarity_join_is_exact(spark, texts, threshold):
+    """Prefix-filtered join must equal brute-force Jaccard EXACTLY on
+    arbitrary corpora (recall 1.0, no false positives)."""
+    import itertools
+
+    from json_to_avro_schema_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id_1"], r["doc_id_2"], r["n_common"], r["jaccard"])
+        for r in set_similarity_join(df, threshold=threshold).collect()
+    )
+    sets = {i: set(t.split()) for i, t in rows}
+    want = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / len(sets[a] | sets[b])
+        if j >= threshold:
+            want.append((a, b, inter, round(j, 6)))
+    assert got == sorted(want)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(min_value=1e-3, max_value=1e6, allow_nan=False),
+            st.sampled_from([0.0, None]),
+        ),
+        min_size=1, max_size=50,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_benford_report_matches_brute(spark, vals):
+    """benford_report must agree with the clamped-digit Python
+    re-derivation on arbitrary positive/zero/null mixtures."""
+    from collections import Counter
+
+    from json_to_avro_schema_spark.operators.drift import benford_report
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = [tuple(r) for r in benford_report(df, "v").collect()]
+
+    digs = []
+    for v in vals:
+        if v is None or v == 0:
+            continue
+        d0 = math.floor(v / 10 ** math.floor(math.log10(v)))
+        digs.append(1 if d0 >= 10 else (9 if d0 < 1 else int(d0)))
+    if not digs:
+        assert got == [] or all(r[1] == 0 for r in got)
+        return
+    c = Counter(digs)
+    tot = float(len(digs))
+    devs = [
+        abs(c.get(d, 0) / tot - math.log10(1 + 1.0 / d)) for d in range(1, 10)
+    ]
+    mad = round(sum(devs) / 9, 6)
+    want = [
+        (
+            d, c.get(d, 0),
+            round(c.get(d, 0) / tot, 6),
+            round(math.log10(1 + 1.0 / d), 6),
+            round(devs[d - 1], 6),
+            mad, mad <= 0.015,
+        )
+        for d in range(1, 10)
+    ]
+    assert got == want
