@@ -215,6 +215,12 @@ def run_bench() -> dict:
         # r5 session 4: quantile discretization + Benford digit screen
         ("quantile_bins_lineitem", qs["quantile_bins_lineitem"]),
         ("benford_lineitem", qs["benford_lineitem"]),
+        # r5 session 4b: exact prefix-filtered set-similarity join (gate
+        # slice — the synthetic corpus is adversarially self-similar, so
+        # the slice keeps the brute-force oracle tractable) and the
+        # Z-order Morton key projection
+        ("set_similarity_pairs", qs["set_similarity_pairs"]),
+        ("zorder_events", qs["zorder_events"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers

@@ -467,3 +467,58 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*", *counts, total.alias("n_pii"), redact_pii(c).alias("redacted")
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    form: str = "NFC",
+    lowercase: bool = False,
+    collapse_whitespace: bool = False,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (CCNet/Dolma-style cleanup:
+    composed accents, compatibility ligatures/width forms under NFKC) via
+    ``mapInPandas`` — Arrow batches in, vectorized ``unicodedata`` per
+    batch, never per-row Python through py4j.  Optional lowercasing and
+    whitespace collapse (any ``\\s+`` run → one space, trimmed) run in
+    the same pass.  Output replaces ``text_col`` unless ``out_col`` is
+    given; all other columns pass through untouched.
+
+    The JVM has no Unicode normalizer exposed as a Column function, so
+    this is one of the package's three sanctioned Python surfaces
+    (multimodal decode, t-digest partials, and this) — Arrow-batched by
+    contract.  Nulls pass through as nulls.  ``form`` NFC is the
+    DuckDB-oracle-able choice (``nfc_normalize`` is bit-identical to
+    Python's NFC — pinned in tests); NFKC/NFD/NFKD are supported for
+    pipelines without the oracle constraint."""
+    import re as _re
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    target = out_col or text_col
+    fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+    if target not in df.columns:
+        fields.append(f"`{target}` string")
+    schema = ", ".join(fields)
+    ws = _re.compile(r"\s+")
+
+    def run(batches):
+        for pdf in batches:
+            def norm(s):
+                if s is None:
+                    return None
+                s = unicodedata.normalize(form, s)
+                if lowercase:
+                    s = s.lower()
+                if collapse_whitespace:
+                    s = ws.sub(" ", s).strip()
+                return s
+
+            pdf = pdf.copy()
+            pdf[target] = pdf[text_col].map(norm)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -157,6 +157,9 @@ def test_overflow_entries_have_recorded_family_siblings():
         # z-order clustering key: physical-layout family, recorded via
         # the shard-writer/packing representative
         "zorder_events": "packed_shards",
+        "bm25_indexed_docs": "bm25_search_docs",
+        # unicode normalization: text-cleaning family sibling
+        "normalize_unicode_docs": "c4_clean_docs",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
