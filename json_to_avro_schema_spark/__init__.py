@@ -73,6 +73,7 @@ from .operators.search import (
 from .operators.outliers import iqr_outliers, mad_outliers
 from .operators.binning import quantile_bins, width_bins
 from .operators.layout import with_zorder, write_zordered
+from .operators.text import normalize_unicode
 from .operators.drift import benford_report
 from .operators.profile import fd_candidates, suggest_fds
 from .operators.topk import grouped_topk, grouped_topk_salted
@@ -151,6 +152,7 @@ __all__ = [
     "grouped_topk_salted",
     "ks_drift",
     "ks_drift_report",
+    "normalize_unicode",
     "normalize_url",
     "packed_shards",
     "paragraph_dedup",
