@@ -221,6 +221,9 @@ def run_bench() -> dict:
         # Z-order Morton key projection
         ("set_similarity_pairs", qs["set_similarity_pairs"]),
         ("zorder_events", qs["zorder_events"]),
+        # r5 session 4b: the Arrow/pandas surface under load — one
+        # mapInPandas NFC+lower+collapse pass over the full corpus
+        ("normalize_unicode_docs", qs["normalize_unicode_docs"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers
