@@ -51,6 +51,10 @@ def quantile_bin_edges(
     row = df.agg(
         F.expr(fn.format(c=col, p=",".join(repr(p) for p in ps))).alias("e")
     ).head()
+    if row is None or row["e"] is None:
+        raise ValueError(
+            f"quantile_bin_edges({col!r}): no non-null values to bin"
+        )
     return [round(float(v), decimals) for v in row["e"]]
 
 

@@ -166,3 +166,9 @@ def test_x_benford_table_check(spark):
             "properties": {"a": {"type": "number"}},
             "x-benford": [{"column": "a", "madThreshold": 0}],
         })
+
+
+def test_all_null_column_raises_cleanly(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    with pytest.raises(ValueError, match="no non-null values"):
+        quantile_bin_edges(df, "v", 4)
