@@ -744,10 +744,14 @@ def benford_report(
         .select("digit", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
     )
     tot = j.agg(F.sum("n").cast("double").alias("total"))
+    # an all-zero/null column has total 0: observed shares (and the MAD
+    # verdict) become null rather than an ANSI divide-by-zero — "nothing
+    # to screen" is a null verdict, not a failure (found by the
+    # hypothesis differential)
     s = j.join(F.broadcast(tot), how="cross").select(
         "digit",
         "n",
-        (F.col("n") / F.col("total")).alias("__op"),
+        F.when(F.col("total") > 0, F.col("n") / F.col("total")).alias("__op"),
         F.log10(F.lit(1) + F.lit(1.0) / F.col("digit")).alias("__ep"),
     )
     m = s.agg(

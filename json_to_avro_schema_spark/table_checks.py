@@ -189,7 +189,10 @@ def run_table_checks(
             df, bc.column, mad_threshold=bc.mad_threshold
         ).collect()
         n = sum(int(r["n"]) for r in rep)
-        ok = bool(rep[0]["conforms"]) if rep else True
+        # null verdict (no nonzero values to screen) passes: an empty
+        # screen has nothing to flag
+        ok = rep[0]["conforms"] if rep else True
+        ok = True if ok is None else bool(ok)
         return [(bc.name, "benford", n, 0 if ok else 1, ok)]
 
     def _run_drift(dc, base):

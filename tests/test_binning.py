@@ -172,3 +172,25 @@ def test_all_null_column_raises_cleanly(spark):
     df = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
     with pytest.raises(ValueError, match="no non-null values"):
         quantile_bin_edges(df, "v", 4)
+
+
+def test_benford_all_zero_column_null_verdict(spark):
+    # hypothesis regression (vals=[0.0]): no nonzero values -> null
+    # shares/verdict, NOT a divide-by-zero; the x-benford check passes
+    from json_to_avro_schema_spark.compiler.plan import compile_document
+    from json_to_avro_schema_spark.table_checks import run_table_checks
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, None)], "id long, v double"
+    )
+    rows = benford_report(df, "v").collect()
+    assert len(rows) == 9
+    assert all(r["n"] == 0 for r in rows)
+    assert all(r["observed_p"] is None and r["conforms"] is None for r in rows)
+    doc = {
+        "$id": "x://t/BF0", "type": "object",
+        "properties": {"v": {"type": "number"}},
+        "x-benford": [{"column": "v"}],
+    }
+    out = run_table_checks(spark, df, compile_document(doc)).collect()[0]
+    assert out["pass"] and out["n_rows"] == 0 and out["n_bad"] == 0
