@@ -5790,6 +5790,40 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_standardize_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-wise z-score standardization (operators/binning.standardize):
+    l_extendedprice scaled per l_returnflag over the l_orderkey<200 slice
+    — one group-scale avg/stddev agg broadcast back, scaling in a
+    codegen'd projection.  Degenerate/null-variance groups scale to
+    null; 6-dp round is the cross-engine float contract (stddev merge
+    order differs at ~1e-15)."""
+    from json_to_avro_schema_spark.operators.binning import standardize
+
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") < 200
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    out = standardize(li, "l_extendedprice", by=["l_returnflag"])
+    return out.orderBy("l_orderkey", "l_linenumber")
+
+
+_O_STANDARDIZE_LINEITEM = """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+  FROM lineitem WHERE l_orderkey < 200
+), s AS (
+  SELECT l_returnflag, avg(l_extendedprice) AS m,
+         stddev_samp(l_extendedprice) AS sd
+  FROM t GROUP BY l_returnflag
+)
+SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag, t.l_extendedprice,
+       CASE WHEN s.sd > 0
+            THEN round((t.l_extendedprice - s.m) / s.sd, 6)
+       END AS l_extendedprice_scaled
+FROM t JOIN s USING (l_returnflag)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -5989,6 +6023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition: Unicode NFC normalization pass (text family; the
         # third sanctioned Arrow/pandas surface)
         "normalize_unicode_docs": _q_normalize_unicode_docs,
+        # r5 addition: group-wise z-score scaling (feature family,
+        # sibling of the binning/outlier group-stats broadcast shape)
+        "standardize_lineitem": _q_standardize_lineitem,
     }
 
 
@@ -6113,6 +6150,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": _zorder_oracle(),
         "bm25_indexed_docs": _bm25_oracle_sql(_BM25_QUERY, _BM25_K),
         "normalize_unicode_docs": _normalize_unicode_oracle(),
+        "standardize_lineitem": _O_STANDARDIZE_LINEITEM,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

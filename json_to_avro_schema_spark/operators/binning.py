@@ -111,3 +111,54 @@ def width_bins(
     raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins))
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
     return df.withColumn(out_col or f"{col}_bin", F.when(x.isNotNull(), b))
+
+
+def standardize(
+    df: DataFrame,
+    col: str,
+    *,
+    by: Optional[Sequence[str]] = None,
+    method: str = "zscore",
+    decimals: int = 6,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Scale a numeric column per ``by`` group (or globally):
+    ``zscore`` → ``(x − mean)/stddev_samp`` or ``minmax`` → ``(x − min)/
+    (max − min)`` — the feature-normalization step next to binning.
+    Returns ``df`` plus the scaled column (default ``<col>_scaled``,
+    rounded to ``decimals``); degenerate groups (zero variance / constant
+    range) and nulls scale to null rather than dividing by zero.
+
+    Shape: ONE group-scale aggregate broadcast back, scaling is a
+    codegen'd projection — the corpus scans but never shuffles (the
+    outliers-module contract)."""
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"unknown method {method!r}")
+    by = list(by) if by else []
+    grouped = df.groupBy(*by) if by else df.groupBy()
+    if method == "zscore":
+        stats = grouped.agg(
+            F.avg(col).alias("__m"), F.stddev_samp(col).alias("__s")
+        )
+        scaled = F.when(
+            F.col("__s") > 0,
+            F.round((F.col(col) - F.col("__m")) / F.col("__s"), decimals),
+        )
+    else:
+        stats = grouped.agg(
+            F.min(col).alias("__m"), F.max(col).alias("__s")
+        )
+        scaled = F.when(
+            F.col("__s") > F.col("__m"),
+            F.round(
+                (F.col(col) - F.col("__m")) / (F.col("__s") - F.col("__m")),
+                decimals,
+            ),
+        )
+    joined = (
+        df.join(F.broadcast(stats), on=by) if by
+        else df.join(F.broadcast(stats), how="cross")
+    )
+    return joined.withColumn(out_col or f"{col}_scaled", scaled).drop(
+        "__m", "__s"
+    )

@@ -194,3 +194,33 @@ def test_benford_all_zero_column_null_verdict(spark):
     }
     out = run_table_checks(spark, df, compile_document(doc)).collect()[0]
     assert out["pass"] and out["n_rows"] == 0 and out["n_bad"] == 0
+
+
+def test_standardize_zscore_and_minmax(spark):
+    import statistics
+
+    from json_to_avro_schema_spark.operators.binning import standardize
+
+    rows = (
+        [(i, "A", float(v)) for i, v in enumerate([2, 4, 4, 4, 5, 5, 7, 9])]
+        + [(100, "B", 3.0), (101, "B", 3.0)]   # zero variance
+        + [(200, "A", None)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    z = {r["id"]: r["v_scaled"] for r in standardize(df, "v", by=["g"]).collect()}
+    a = [2, 4, 4, 4, 5, 5, 7, 9]
+    m, s = statistics.mean(a), statistics.stdev(a)
+    for i, v in enumerate(a):
+        assert z[i] == round((v - m) / s, 6)
+    assert z[100] is None and z[101] is None  # degenerate group
+    assert z[200] is None                     # null value
+
+    mm = {
+        r["id"]: r["v_scaled"]
+        for r in standardize(df, "v", by=["g"], method="minmax").collect()
+    }
+    for i, v in enumerate(a):
+        assert mm[i] == round((v - 2) / 7, 6)
+    assert mm[100] is None
+    with pytest.raises(ValueError):
+        standardize(df, "v", method="robust")

@@ -160,6 +160,8 @@ def test_overflow_entries_have_recorded_family_siblings():
         "bm25_indexed_docs": "bm25_search_docs",
         # unicode normalization: text-cleaning family sibling
         "normalize_unicode_docs": "c4_clean_docs",
+        # group-wise scaling: group-stats-broadcast family sibling
+        "standardize_lineitem": "outliers_events",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
