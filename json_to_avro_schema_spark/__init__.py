@@ -71,7 +71,7 @@ from .operators.search import (
     tfidf_top_terms,
 )
 from .operators.outliers import iqr_outliers, mad_outliers
-from .operators.binning import quantile_bins, width_bins
+from .operators.binning import quantile_bins, standardize, width_bins
 from .operators.layout import with_zorder, write_zordered
 from .operators.text import normalize_unicode
 from .operators.drift import benford_report
@@ -124,6 +124,7 @@ __all__ = [
     "sequence_gaps",
     "session_stats",
     "set_similarity_join",
+    "standardize",
     "sessionize",
     "CheckpointStore",
     "CompiledPlan",
