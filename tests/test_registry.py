@@ -162,6 +162,8 @@ def test_overflow_entries_have_recorded_family_siblings():
         "normalize_unicode_docs": "c4_clean_docs",
         # group-wise scaling: group-stats-broadcast family sibling
         "standardize_lineitem": "outliers_events",
+        # fuzzy record linkage: near-dup family sibling
+        "fuzzy_match_customers": "minhash_near_dups",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
