@@ -73,6 +73,7 @@ from .operators.search import (
 from .operators.outliers import iqr_outliers, mad_outliers
 from .operators.binning import quantile_bins, standardize, width_bins
 from .operators.layout import with_zorder, write_zordered
+from .operators.matching import fuzzy_dedup_candidates, fuzzy_join
 from .operators.text import normalize_unicode
 from .operators.drift import benford_report
 from .operators.profile import fd_candidates, suggest_fds
@@ -106,6 +107,8 @@ __all__ = [
     "bm25_search_indexed",
     "build_bm25_index",
     "fd_candidates",
+    "fuzzy_dedup_candidates",
+    "fuzzy_join",
     "iqr_outliers",
     "mad_outliers",
     "quantile_bins",
