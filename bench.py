@@ -224,6 +224,10 @@ def run_bench() -> dict:
         # r5 session 4b: the Arrow/pandas surface under load — one
         # mapInPandas NFC+lower+collapse pass over the full corpus
         ("normalize_unicode_docs", qs["normalize_unicode_docs"]),
+        # r5 session 4b: group-stats-broadcast scaling + blocking-based
+        # Levenshtein linkage (gate slice)
+        ("standardize_lineitem", qs["standardize_lineitem"]),
+        ("fuzzy_match_customers", qs["fuzzy_match_customers"]),
     ]
     for name, fn in bench_queries:
         fn(spark, SF_DIR).collect()  # warm: codegen, readers, py-workers
