@@ -5878,6 +5878,39 @@ ORDER BY left_id, right_id
 """
 
 
+def _q_width_bins_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-width binning over a DECLARED range (operators/binning.
+    width_bins — the zero-scan sibling of quantile_bins): events.value
+    into 10 bins over [0, 500) with the drift-histogram clamp, rolled up
+    to per-bin (n_rows, v_min, v_max).  Pure projection + one hash-agg;
+    the oracle re-derives the floor/clamp arithmetic."""
+    from json_to_avro_schema_spark.operators.binning import width_bins
+
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    return (
+        width_bins(ev, "value", 10, 0.0, 500.0, out_col="bin")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+_O_WIDTH_BINS_EVENTS = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor((value - 0.0) / 500.0 * 10), 0), 9)
+              AS INT) AS bin,
+         value
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bin, count(*) AS n_rows, min(value) AS v_min, max(value) AS v_max
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Insertion order is deliberate: the driver's correctness gate
     records the FIRST 50 entries, so positions 1-50 carry the flagship
@@ -6084,6 +6117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family sibling — the structured-field counterpart of
         # set_similarity_pairs)
         "fuzzy_match_customers": _q_fuzzy_match_customers,
+        # r5 addition: declared-range width binning (binning-family
+        # sibling of quantile_bins_lineitem)
+        "width_bins_events": _q_width_bins_events,
     }
 
 
@@ -6210,6 +6246,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_unicode_docs": _normalize_unicode_oracle(),
         "standardize_lineitem": _O_STANDARDIZE_LINEITEM,
         "fuzzy_match_customers": _O_FUZZY_MATCH_CUSTOMERS,
+        "width_bins_events": _O_WIDTH_BINS_EVENTS,
         "corpus_funnel_docs": _O_CORPUS_FUNNEL_DOCS,
         "paragraph_dedup_docs": _O_PARAGRAPH_DEDUP_DOCS,
     }

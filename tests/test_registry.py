@@ -164,6 +164,8 @@ def test_overflow_entries_have_recorded_family_siblings():
         "standardize_lineitem": "outliers_events",
         # fuzzy record linkage: near-dup family sibling
         "fuzzy_match_customers": "minhash_near_dups",
+        # declared-range width binning: quantile/binning family sibling
+        "width_bins_events": "tdigest_price",
     }
     recorded = set(order[:50])
     unknown = overflow - set(siblings)
